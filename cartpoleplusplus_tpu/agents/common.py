@@ -1,0 +1,90 @@
+"""Shared agent plumbing: CLI flags, eval rollouts, checkpoint cadence.
+
+The reference repeats an argparse + train-loop + periodic-eval + Saver block
+at the top of every agent main (SURVEY.md §3.2-3.4); this module is that
+block factored once.  Each agent keeps the reference's CLI shape:
+``python -m cartpoleplusplus_tpu.agents.<name> --flags…``.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from cartpoleplusplus_tpu.env import cartpole as cartpole_mod
+from cartpoleplusplus_tpu.env import config as env_config
+from cartpoleplusplus_tpu.env.vector import VectorCartpole
+
+
+def add_agent_opts(parser: argparse.ArgumentParser) -> None:
+    """Flags shared by every agent main (reference agent argparse blocks)."""
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num-train-batches", type=int, default=200,
+                        help="number of training updates")
+    parser.add_argument("--num-envs", type=int, default=64,
+                        help="vectorized env replicas (reference: 1)")
+    parser.add_argument("--learning-rate", type=float, default=1e-3)
+    parser.add_argument("--gamma", type=float, default=0.99,
+                        help="discount factor")
+    parser.add_argument("--eval-freq", type=int, default=20,
+                        help="updates between greedy eval rollouts")
+    parser.add_argument("--num-eval", type=int, default=16,
+                        help="episodes per eval")
+    parser.add_argument("--ckpt-dir", type=str, default=None)
+    parser.add_argument("--ckpt-freq", type=int, default=50,
+                        help="updates between checkpoints")
+    parser.add_argument("--event-log-out", type=str, default=None,
+                        help="write eval trajectories to this event log")
+    parser.add_argument("--metrics-jsonl", type=str, default=None,
+                        help="structured metrics sink")
+    parser.add_argument("--hidden", type=int, nargs="+", default=[100, 50])
+
+
+def make_parser(description: str) -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=description)
+    env_config.add_opts(parser)
+    add_agent_opts(parser)
+    return parser
+
+
+def eval_rollout(
+    venv: VectorCartpole,
+    act_fn: Callable,  # (params, obs[E, ...]) -> greedy action[E, ...]
+    params,
+    rng: jax.Array,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy eval: one episode per env slot → (mean episode len, mean reward).
+
+    Rebuild of each reference agent's ``run_eval`` (exploration off,
+    e.g. ddpg_cartpole.py:~L180-200) but batched: ``num_envs`` episodes run in
+    parallel inside one ``lax.scan``.  Pure — callers jit it (closed over
+    venv/act_fn).
+    """
+    states, obs = venv.reset(rng)
+
+    def body(carry, _):
+        states, obs, ep_len, ep_rew, alive = carry
+        action = act_fn(params, obs)
+        states, obs, reward, done = jax.vmap(
+            lambda s, a: cartpole_mod.step(
+                venv.config, venv.scene, s, a, venv.observe_fn
+            )
+        )(states, action)
+        ep_len = ep_len + alive.astype(jnp.int32)
+        ep_rew = ep_rew + reward * alive
+        alive = alive & ~done
+        return (states, obs, ep_len, ep_rew, alive), None
+
+    zeros_i = jnp.zeros((venv.num_envs,), jnp.int32)
+    zeros_f = jnp.zeros((venv.num_envs,), jnp.float32)
+    alive = jnp.ones((venv.num_envs,), bool)
+    (_, _, ep_len, ep_rew, _), _ = jax.lax.scan(
+        body,
+        (states, obs, zeros_i, zeros_f, alive),
+        None,
+        length=venv.config.max_episode_len,
+    )
+    return jnp.mean(ep_len.astype(jnp.float32)), jnp.mean(ep_rew)

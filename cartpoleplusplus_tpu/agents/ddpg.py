@@ -1,0 +1,273 @@
+"""DDPG agent — continuous actions, on-device replay, fused step+train loop.
+
+Rebuild of the reference's ``ddpg_cartpole.py`` (~340 LoC, SURVEY.md §2.1/
+§3.2): deterministic actor µ(s) with tanh-bounded 2D action; critic Q(s,a)
+with the action injected at a late FC layer; target copies with soft updates
+``τ``; OU exploration noise; per-step cycle env.step → replay.add → sample →
+critic MSE on ``r + γ·Q'(s2, µ'(s2))`` → actor ascent through the critic →
+target soft-updates.
+
+TPU-first redesign: the whole cycle — acting for E vectorized envs, physics,
+replay write, replay sample, both network updates, target updates — is one
+``lax.scan`` body compiled under a single jit; a training *segment* of K env
+steps runs per Python call with donated state (no host↔device traffic except
+scalar metrics).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from cartpoleplusplus_tpu.agents import common
+from cartpoleplusplus_tpu.env import cartpole as cartpole_mod
+from cartpoleplusplus_tpu.env.cartpole import EnvState
+from cartpoleplusplus_tpu.env.config import config_from_opts
+from cartpoleplusplus_tpu.env.vector import VectorCartpole
+from cartpoleplusplus_tpu.models import Actor, Critic, soft_target_update
+from cartpoleplusplus_tpu.replay import ReplayState
+from cartpoleplusplus_tpu.replay import buffer as replay_mod
+from cartpoleplusplus_tpu.utils import checkpoint as ckpt_mod
+from cartpoleplusplus_tpu.utils.metrics import MetricsLogger
+from cartpoleplusplus_tpu.utils.noise import ou_init, ou_step
+
+
+@struct.dataclass
+class DDPGState:
+    """Everything the fused loop carries (donated across segments)."""
+
+    actor_params: dict
+    critic_params: dict
+    target_actor_params: dict
+    target_critic_params: dict
+    actor_opt: optax.OptState
+    critic_opt: optax.OptState
+    replay: ReplayState
+    env_states: EnvState
+    obs: jnp.ndarray  # (E, *obs_shape) current observations
+    ou_noise: jnp.ndarray  # (E, 2)
+    rng: jax.Array
+    env_steps: jnp.ndarray  # () int64-ish counter (int32 fine here)
+
+
+def add_ddpg_opts(parser):
+    parser.add_argument("--actor-learning-rate", type=float, default=1e-4)
+    parser.add_argument("--critic-learning-rate", type=float, default=1e-3)
+    parser.add_argument("--tau", type=float, default=0.005,
+                        help="target soft-update rate")
+    parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument("--replay-capacity", type=int, default=100000)
+    parser.add_argument("--warmup-steps", type=int, default=20,
+                        help="env steps before training starts")
+    parser.add_argument("--steps-per-segment", type=int, default=25,
+                        help="env steps fused into one jit call")
+    parser.add_argument("--ou-theta", type=float, default=0.15)
+    parser.add_argument("--ou-sigma", type=float, default=0.2)
+    parser.add_argument("--use-batch-norm", action="store_true")
+
+
+def make_segment(
+    venv: VectorCartpole,
+    actor: Actor,
+    critic: Critic,
+    actor_tx,
+    critic_tx,
+    *,
+    gamma: float,
+    tau: float,
+    batch_size: int,
+    warmup_steps: int,
+    steps_per_segment: int,
+    ou_theta: float,
+    ou_sigma: float,
+):
+    """Build the jitted K-step fused train segment."""
+
+    def critic_loss_fn(critic_params, s1, a, y):
+        q = critic.apply(critic_params, s1, a)
+        return jnp.mean((q - y) ** 2)
+
+    def actor_loss_fn(actor_params, critic_params, s1):
+        mu = actor.apply(actor_params, s1)
+        return -jnp.mean(critic.apply(critic_params, s1, mu))
+
+    def train_once(st: DDPGState, rng):
+        s1, a, r, s2, term = replay_mod.sample(st.replay, rng, batch_size)
+        # TD target from target nets (reference ddpg ~L150-280).
+        a2 = actor.apply(st.target_actor_params, s2)
+        q2 = critic.apply(st.target_critic_params, s2, a2)
+        y = r + gamma * (1.0 - term.astype(jnp.float32)) * q2
+        closs, cgrads = jax.value_and_grad(critic_loss_fn)(
+            st.critic_params, s1, a, jax.lax.stop_gradient(y)
+        )
+        cupd, copt = critic_tx.update(cgrads, st.critic_opt, st.critic_params)
+        critic_params = optax.apply_updates(st.critic_params, cupd)
+
+        aloss, agrads = jax.value_and_grad(actor_loss_fn)(
+            st.actor_params, critic_params, s1
+        )
+        aupd, aopt = actor_tx.update(agrads, st.actor_opt, st.actor_params)
+        actor_params = optax.apply_updates(st.actor_params, aupd)
+
+        return st.replace(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            target_actor_params=soft_target_update(
+                st.target_actor_params, actor_params, tau
+            ),
+            target_critic_params=soft_target_update(
+                st.target_critic_params, critic_params, tau
+            ),
+            actor_opt=aopt,
+            critic_opt=copt,
+        ), {"critic_loss": closs, "actor_loss": aloss}
+
+    def segment(st: DDPGState):
+        rng, k_pool = jax.random.split(st.rng)
+        st = st.replace(rng=rng)
+        reset_pool, _ = venv.reset(k_pool)
+
+        def body(st: DDPGState, _):
+            rng, k_ou, k_step, k_sample = jax.random.split(st.rng, 4)
+            # Explore: µ(s) + OU noise (reference adds OU to actor output).
+            ou = ou_step(st.ou_noise, k_ou, theta=ou_theta, sigma=ou_sigma)
+            action = jnp.clip(actor.apply(st.actor_params, st.obs) + ou, -1.0, 1.0)
+            env_states, obs2, reward, done = venv.step(
+                st.env_states, action, k_step, reset_pool=reset_pool
+            )
+            replay = replay_mod.add_batch(
+                st.replay, st.obs, action, reward, obs2, done
+            )
+            # OU noise resets with the episode.
+            ou = jnp.where(done[:, None], 0.0, ou)
+            st = st.replace(
+                replay=replay,
+                env_states=env_states,
+                obs=obs2,
+                ou_noise=ou,
+                rng=rng,
+                env_steps=st.env_steps + 1,
+            )
+            st, losses = jax.lax.cond(
+                st.env_steps > warmup_steps,
+                lambda s: train_once(s, k_sample),
+                lambda s: (s, {"critic_loss": jnp.zeros(()), "actor_loss": jnp.zeros(())}),
+                st,
+            )
+            metrics = {**losses, "reward": jnp.mean(reward),
+                       "done_frac": jnp.mean(done.astype(jnp.float32))}
+            return st, metrics
+
+        st, metrics = jax.lax.scan(body, st, None, length=steps_per_segment)
+        return st, jax.tree.map(jnp.mean, metrics)
+
+    return segment
+
+
+def greedy_act(actor: Actor):
+    def act(params, obs):
+        return actor.apply(params, obs)
+
+    return act
+
+
+def init_state(opts, config, venv, actor, critic, actor_tx, critic_tx) -> DDPGState:
+    rng = jax.random.PRNGKey(opts.seed)
+    rng, k_a, k_c, k_env = jax.random.split(rng, 4)
+    dummy_obs = jnp.zeros((1,) + config.obs_shape, jnp.float32)
+    dummy_act = jnp.zeros((1, 2), jnp.float32)
+    actor_params = actor.init(k_a, dummy_obs)
+    critic_params = critic.init(k_c, dummy_obs, dummy_act)
+    env_states, obs = venv.reset(k_env)
+    replay = replay_mod.create(
+        opts.replay_capacity, config.obs_shape, (2,)
+    )
+    return DDPGState(
+        actor_params=actor_params,
+        critic_params=critic_params,
+        target_actor_params=jax.tree.map(jnp.copy, actor_params),
+        target_critic_params=jax.tree.map(jnp.copy, critic_params),
+        actor_opt=actor_tx.init(actor_params),
+        critic_opt=critic_tx.init(critic_params),
+        replay=replay,
+        env_states=env_states,
+        obs=obs,
+        ou_noise=ou_init((venv.num_envs, 2)),
+        rng=rng,
+        env_steps=jnp.zeros((), jnp.int32),
+    )
+
+
+def train(opts) -> float:
+    config = config_from_opts(opts, discrete_actions=False)
+    venv = VectorCartpole(config, num_envs=opts.num_envs)
+    eval_venv = VectorCartpole(config, num_envs=opts.num_eval)
+    actor = Actor(action_dim=2, use_raw_pixels=config.use_raw_pixels,
+                  hidden=tuple(opts.hidden))
+    critic = Critic(use_raw_pixels=config.use_raw_pixels, hidden=tuple(opts.hidden))
+    actor_tx = optax.adam(opts.actor_learning_rate)
+    critic_tx = optax.adam(opts.critic_learning_rate)
+    logger = MetricsLogger(opts.metrics_jsonl)
+
+    st = init_state(opts, config, venv, actor, critic, actor_tx, critic_tx)
+    if opts.ckpt_dir:
+        st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
+        if restored is not None:
+            logger.log("restore", step=restored)
+
+    segment = jax.jit(
+        make_segment(
+            venv, actor, critic, actor_tx, critic_tx,
+            gamma=opts.gamma, tau=opts.tau, batch_size=opts.batch_size,
+            warmup_steps=opts.warmup_steps,
+            steps_per_segment=opts.steps_per_segment,
+            ou_theta=opts.ou_theta, ou_sigma=opts.ou_sigma,
+        ),
+        donate_argnums=0,
+    )
+    eval_fn = jax.jit(
+        lambda p, k: common.eval_rollout(eval_venv, greedy_act(actor), p, k)
+    )
+
+    rng = jax.random.PRNGKey(opts.seed + 1)
+    final_eval = 0.0
+    for i in range(opts.num_train_batches):
+        st, metrics = segment(st)
+        if (i + 1) % max(opts.eval_freq, 1) == 0 or i + 1 == opts.num_train_batches:
+            rng, k_eval = jax.random.split(rng)
+            elen, erew = eval_fn(st.actor_params, k_eval)
+            final_eval = float(elen)
+            logger.log(
+                "train",
+                segment=i + 1,
+                env_steps=int(st.env_steps) * venv.num_envs,
+                critic_loss=float(metrics["critic_loss"]),
+                actor_loss=float(metrics["actor_loss"]),
+                mean_reward=float(metrics["reward"]),
+                eval_ep_len=float(elen),
+                eval_ep_rew=float(erew),
+            )
+        if opts.ckpt_dir and (i + 1) % max(opts.ckpt_freq, 1) == 0:
+            ckpt_mod.save(opts.ckpt_dir, i + 1, st)
+    if opts.ckpt_dir:
+        ckpt_mod.save(opts.ckpt_dir, opts.num_train_batches, st)
+    logger.close()
+    return final_eval
+
+
+def main(argv=None):
+    parser = common.make_parser(
+        "DDPG agent on cartpole++ (TPU rebuild of ddpg_cartpole.py)"
+    )
+    add_ddpg_opts(parser)
+    opts = parser.parse_args(argv)
+    print(f"OPTS {vars(opts)}", file=sys.stderr)
+    train(opts)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,225 @@
+"""DQN agent — discrete actions, ε-greedy, replay, target network.
+
+The reference's ``dqn_cartpole.py`` (~100 LoC, SURVEY.md §2.1) is thin glue
+around keras-rl: Keras Q-MLP + EpsGreedyQPolicy + SequentialMemory +
+``DQNAgent.fit(env)`` — its point is that the env is gym-compatible with
+third-party agent libraries.  The rebuild provides the same capability as a
+native fused DQN (keras-rl is TF-1.x-era and has no TPU path): Q-network +
+target, ε-greedy with linear decay, uniform replay, per-step TD(0) updates —
+the same fused-segment architecture as agents/ddpg.py.  Gym compatibility
+itself is demonstrated by env/gym_env.py + tests/test_env.py.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from cartpoleplusplus_tpu.agents import common
+from cartpoleplusplus_tpu.env.cartpole import EnvState
+from cartpoleplusplus_tpu.env.config import NUM_DISCRETE_ACTIONS, config_from_opts
+from cartpoleplusplus_tpu.env.vector import VectorCartpole
+from cartpoleplusplus_tpu.models import QNetwork, soft_target_update
+from cartpoleplusplus_tpu.replay import ReplayState
+from cartpoleplusplus_tpu.replay import buffer as replay_mod
+from cartpoleplusplus_tpu.utils import checkpoint as ckpt_mod
+from cartpoleplusplus_tpu.utils.metrics import MetricsLogger
+
+
+@struct.dataclass
+class DQNState:
+    params: dict
+    target_params: dict
+    opt: optax.OptState
+    replay: ReplayState
+    env_states: EnvState
+    obs: jnp.ndarray
+    rng: jax.Array
+    env_steps: jnp.ndarray
+
+
+def add_dqn_opts(parser):
+    parser.add_argument("--tau", type=float, default=0.01,
+                        help="target soft-update rate")
+    parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument("--replay-capacity", type=int, default=100000)
+    parser.add_argument("--warmup-steps", type=int, default=20)
+    parser.add_argument("--steps-per-segment", type=int, default=25)
+    parser.add_argument("--eps-start", type=float, default=1.0)
+    parser.add_argument("--eps-end", type=float, default=0.05)
+    parser.add_argument("--eps-decay-steps", type=int, default=5000,
+                        help="env steps over which ε anneals linearly")
+
+
+def make_segment(
+    venv: VectorCartpole,
+    qnet: QNetwork,
+    tx,
+    *,
+    gamma: float,
+    tau: float,
+    batch_size: int,
+    warmup_steps: int,
+    steps_per_segment: int,
+    eps_start: float,
+    eps_end: float,
+    eps_decay_steps: int,
+):
+    def loss_fn(params, s1, a, y):
+        q = qnet.apply(params, s1)
+        q_a = jnp.take_along_axis(q, a[:, None].astype(jnp.int32), axis=1)[:, 0]
+        return jnp.mean((q_a - y) ** 2)
+
+    def train_once(st: DQNState, rng):
+        s1, a, r, s2, term = replay_mod.sample(st.replay, rng, batch_size)
+        q2 = jnp.max(qnet.apply(st.target_params, s2), axis=-1)
+        y = r + gamma * (1.0 - term.astype(jnp.float32)) * q2
+        loss, grads = jax.value_and_grad(loss_fn)(
+            st.params, s1, a, jax.lax.stop_gradient(y)
+        )
+        upd, opt = tx.update(grads, st.opt, st.params)
+        params = optax.apply_updates(st.params, upd)
+        return st.replace(
+            params=params,
+            target_params=soft_target_update(st.target_params, params, tau),
+            opt=opt,
+        ), {"loss": loss}
+
+    def segment(st: DQNState):
+        rng, k_pool = jax.random.split(st.rng)
+        st = st.replace(rng=rng)
+        reset_pool, _ = venv.reset(k_pool)
+
+        def body(st: DQNState, _):
+            rng, k_eps, k_rand, k_step, k_sample = jax.random.split(st.rng, 5)
+            q = qnet.apply(st.params, st.obs)
+            greedy = jnp.argmax(q, axis=-1)
+            random_a = jax.random.randint(
+                k_rand, (venv.num_envs,), 0, NUM_DISCRETE_ACTIONS
+            )
+            frac = jnp.clip(
+                st.env_steps.astype(jnp.float32) / eps_decay_steps, 0.0, 1.0
+            )
+            eps = eps_start + (eps_end - eps_start) * frac
+            explore = jax.random.uniform(k_eps, (venv.num_envs,)) < eps
+            action = jnp.where(explore, random_a, greedy).astype(jnp.int32)
+            env_states, obs2, reward, done = venv.step(
+                st.env_states, action, k_step, reset_pool=reset_pool
+            )
+            replay = replay_mod.add_batch(st.replay, st.obs, action, reward, obs2, done)
+            st = st.replace(
+                replay=replay, env_states=env_states, obs=obs2,
+                rng=rng, env_steps=st.env_steps + 1,
+            )
+            st, losses = jax.lax.cond(
+                st.env_steps > warmup_steps,
+                lambda s: train_once(s, k_sample),
+                lambda s: (s, {"loss": jnp.zeros(())}),
+                st,
+            )
+            return st, {**losses, "reward": jnp.mean(reward), "eps": eps}
+
+        st, metrics = jax.lax.scan(body, st, None, length=steps_per_segment)
+        return st, jax.tree.map(jnp.mean, metrics)
+
+    return segment
+
+
+def greedy_act(qnet: QNetwork):
+    def act(params, obs):
+        return jnp.argmax(qnet.apply(params, obs), axis=-1)
+
+    return act
+
+
+def train(opts) -> float:
+    config = config_from_opts(opts, discrete_actions=True)
+    venv = VectorCartpole(config, num_envs=opts.num_envs)
+    eval_venv = VectorCartpole(config, num_envs=opts.num_eval)
+    qnet = QNetwork(
+        num_actions=NUM_DISCRETE_ACTIONS,
+        use_raw_pixels=config.use_raw_pixels,
+        hidden=tuple(opts.hidden),
+    )
+    tx = optax.adam(opts.learning_rate)
+    logger = MetricsLogger(opts.metrics_jsonl)
+
+    rng = jax.random.PRNGKey(opts.seed)
+    rng, k_init, k_env = jax.random.split(rng, 3)
+    dummy_obs = jnp.zeros((1,) + config.obs_shape, jnp.float32)
+    params = qnet.init(k_init, dummy_obs)
+    env_states, obs = venv.reset(k_env)
+    st = DQNState(
+        params=params,
+        target_params=jax.tree.map(jnp.copy, params),
+        opt=tx.init(params),
+        replay=replay_mod.create(
+            opts.replay_capacity, config.obs_shape, (), action_dtype=jnp.int32
+        ),
+        env_states=env_states,
+        obs=obs,
+        rng=rng,
+        env_steps=jnp.zeros((), jnp.int32),
+    )
+    if opts.ckpt_dir:
+        st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
+        if restored is not None:
+            logger.log("restore", step=restored)
+
+    segment = jax.jit(
+        make_segment(
+            venv, qnet, tx,
+            gamma=opts.gamma, tau=opts.tau, batch_size=opts.batch_size,
+            warmup_steps=opts.warmup_steps,
+            steps_per_segment=opts.steps_per_segment,
+            eps_start=opts.eps_start, eps_end=opts.eps_end,
+            eps_decay_steps=opts.eps_decay_steps,
+        ),
+        donate_argnums=0,
+    )
+    eval_fn = jax.jit(
+        lambda p, k: common.eval_rollout(eval_venv, greedy_act(qnet), p, k)
+    )
+
+    rng = jax.random.PRNGKey(opts.seed + 1)
+    final_eval = 0.0
+    for i in range(opts.num_train_batches):
+        st, metrics = segment(st)
+        if (i + 1) % max(opts.eval_freq, 1) == 0 or i + 1 == opts.num_train_batches:
+            rng, k_eval = jax.random.split(rng)
+            elen, erew = eval_fn(st.params, k_eval)
+            final_eval = float(elen)
+            logger.log(
+                "train",
+                segment=i + 1,
+                env_steps=int(st.env_steps) * venv.num_envs,
+                loss=float(metrics["loss"]),
+                eps=float(metrics["eps"]),
+                mean_reward=float(metrics["reward"]),
+                eval_ep_len=float(elen),
+                eval_ep_rew=float(erew),
+            )
+        if opts.ckpt_dir and (i + 1) % max(opts.ckpt_freq, 1) == 0:
+            ckpt_mod.save(opts.ckpt_dir, i + 1, st)
+    if opts.ckpt_dir:
+        ckpt_mod.save(opts.ckpt_dir, opts.num_train_batches, st)
+    logger.close()
+    return final_eval
+
+
+def main(argv=None):
+    parser = common.make_parser(
+        "DQN agent on cartpole++ (TPU rebuild of dqn_cartpole.py)"
+    )
+    add_dqn_opts(parser)
+    opts = parser.parse_args(argv)
+    print(f"OPTS {vars(opts)}", file=sys.stderr)
+    train(opts)
+
+
+if __name__ == "__main__":
+    main()

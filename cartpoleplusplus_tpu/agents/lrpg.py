@@ -1,0 +1,203 @@
+"""Likelihood-ratio policy gradient (REINFORCE) agent — discrete actions.
+
+Rebuild of the reference's ``lrpg_cartpole.py`` (~200 LoC): a softmax policy
+MLP over the 5 discrete actions, trained per-episode on ∇log π(a|s) ·
+discounted-return (reference ~L100-160, SURVEY.md §3.4).
+
+TPU-first redesign: instead of one Python-driven episode at a time, a whole
+batch of episodes rolls out inside a single jitted ``lax.scan`` — policy
+forward, env physics, and the PG update are one compiled program; nothing
+leaves the device between updates.
+
+CLI: ``python -m cartpoleplusplus_tpu.agents.lrpg --num-train-batches …``
+(reference: ``python lrpg_cartpole.py``).
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from cartpoleplusplus_tpu.agents import common
+from cartpoleplusplus_tpu.env import cartpole as cartpole_mod
+from cartpoleplusplus_tpu.env.config import (
+    NUM_DISCRETE_ACTIONS,
+    CartpoleConfig,
+    config_from_opts,
+)
+from cartpoleplusplus_tpu.env.vector import VectorCartpole
+from cartpoleplusplus_tpu.models import DiscretePolicy
+from cartpoleplusplus_tpu.utils import checkpoint as ckpt_mod
+from cartpoleplusplus_tpu.utils.metrics import MetricsLogger
+
+
+@struct.dataclass
+class TrainState:
+    params: dict
+    opt_state: optax.OptState
+    rng: jax.Array
+    update: jnp.ndarray  # () int32
+
+
+def rollout_batch(venv: VectorCartpole, policy: DiscretePolicy, params, rng):
+    """Roll one episode per env slot under the current stochastic policy.
+
+    Returns per-step (obs, action, reward, valid) stacked over T =
+    max_episode_len; ``valid`` masks steps after each env's episode ended
+    (the reference rolls a single episode of natural length; here length is
+    padded to the cap so shapes stay static — same data, masked).
+    """
+    k_reset, k_steps = jax.random.split(rng)
+    states, obs = venv.reset(k_reset)
+    alive0 = jnp.ones((venv.num_envs,), bool)
+
+    def body(carry, k):
+        states, obs, alive = carry
+        logits = policy.apply(params, obs)
+        action = jax.random.categorical(k, logits)
+        nstates, nobs, reward, done = jax.vmap(
+            lambda s, a: cartpole_mod.step(venv.config, venv.scene, s, a)
+        )(states, action)
+        out = (obs, action, reward, alive)
+        return (nstates, nobs, alive & ~done), out
+
+    keys = jax.random.split(k_steps, venv.config.max_episode_len)
+    _, (obs_t, act_t, rew_t, valid_t) = jax.lax.scan(
+        body, (states, obs, alive0), keys
+    )
+    return obs_t, act_t, rew_t, valid_t  # each (T, E, ...)
+
+
+def discounted_returns(rewards: jnp.ndarray, valid: jnp.ndarray, gamma: float):
+    """Reward-to-go per step: Rₜ = Σ_{k≥t} γ^{k-t} r_k (reference ~L130-150)."""
+    rewards = rewards * valid
+
+    def body(carry, r):
+        g = r + gamma * carry
+        return g, g
+
+    _, returns = jax.lax.scan(body, jnp.zeros_like(rewards[0]), rewards[::-1])
+    return returns[::-1]
+
+
+def make_train_step(venv: VectorCartpole, policy: DiscretePolicy, tx, gamma: float):
+    """One fused update: batched rollout → whitened returns → PG step."""
+
+    def loss_fn(params, obs_t, act_t, ret_t, valid_t):
+        T, E = act_t.shape
+        logits = policy.apply(params, obs_t.reshape((T * E,) + obs_t.shape[2:]))
+        logp = jax.nn.log_softmax(logits)[jnp.arange(T * E), act_t.reshape(-1)]
+        w = valid_t.reshape(-1).astype(jnp.float32)
+        # Whiten returns over valid steps (variance reduction; the reference
+        # normalizes per-episode advantages similarly).
+        r = ret_t.reshape(-1)
+        mean = jnp.sum(r * w) / jnp.maximum(jnp.sum(w), 1.0)
+        var = jnp.sum(w * (r - mean) ** 2) / jnp.maximum(jnp.sum(w), 1.0)
+        adv = (r - mean) * jax.lax.rsqrt(var + 1e-6)
+        return -jnp.sum(logp * adv * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    def train_step(ts: TrainState):
+        rng, k_roll = jax.random.split(ts.rng)
+        obs_t, act_t, rew_t, valid_t = rollout_batch(venv, policy, ts.params, k_roll)
+        ret_t = discounted_returns(rew_t, valid_t.astype(jnp.float32), gamma)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            ts.params, obs_t, act_t, ret_t, valid_t
+        )
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        ep_len = jnp.sum(valid_t.astype(jnp.float32)) / valid_t.shape[1]
+        ep_rew = jnp.sum(rew_t * valid_t) / valid_t.shape[1]
+        metrics = {"loss": loss, "ep_len": ep_len, "ep_rew": ep_rew}
+        return (
+            TrainState(params=params, opt_state=opt_state, rng=rng,
+                       update=ts.update + 1),
+            metrics,
+        )
+
+    return train_step
+
+
+def greedy_act(policy: DiscretePolicy):
+    def act(params, obs):
+        return jnp.argmax(policy.apply(params, obs), axis=-1)
+
+    return act
+
+
+def train(opts) -> float:
+    """Full training run; returns final eval mean episode length."""
+    config = config_from_opts(opts, discrete_actions=True)
+    venv = VectorCartpole(config, num_envs=opts.num_envs)
+    eval_venv = VectorCartpole(config, num_envs=opts.num_eval)
+    policy = DiscretePolicy(
+        num_actions=NUM_DISCRETE_ACTIONS,
+        use_raw_pixels=config.use_raw_pixels,
+        hidden=tuple(opts.hidden),
+    )
+    logger = MetricsLogger(opts.metrics_jsonl)
+
+    rng = jax.random.PRNGKey(opts.seed)
+    rng, k_init = jax.random.split(rng)
+    dummy_obs = jnp.zeros((1,) + config.obs_shape, jnp.float32)
+    params = policy.init(k_init, dummy_obs)
+    tx = optax.adam(opts.learning_rate)
+    ts = TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        rng=rng,
+        update=jnp.zeros((), jnp.int32),
+    )
+
+    if opts.ckpt_dir:
+        ts, restored = ckpt_mod.restore_latest(opts.ckpt_dir, ts)
+        if restored is not None:
+            logger.log("restore", step=restored)
+
+    train_step = jax.jit(make_train_step(venv, policy, tx, opts.gamma), donate_argnums=0)
+    eval_fn = jax.jit(
+        lambda p, k: common.eval_rollout(eval_venv, greedy_act(policy), p, k)
+    )
+
+    # Independent eval key: ts.rng's buffer is donated into train_step.
+    rng = jax.random.PRNGKey(opts.seed + 1)
+    final_eval = 0.0
+    start = int(ts.update)
+    for i in range(start, opts.num_train_batches):
+        ts, metrics = train_step(ts)
+        if (i + 1) % max(opts.eval_freq, 1) == 0 or i + 1 == opts.num_train_batches:
+            rng, k_eval = jax.random.split(rng)
+            elen, erew = eval_fn(ts.params, k_eval)
+            final_eval = float(elen)
+            logger.log(
+                "train",
+                update=i + 1,
+                loss=float(metrics["loss"]),
+                train_ep_len=float(metrics["ep_len"]),
+                train_ep_rew=float(metrics["ep_rew"]),
+                eval_ep_len=float(elen),
+                eval_ep_rew=float(erew),
+            )
+        if opts.ckpt_dir and (i + 1) % max(opts.ckpt_freq, 1) == 0:
+            ckpt_mod.save(opts.ckpt_dir, i + 1, ts)
+    if opts.ckpt_dir:
+        ckpt_mod.save(opts.ckpt_dir, opts.num_train_batches, ts)
+    logger.close()
+    return final_eval
+
+
+def main(argv=None):
+    parser = common.make_parser(
+        "LRPG (REINFORCE) agent on cartpole++ (TPU rebuild of lrpg_cartpole.py)"
+    )
+    opts = parser.parse_args(argv)
+    print(f"OPTS {vars(opts)}", file=sys.stderr)  # reference prints opts at startup
+    train(opts)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,230 @@
+"""NAF agent — Normalized Advantage Functions, continuous actions.
+
+Rebuild of the reference's ``naf_cartpole.py`` (~350 LoC, SURVEY.md §2.1/
+§3.3): one network emits V(s), µ(s) and lower-triangular L(s) (diagonal
+exponentiated); ``A(s,a) = -½ (a-µ)ᵀ L Lᵀ (a-µ)``, ``Q = V + A``; the TD
+target uses the *target network's V only*: ``r + γ·V'(s2)``; exploration is
+noise on µ; batch-norm is the reference's --use-batch-norm option (its README
+discusses the fiddliness; here flax BatchNorm stats thread functionally
+through the fused loop).
+
+Same fused-segment architecture as agents/ddpg.py: act → step → replay →
+train → target update, all inside one jitted ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from cartpoleplusplus_tpu.agents import common
+from cartpoleplusplus_tpu.env.cartpole import EnvState
+from cartpoleplusplus_tpu.env.config import config_from_opts
+from cartpoleplusplus_tpu.env.vector import VectorCartpole
+from cartpoleplusplus_tpu.models import NAFNetwork, soft_target_update
+from cartpoleplusplus_tpu.replay import ReplayState
+from cartpoleplusplus_tpu.replay import buffer as replay_mod
+from cartpoleplusplus_tpu.utils import checkpoint as ckpt_mod
+from cartpoleplusplus_tpu.utils.metrics import MetricsLogger
+from cartpoleplusplus_tpu.utils.noise import ou_init, ou_step
+
+
+@struct.dataclass
+class NAFState:
+    variables: dict  # {'params': ..., possibly 'batch_stats': ...}
+    target_variables: dict
+    opt: optax.OptState
+    replay: ReplayState
+    env_states: EnvState
+    obs: jnp.ndarray
+    ou_noise: jnp.ndarray
+    rng: jax.Array
+    env_steps: jnp.ndarray
+
+
+def add_naf_opts(parser):
+    parser.add_argument("--tau", type=float, default=0.005)
+    parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument("--replay-capacity", type=int, default=100000)
+    parser.add_argument("--warmup-steps", type=int, default=20)
+    parser.add_argument("--steps-per-segment", type=int, default=25)
+    parser.add_argument("--ou-theta", type=float, default=0.15)
+    parser.add_argument("--ou-sigma", type=float, default=0.2)
+    parser.add_argument("--use-batch-norm", action="store_true")
+
+
+def _apply(net: NAFNetwork, variables, obs, train: bool):
+    """Apply with functional batch-stats threading when BN is enabled."""
+    if "batch_stats" in variables and train:
+        out, mutated = net.apply(variables, obs, train=True, mutable=["batch_stats"])
+        return out, {**variables, **mutated}
+    return net.apply(variables, obs, train=False), variables
+
+
+def make_segment(
+    venv: VectorCartpole,
+    net: NAFNetwork,
+    tx,
+    *,
+    gamma: float,
+    tau: float,
+    batch_size: int,
+    warmup_steps: int,
+    steps_per_segment: int,
+    ou_theta: float,
+    ou_sigma: float,
+):
+    def loss_fn(params, aux_vars, s1, a, y):
+        variables = {**aux_vars, "params": params}
+        (v, mu, l_flat), new_vars = _apply(net, variables, s1, train=True)
+        q = NAFNetwork.q_value(v, l_flat, mu, a)
+        return jnp.mean((q - y) ** 2), new_vars
+
+    def train_once(st: NAFState, rng):
+        s1, a, r, s2, term = replay_mod.sample(st.replay, rng, batch_size)
+        (v2, _, _), _ = _apply(net, st.target_variables, s2, train=False)
+        y = r + gamma * (1.0 - term.astype(jnp.float32)) * v2
+        aux = {k: v for k, v in st.variables.items() if k != "params"}
+        (loss, new_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            st.variables["params"], aux, s1, a, jax.lax.stop_gradient(y)
+        )
+        upd, opt = tx.update(grads, st.opt, st.variables["params"])
+        params = optax.apply_updates(st.variables["params"], upd)
+        variables = {**new_vars, "params": params}
+        return st.replace(
+            variables=variables,
+            target_variables=soft_target_update(st.target_variables, variables, tau),
+            opt=opt,
+        ), {"loss": loss}
+
+    def segment(st: NAFState):
+        rng, k_pool = jax.random.split(st.rng)
+        st = st.replace(rng=rng)
+        reset_pool, _ = venv.reset(k_pool)
+
+        def body(st: NAFState, _):
+            rng, k_ou, k_step, k_sample = jax.random.split(st.rng, 4)
+            (_, mu, _), _ = _apply(net, st.variables, st.obs, train=False)
+            ou = ou_step(st.ou_noise, k_ou, theta=ou_theta, sigma=ou_sigma)
+            action = jnp.clip(mu + ou, -1.0, 1.0)
+            env_states, obs2, reward, done = venv.step(
+                st.env_states, action, k_step, reset_pool=reset_pool
+            )
+            replay = replay_mod.add_batch(st.replay, st.obs, action, reward, obs2, done)
+            ou = jnp.where(done[:, None], 0.0, ou)
+            st = st.replace(
+                replay=replay, env_states=env_states, obs=obs2, ou_noise=ou,
+                rng=rng, env_steps=st.env_steps + 1,
+            )
+            st, losses = jax.lax.cond(
+                st.env_steps > warmup_steps,
+                lambda s: train_once(s, k_sample),
+                lambda s: (s, {"loss": jnp.zeros(())}),
+                st,
+            )
+            return st, {**losses, "reward": jnp.mean(reward)}
+
+        st, metrics = jax.lax.scan(body, st, None, length=steps_per_segment)
+        return st, jax.tree.map(jnp.mean, metrics)
+
+    return segment
+
+
+def greedy_act(net: NAFNetwork):
+    def act(variables, obs):
+        (_, mu, _), _ = _apply(net, variables, obs, train=False)
+        return mu
+
+    return act
+
+
+def train(opts) -> float:
+    config = config_from_opts(opts, discrete_actions=False)
+    venv = VectorCartpole(config, num_envs=opts.num_envs)
+    eval_venv = VectorCartpole(config, num_envs=opts.num_eval)
+    net = NAFNetwork(
+        action_dim=2,
+        use_raw_pixels=config.use_raw_pixels,
+        hidden=tuple(opts.hidden),
+        use_batch_norm=opts.use_batch_norm,
+    )
+    tx = optax.adam(opts.learning_rate)
+    logger = MetricsLogger(opts.metrics_jsonl)
+
+    rng = jax.random.PRNGKey(opts.seed)
+    rng, k_init, k_env = jax.random.split(rng, 3)
+    dummy_obs = jnp.zeros((2,) + config.obs_shape, jnp.float32)
+    variables = net.init(k_init, dummy_obs, train=False)
+    variables = dict(variables)  # unfreeze container shape
+    env_states, obs = venv.reset(k_env)
+    st = NAFState(
+        variables=variables,
+        target_variables=jax.tree.map(jnp.copy, variables),
+        opt=tx.init(variables["params"]),
+        replay=replay_mod.create(opts.replay_capacity, config.obs_shape, (2,)),
+        env_states=env_states,
+        obs=obs,
+        ou_noise=ou_init((venv.num_envs, 2)),
+        rng=rng,
+        env_steps=jnp.zeros((), jnp.int32),
+    )
+    if opts.ckpt_dir:
+        st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
+        if restored is not None:
+            logger.log("restore", step=restored)
+
+    segment = jax.jit(
+        make_segment(
+            venv, net, tx,
+            gamma=opts.gamma, tau=opts.tau, batch_size=opts.batch_size,
+            warmup_steps=opts.warmup_steps,
+            steps_per_segment=opts.steps_per_segment,
+            ou_theta=opts.ou_theta, ou_sigma=opts.ou_sigma,
+        ),
+        donate_argnums=0,
+    )
+    eval_fn = jax.jit(
+        lambda v, k: common.eval_rollout(eval_venv, greedy_act(net), v, k)
+    )
+
+    rng = jax.random.PRNGKey(opts.seed + 1)
+    final_eval = 0.0
+    for i in range(opts.num_train_batches):
+        st, metrics = segment(st)
+        if (i + 1) % max(opts.eval_freq, 1) == 0 or i + 1 == opts.num_train_batches:
+            rng, k_eval = jax.random.split(rng)
+            elen, erew = eval_fn(st.variables, k_eval)
+            final_eval = float(elen)
+            logger.log(
+                "train",
+                segment=i + 1,
+                env_steps=int(st.env_steps) * venv.num_envs,
+                loss=float(metrics["loss"]),
+                mean_reward=float(metrics["reward"]),
+                eval_ep_len=float(elen),
+                eval_ep_rew=float(erew),
+            )
+        if opts.ckpt_dir and (i + 1) % max(opts.ckpt_freq, 1) == 0:
+            ckpt_mod.save(opts.ckpt_dir, i + 1, st)
+    if opts.ckpt_dir:
+        ckpt_mod.save(opts.ckpt_dir, opts.num_train_batches, st)
+    logger.close()
+    return final_eval
+
+
+def main(argv=None):
+    parser = common.make_parser(
+        "NAF agent on cartpole++ (TPU rebuild of naf_cartpole.py)"
+    )
+    add_naf_opts(parser)
+    opts = parser.parse_args(argv)
+    print(f"OPTS {vars(opts)}", file=sys.stderr)
+    train(opts)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Gym-style stateful wrapper — drop-in surface for the reference env.
+
+The reference exposes ``class BulletCartpole(gym.Env)`` with ``reset()``,
+``step(action)``, ``observation_space``/``action_space``, and a module-level
+``add_opts`` (reference: bullet_cartpole.py:~L30-260).  This wrapper gives the
+TPU env the same stateful face so third-party agents (the reference's keras-rl
+DQN pattern, dqn_cartpole.py) run against it unchanged, while all compute
+stays in the jitted pure functions of env/cartpole.py.
+
+gym itself is optional: if importable we subclass ``gym.Env`` and build real
+spaces; otherwise lightweight stand-ins keep the same attributes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cartpoleplusplus_tpu.env import cartpole
+from cartpoleplusplus_tpu.env.cartpole import ObserveFn
+from cartpoleplusplus_tpu.env.config import (
+    NUM_DISCRETE_ACTIONS,
+    CartpoleConfig,
+)
+from cartpoleplusplus_tpu.env.config import add_opts as add_opts  # re-export
+from cartpoleplusplus_tpu.physics.bodies import SceneParams
+
+try:  # pragma: no cover - exercised implicitly by import
+    import gym as _gym
+    from gym import spaces as _spaces
+
+    _GymBase = _gym.Env
+except Exception:  # gym not installed — minimal stand-ins
+    _gym = None
+    _spaces = None
+    _GymBase = object
+
+
+class _DiscreteSpace:
+    def __init__(self, n):
+        self.n = n
+        self.shape = ()
+        self.dtype = np.int32
+
+    def sample(self, rng=np.random):
+        return int(rng.randint(self.n))
+
+
+class _BoxSpace:
+    def __init__(self, low, high, shape):
+        self.low, self.high, self.shape = low, high, shape
+        self.dtype = np.float32
+
+    def sample(self, rng=np.random):
+        return rng.uniform(self.low, self.high, self.shape).astype(np.float32)
+
+
+class Cartpole(_GymBase):
+    """Stateful single-env wrapper over the pure functional cartpole++ env.
+
+    API parity with the reference ``BulletCartpole``:
+      * ``reset() → obs``                 (np.ndarray, shape (repeats, 2, 7)
+                                           low-dim or (repeats, cams, H, W, 3))
+      * ``step(a) → (obs, r, done, info)`` with ``info['done_reason']``
+      * ``observation_space`` / ``action_space``
+    """
+
+    metadata = {"render.modes": []}
+
+    def __init__(
+        self,
+        config: Optional[CartpoleConfig] = None,
+        scene: Optional[SceneParams] = None,
+        observe_fn: Optional[ObserveFn] = None,
+        seed: int = 0,
+    ):
+        self.config = config or CartpoleConfig()
+        self.scene = scene if scene is not None else cartpole.scene_for(self.config)
+        self._observe_fn = observe_fn
+        self._rng = jax.random.PRNGKey(seed)
+        self._state = None
+
+        cfg, scn, obs_fn = self.config, self.scene, self._observe_fn
+        self._reset_fn = jax.jit(lambda k: cartpole.reset(cfg, scn, k, obs_fn))
+        self._step_fn = jax.jit(lambda s, a: cartpole.step(cfg, scn, s, a, obs_fn))
+
+        # Spaces (reference: bullet_cartpole.py ctor builds gym spaces).
+        if _spaces is not None:
+            if self.config.discrete_actions:
+                self.action_space = _spaces.Discrete(NUM_DISCRETE_ACTIONS)
+            else:
+                self.action_space = _spaces.Box(-1.0, 1.0, shape=(2,), dtype=np.float32)
+            self.observation_space = _spaces.Box(
+                -np.inf, np.inf, shape=self.config.obs_shape, dtype=np.float32
+            )
+        else:
+            if self.config.discrete_actions:
+                self.action_space = _DiscreteSpace(NUM_DISCRETE_ACTIONS)
+            else:
+                self.action_space = _BoxSpace(-1.0, 1.0, (2,))
+            self.observation_space = _BoxSpace(
+                -np.inf, np.inf, self.config.obs_shape
+            )
+
+    def _next_key(self) -> jax.Array:
+        self._rng, key = jax.random.split(self._rng)
+        return key
+
+    def seed(self, seed: int):
+        self._rng = jax.random.PRNGKey(seed)
+        return [seed]
+
+    def reset(self) -> np.ndarray:
+        self._state, obs = self._reset_fn(self._next_key())
+        return np.asarray(obs)
+
+    def step(self, action):
+        if self._state is None:
+            raise RuntimeError("call reset() before step()")
+        if self.config.discrete_actions:
+            action = jnp.asarray(int(action), jnp.int32)
+        else:
+            action = jnp.asarray(action, jnp.float32)
+        self._state, obs, reward, done = self._step_fn(self._state, action)
+        done = bool(done)
+        info = {}
+        if done:
+            timeout = int(self._state.steps) >= self.config.max_episode_len
+            info["done_reason"] = "max_episode_len" if timeout else "out_of_bounds"
+        return np.asarray(obs), float(reward), done, info
+
+    def render(self, mode="human"):  # reference GUI mode has no TPU analogue
+        raise NotImplementedError(
+            "use event-log dumps (utils/event_log.py) to inspect trajectories"
+        )
+
+
+# Alias matching the reference class name so ported scripts read naturally.
+BulletCartpole = Cartpole

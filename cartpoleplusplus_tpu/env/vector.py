@@ -1,0 +1,94 @@
+"""Vectorized auto-resetting env: thousands of cartpole++ replicas per chip.
+
+The reference is strictly single-env (SURVEY.md §2.3: one ``BulletCartpole``
+per process, stepped over FFI).  The TPU rebuild's core scaling axis is
+``vmap`` over env replicas, with auto-reset folded into the step so a fused
+``lax.scan`` training loop never leaves the device (BASELINE.json config 5:
+"4096-way vectorized envs, fused sim+render+learner jit loop").
+
+Auto-reset semantics: when an env reports done, the *returned* obs/reward are
+the terminal ones (so the learner sees the transition), and the carried state
+is a fresh reset — the standard batched-RL convention.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cartpoleplusplus_tpu.env import cartpole
+from cartpoleplusplus_tpu.env.cartpole import EnvState, ObserveFn
+from cartpoleplusplus_tpu.env.config import CartpoleConfig
+from cartpoleplusplus_tpu.physics.bodies import SceneParams
+
+
+def _where_tree(pred, a, b):
+    """Elementwise tree select with broadcast over trailing dims."""
+
+    def sel(x, y):
+        p = pred.reshape(pred.shape + (1,) * (x.ndim - pred.ndim))
+        return jnp.where(p, x, y)
+
+    return jax.tree.map(sel, a, b)
+
+
+class VectorCartpole:
+    """Batched functional env: `reset(rng)` / `step(state, action, rng)`.
+
+    Both methods are pure and jit-compatible; the class only bundles the
+    config/scene/observe closure (it holds no mutable state).  ``step``
+    auto-resets terminated envs using per-env RNG streams.
+    """
+
+    def __init__(
+        self,
+        config: CartpoleConfig,
+        num_envs: int,
+        scene: Optional[SceneParams] = None,
+        observe_fn: Optional[ObserveFn] = None,
+    ):
+        self.config = config
+        self.num_envs = num_envs
+        self.scene = scene if scene is not None else cartpole.scene_for(config)
+        self.observe_fn = observe_fn
+
+    def reset(self, rng: jax.Array) -> tuple[EnvState, jnp.ndarray]:
+        """Batched reset → (states, obs[num_envs, repeats, ...])."""
+        keys = jax.random.split(rng, self.num_envs)
+        return jax.vmap(
+            lambda k: cartpole.reset(self.config, self.scene, k, self.observe_fn)
+        )(keys)
+
+    def step(
+        self,
+        state: EnvState,
+        action: jnp.ndarray,
+        rng: jax.Array,
+        reset_pool: Optional[EnvState] = None,
+    ) -> tuple[EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Batched step with auto-reset → (states, obs, reward, done).
+
+        ``done[i]`` marks the transition boundary; the carried ``state`` for
+        done envs is already re-initialised (a fresh episode begins next call).
+
+        ``reset_pool``: optional precomputed batch of reset states (from
+        :meth:`reset`).  The reference's reset simulates a 30-substep random
+        push (bullet_cartpole.py:~L150-190) — 2× the physics of a step — so
+        the fused training loop precomputes a pool per scan segment instead of
+        re-simulating resets for all envs every step.  Env ``i`` reuses
+        ``reset_pool[i]`` if it terminates again within the same segment
+        (statistically benign: segment ≪ episode for trained policies).
+        """
+        next_state, obs, reward, done = jax.vmap(
+            lambda s, a: cartpole.step(self.config, self.scene, s, a, self.observe_fn)
+        )(state, action)
+
+        if reset_pool is None:
+            keys = jax.random.split(rng, self.num_envs)
+            reset_pool, _ = jax.vmap(
+                lambda k: cartpole.reset(self.config, self.scene, k, self.observe_fn)
+            )(keys)
+        carried = _where_tree(done, reset_pool, next_state)
+        return carried, obs, reward, done

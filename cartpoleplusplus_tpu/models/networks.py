@@ -1,0 +1,143 @@
+"""Agent networks: policy / Q / actor-critic / NAF heads.
+
+Rebuilds the model layer of each reference agent as flax modules:
+  * DiscretePolicy  ← lrpg_cartpole.py:~L40-80   (softmax policy MLP)
+  * QNetwork        ← dqn_cartpole.py            (keras Sequential Q-MLP)
+  * Actor / Critic  ← ddpg_cartpole.py:~L60-150  (tanh actor; critic with the
+                       action injected at a late FC layer)
+  * NAFNetwork      ← naf_cartpole.py:~L80-170   (V, µ, L heads with
+                       A(s,a) = -½ (a-µ)ᵀ L Lᵀ (a-µ), Q = V + A)
+
+All heads run their matmuls in bfloat16 (MXU) with float32 params/outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cartpoleplusplus_tpu.models.trunks import DEFAULT_HIDDEN, MLPTrunk, ObsEncoder
+
+
+class DiscretePolicy(nn.Module):
+    """Softmax policy over the 5 discrete actions (LRPG)."""
+
+    num_actions: int = 5
+    use_raw_pixels: bool = False
+    hidden: Sequence[int] = DEFAULT_HIDDEN
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        h = ObsEncoder(self.use_raw_pixels, self.hidden)(obs, train)
+        return nn.Dense(self.num_actions, name="logits")(h)
+
+
+class QNetwork(nn.Module):
+    """Per-action Q values (DQN)."""
+
+    num_actions: int = 5
+    use_raw_pixels: bool = False
+    hidden: Sequence[int] = DEFAULT_HIDDEN
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        h = ObsEncoder(self.use_raw_pixels, self.hidden)(obs, train)
+        return nn.Dense(self.num_actions, name="q")(h)
+
+
+class Actor(nn.Module):
+    """Deterministic policy µ(s) with tanh-bounded 2D output (DDPG).
+
+    Reference: ddpg_cartpole.py ActorNetwork — MLP (+conv trunk for pixels)
+    ending in tanh so actions live in [-1, 1]².
+    """
+
+    action_dim: int = 2
+    use_raw_pixels: bool = False
+    hidden: Sequence[int] = DEFAULT_HIDDEN
+    use_batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        h = ObsEncoder(
+            self.use_raw_pixels, self.hidden, use_batch_norm=self.use_batch_norm
+        )(obs, train)
+        return nn.tanh(nn.Dense(self.action_dim, name="mu")(h))
+
+
+class Critic(nn.Module):
+    """Q(s, a) with the action injected at a late hidden layer (DDPG).
+
+    Reference: ddpg_cartpole.py CriticNetwork — the state trunk runs first and
+    the action is concatenated into the penultimate FC layer, the standard
+    DDPG-paper wiring.
+    """
+
+    use_raw_pixels: bool = False
+    hidden: Sequence[int] = DEFAULT_HIDDEN
+    use_batch_norm: bool = False
+
+    @nn.compact
+    def __call__(
+        self, obs: jnp.ndarray, action: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        h = ObsEncoder(
+            self.use_raw_pixels, self.hidden, use_batch_norm=self.use_batch_norm
+        )(obs, train)
+        h = jnp.concatenate([h, action.astype(h.dtype)], axis=-1)
+        h = MLPTrunk((self.hidden[-1],))(h)
+        return nn.Dense(1, name="q")(h)[..., 0]
+
+
+class NAFNetwork(nn.Module):
+    """Normalized Advantage Function heads: V(s), µ(s), L(s).
+
+    Reference: naf_cartpole.py:~L80-170 — one trunk, three heads; L is a
+    lower-triangular matrix with exponentiated diagonal so P = L Lᵀ is PD;
+    A(s,a) = -½ (a-µ)ᵀ P (a-µ); Q = V + A.  Batch-norm is the reference's
+    --use-batch-norm option (README discusses its fiddliness).
+    """
+
+    action_dim: int = 2
+    use_raw_pixels: bool = False
+    hidden: Sequence[int] = DEFAULT_HIDDEN
+    use_batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, train: bool = False):
+        h = ObsEncoder(
+            self.use_raw_pixels, self.hidden, use_batch_norm=self.use_batch_norm
+        )(obs, train)
+        v = nn.Dense(1, name="value")(h)[..., 0]
+        mu = nn.tanh(nn.Dense(self.action_dim, name="mu")(h))
+        n = self.action_dim
+        l_flat = nn.Dense(n * (n + 1) // 2, name="l_entries")(h)
+        return v, mu, l_flat
+
+    @staticmethod
+    def lower_triangular(l_flat: jnp.ndarray, action_dim: int) -> jnp.ndarray:
+        """Unpack flat entries into L with exp'd diagonal (naf ~L120-140)."""
+        b = l_flat.shape[:-1]
+        rows, cols = jnp.tril_indices(action_dim)
+        L = jnp.zeros(b + (action_dim, action_dim), l_flat.dtype)
+        L = L.at[..., rows, cols].set(l_flat)
+        d = jnp.diagonal(L, axis1=-2, axis2=-1)
+        eye = jnp.eye(action_dim, dtype=l_flat.dtype)
+        return L + eye * (jnp.exp(d) - d)[..., None, :]
+
+    @staticmethod
+    def advantage(
+        l_flat: jnp.ndarray, mu: jnp.ndarray, action: jnp.ndarray
+    ) -> jnp.ndarray:
+        """A(s,a) = -½ (a-µ)ᵀ L Lᵀ (a-µ)."""
+        n = mu.shape[-1]
+        L = NAFNetwork.lower_triangular(l_flat, n)
+        d = (action - mu)[..., None]  # (..., n, 1)
+        Ld = jnp.swapaxes(L, -1, -2) @ d  # Lᵀ(a-µ)
+        return -0.5 * jnp.sum(Ld[..., 0] ** 2, axis=-1)
+
+    @staticmethod
+    def q_value(v, l_flat, mu, action):
+        return v + NAFNetwork.advantage(l_flat, mu, action)

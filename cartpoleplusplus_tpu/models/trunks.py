@@ -1,0 +1,109 @@
+"""Shared network trunks — the rebuild of the reference's ``base_network.py``.
+
+The reference's ``Network`` base class provides (a) an input-processing switch
+— flatten for low-dim state, a small conv stack for raw pixels — (b) hidden
+fully-connected layers, and (c) opt-in batch-norm (reference:
+base_network.py:~L90-190).  Here those become flax modules; variable scoping
+and target-network copies (reference ~L40-90) are subsumed by flax's
+functional params + ``soft_target_update`` in models/target.py.
+
+TPU notes: dense/conv compute runs in bfloat16 on the MXU with float32 params
+and outputs (``dtype``/``param_dtype`` split), sized so XLA tiles cleanly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Reference hidden sizes (base_network.py hidden_layers_on; reconstructed).
+DEFAULT_HIDDEN = (100, 50)
+
+
+def flatten_obs(obs: jnp.ndarray, batched: bool) -> jnp.ndarray:
+    """Low-dim obs (…, repeats, 2, 7) → flat features (…, repeats*14).
+
+    Matches the reference's input flattening for non-pixel state
+    (base_network.py:~L90-110).
+    """
+    lead = obs.shape[:1] if batched else ()
+    return obs.reshape(lead + (-1,))
+
+
+def pixels_to_nhwc(obs: jnp.ndarray, batched: bool) -> jnp.ndarray:
+    """Pixel obs (…, repeats, cams, H, W, 3) → (…, H, W, repeats*cams*3).
+
+    The reference feeds conv nets with repeat/camera frames stacked in the
+    channel axis (base_network.py simple_conv_net input handling).
+    """
+    if not batched:
+        obs = obs[None]
+    b, r, c, h, w, ch = obs.shape
+    nhwc = jnp.transpose(obs, (0, 3, 4, 1, 2, 5)).reshape(b, h, w, r * c * ch)
+    return nhwc if batched else nhwc[0]
+
+
+class MLPTrunk(nn.Module):
+    """Hidden FC stack (reference base_network.hidden_layers_on)."""
+
+    hidden: Sequence[int] = DEFAULT_HIDDEN
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        for i, width in enumerate(self.hidden):
+            x = nn.Dense(width, dtype=self.dtype, name=f"hidden{i}")(x)
+            x = nn.relu(x)
+        return x.astype(jnp.float32)
+
+
+class ConvTrunk(nn.Module):
+    """Small conv stack for 50×50 pixel observations.
+
+    Rebuild of the reference's ``simple_conv_net`` (base_network.py:~L110-150):
+    a few stride-2 convs with ~8 filters then flatten.  Channel counts are
+    raised to MXU-friendly multiples (XLA pads tiny channel dims anyway, so
+    wider is free on TPU and learns better).
+    """
+
+    features: Sequence[int] = (16, 32, 32)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, nhwc: jnp.ndarray) -> jnp.ndarray:
+        x = nhwc.astype(self.dtype)
+        for i, feat in enumerate(self.features):
+            x = nn.Conv(
+                feat, (3, 3), strides=(2, 2), dtype=self.dtype, name=f"conv{i}"
+            )(x)
+            x = nn.relu(x)
+        return x.reshape(x.shape[:-3] + (-1,)).astype(jnp.float32)
+
+
+class ObsEncoder(nn.Module):
+    """Input-processing switch: low-dim flatten+MLP or pixels conv+MLP.
+
+    The single entry point agents use — mirrors the reference's
+    ``input_state_network`` dispatch on --use-raw-pixels.
+    Expects a leading batch dimension.
+    """
+
+    use_raw_pixels: bool = False
+    hidden: Sequence[int] = DEFAULT_HIDDEN
+    conv_features: Sequence[int] = (16, 32, 32)
+    use_batch_norm: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.use_raw_pixels:
+            x = pixels_to_nhwc(obs, batched=True)
+            x = ConvTrunk(self.conv_features, dtype=self.dtype)(x)
+        else:
+            x = flatten_obs(obs, batched=True)
+        if self.use_batch_norm:
+            x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
+        return MLPTrunk(self.hidden, dtype=self.dtype)(x)

@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from cartpoleplusplus_tpu.physics import math3d
@@ -68,10 +69,10 @@ class SceneParams:
 def make_scene(
     cart_half_extents=(0.25, 0.25, 0.1),
     pole_half_extents=(0.05, 0.05, 0.5),
-    cart_mass=1.0,
+    cart_mass=10.0,
     pole_mass=0.1,
-    friction_cart_ground=0.5,
-    friction_pole_cart=0.6,
+    friction_cart_ground=0.05,
+    friction_pole_cart=0.8,
     friction_pole_ground=0.6,
     restitution=0.0,
     dt=1.0 / 240.0,
@@ -85,36 +86,49 @@ def make_scene(
 ) -> SceneParams:
     """Build scene constants.
 
-    Defaults mirror the reference assets: a ~0.5 m cart box with a thin 1 m
+    Geometry mirrors the reference assets: a ~0.5 m cart box with a thin 1 m
     free-standing pole resting (not hinged) on its top face
-    (reference: models/cart.urdf, models/pole.urdf; README intro).
+    (reference: models/cart.urdf, models/pole.urdf; README intro).  Masses and
+    frictions are tuned for gameplay parity with the reference's described
+    behavior, since the URDF numbers could not be read (empty mount): the cart
+    is heavy (10 kg) so --action-force 50 N gives ~5 m/s² of control
+    authority; the ground is slippery (µ=0.05) so the cart glides; the cart
+    top is grippy (µ=0.8) so the pole rides cart accelerations up to ~7.8 m/s²
+    before slipping — the inverted-pendulum coupling that makes the task
+    playable-but-hard.
     """
-    cart_he = jnp.asarray(cart_half_extents, dtype)
-    pole_he = jnp.asarray(pole_half_extents, dtype)
-    mass = jnp.asarray([cart_mass, pole_mass], dtype)
+    # Host-side numpy constants on purpose: closure-captured scene params
+    # embed into jitted programs as literals with no device→host round-trip
+    # at lowering time (device arrays here would force one per compile).
+    np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+    cart_he = np.asarray(cart_half_extents, np_dtype)
+    pole_he = np.asarray(pole_half_extents, np_dtype)
+    mass = np.asarray([cart_mass, pole_mass], np_dtype)
     inv_mass = 1.0 / mass
-    inertia = jnp.stack(
-        [
-            math3d.box_inertia(mass[0], cart_he),
-            math3d.box_inertia(mass[1], pole_he),
-        ]
-    )
+
+    def _box_inertia(m, he):
+        hx, hy, hz = he
+        return (m / 3.0) * np.asarray(
+            [hy * hy + hz * hz, hx * hx + hz * hz, hx * hx + hy * hy], np_dtype
+        )
+
+    inertia = np.stack([_box_inertia(mass[0], cart_he), _box_inertia(mass[1], pole_he)])
     return SceneParams(
         cart_half_extents=cart_he,
         pole_half_extents=pole_he,
         mass=mass,
         inv_mass=inv_mass,
         inv_inertia_body=1.0 / inertia,
-        friction_cart_ground=jnp.asarray(friction_cart_ground, dtype),
-        friction_pole_cart=jnp.asarray(friction_pole_cart, dtype),
-        friction_pole_ground=jnp.asarray(friction_pole_ground, dtype),
-        restitution=jnp.asarray(restitution, dtype),
-        dt=jnp.asarray(dt, dtype),
-        gravity=jnp.asarray([0.0, 0.0, gravity_z], dtype),
-        baumgarte=jnp.asarray(baumgarte, dtype),
-        slop=jnp.asarray(slop, dtype),
-        linear_damping=jnp.asarray(linear_damping, dtype),
-        angular_damping=jnp.asarray(angular_damping, dtype),
+        friction_cart_ground=np_dtype.type(friction_cart_ground),
+        friction_pole_cart=np_dtype.type(friction_pole_cart),
+        friction_pole_ground=np_dtype.type(friction_pole_ground),
+        restitution=np_dtype.type(restitution),
+        dt=np_dtype.type(dt),
+        gravity=np.asarray([0.0, 0.0, gravity_z], np_dtype),
+        baumgarte=np_dtype.type(baumgarte),
+        slop=np_dtype.type(slop),
+        linear_damping=np_dtype.type(linear_damping),
+        angular_damping=np_dtype.type(angular_damping),
         solver_iterations=solver_iterations,
     )
 

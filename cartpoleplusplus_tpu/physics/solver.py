@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cartpoleplusplus_tpu.physics import math3d
 from cartpoleplusplus_tpu.physics.bodies import RigidState, SceneParams
@@ -48,10 +49,11 @@ def solve(
     active = contacts.active
 
     # Effective masses along normal and tangents, vectorised over all slots.
-    # BODY_A / BODY_B are static tuples, so these gathers fold into constants.
-    idx_a = jnp.asarray(BODY_A)
-    idx_b = jnp.asarray([max(b, 0) for b in BODY_B])
-    mask_b = jnp.asarray([1.0 if b >= 0 else 0.0 for b in BODY_B], dtype)
+    # BODY_A / BODY_B are static tuples; numpy index arrays keep the gathers
+    # host-side constants (scene.inv_mass is a numpy constant too).
+    idx_a = np.asarray(BODY_A)
+    idx_b = np.asarray([max(b, 0) for b in BODY_B])
+    mask_b = np.asarray([1.0 if b >= 0 else 0.0 for b in BODY_B], dtype)
     invm_a, invm_b = inv_mass[idx_a], inv_mass[idx_b]
     inertia_a, inertia_b = inv_inertia[idx_a], inv_inertia[idx_b]
 

@@ -1,0 +1,145 @@
+"""Trajectory event log: length-prefixed protobuf episode stream + CLI.
+
+Rebuild of the reference's ``event_log.py`` (~180 LoC, SURVEY.md §2.1/§3.5):
+``EventLog(path).add_episode(...)`` writes length-prefixed Episode protos;
+``read_event_log(path)`` streams them back; the CLI echoes episodes or dumps
+renders to PNG files.  This is the repo's trajectory replay/inspection
+mechanism and the rebuild's fidelity-harness hook.
+
+Wire format: 4-byte little-endian length prefix + serialized Episode proto
+(schema: utils/event.proto, compiled to event_pb2.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import struct as struct_mod
+import sys
+from typing import Iterable, Iterator, Optional, Sequence
+
+import numpy as np
+
+from cartpoleplusplus_tpu.utils import event_pb2
+
+_LEN = struct_mod.Struct("<I")
+
+
+def _png_encode(rgb: np.ndarray) -> bytes:
+    """Encode (H, W, 3) uint8/float array to PNG bytes (PIL, host-side)."""
+    from PIL import Image  # deferred: PIL is off the hot path
+
+    arr = np.asarray(rgb)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+    import io
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def make_event(
+    cart_pose: np.ndarray,
+    pole_pose: np.ndarray,
+    action,
+    reward: float,
+    done: bool,
+    renders: Optional[Sequence[np.ndarray]] = None,
+) -> event_pb2.Event:
+    """Build one Event proto from (7,) poses [pos(3) + quat wxyz(4)]."""
+    ev = event_pb2.Event()
+    cart_pose = np.asarray(cart_pose, np.float32)
+    pole_pose = np.asarray(pole_pose, np.float32)
+    ev.cart.position.extend(cart_pose[:3].tolist())
+    ev.cart.orientation.extend(cart_pose[3:7].tolist())
+    ev.pole.position.extend(pole_pose[:3].tolist())
+    ev.pole.orientation.extend(pole_pose[3:7].tolist())
+    ev.action.extend(np.atleast_1d(np.asarray(action, np.float32)).tolist())
+    ev.reward = float(reward)
+    ev.done = bool(done)
+    for r in renders or ():
+        ev.render.append(_png_encode(r))
+    return ev
+
+
+class EventLog:
+    """Streaming episode writer (reference EventLog.add_episode)."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._f = open(path, "ab")
+
+    def add_episode(self, events: Iterable[event_pb2.Event]) -> None:
+        ep = event_pb2.Episode()
+        for ev in events:
+            ep.event.append(ev)
+        data = ep.SerializeToString()
+        self._f.write(_LEN.pack(len(data)))
+        self._f.write(data)
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+def read_event_log(path: str) -> Iterator[event_pb2.Episode]:
+    """Stream episodes back (reference read_event_log generator)."""
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(_LEN.size)
+            if len(header) < _LEN.size:
+                return
+            (n,) = _LEN.unpack(header)
+            data = f.read(n)
+            if len(data) < n:
+                raise IOError(f"truncated event log {path!r}")
+            ep = event_pb2.Episode()
+            ep.ParseFromString(data)
+            yield ep
+
+
+def episode_poses(ep: event_pb2.Episode) -> np.ndarray:
+    """Episode → (T, 2, 7) pose array for the fidelity harness."""
+    out = np.zeros((len(ep.event), 2, 7), np.float32)
+    for t, ev in enumerate(ep.event):
+        out[t, 0] = list(ev.cart.position) + list(ev.cart.orientation)
+        out[t, 1] = list(ev.pole.position) + list(ev.pole.orientation)
+    return out
+
+
+def main(argv=None):
+    """CLI parity with the reference: --echo and --img-output-dir."""
+    parser = argparse.ArgumentParser(description="inspect cartpole++ event logs")
+    parser.add_argument("--log-file", required=True)
+    parser.add_argument("--echo", action="store_true",
+                        help="print per-episode summaries")
+    parser.add_argument("--img-output-dir", type=str, default=None,
+                        help="decode renders to PNGs under this dir")
+    opts = parser.parse_args(argv)
+
+    for i, ep in enumerate(read_event_log(opts.log_file)):
+        total_r = sum(ev.reward for ev in ep.event)
+        if opts.echo:
+            print(f"episode {i}: {len(ep.event)} events, total_reward={total_r}")
+            for t, ev in enumerate(ep.event):
+                print(
+                    f"  t={t} cart={tuple(round(v, 3) for v in ev.cart.position)}"
+                    f" pole={tuple(round(v, 3) for v in ev.pole.position)}"
+                    f" action={tuple(ev.action)} r={ev.reward} done={ev.done}"
+                )
+        if opts.img_output_dir:
+            os.makedirs(opts.img_output_dir, exist_ok=True)
+            for t, ev in enumerate(ep.event):
+                for c, png in enumerate(ev.render):
+                    path = os.path.join(
+                        opts.img_output_dir, f"ep{i:05d}_t{t:04d}_cam{c}.png"
+                    )
+                    with open(path, "wb") as f:
+                        f.write(png)
+    if not opts.echo and not opts.img_output_dir:
+        print("nothing to do: pass --echo and/or --img-output-dir", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

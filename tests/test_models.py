@@ -1,0 +1,105 @@
+"""Model-layer tests: shapes, NAF advantage math, target updates, conv trunk."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cartpoleplusplus_tpu.models import (
+    Actor,
+    Critic,
+    DiscretePolicy,
+    NAFNetwork,
+    QNetwork,
+    flatten_obs,
+    pixels_to_nhwc,
+    soft_target_update,
+)
+
+LOWDIM = (3, 2, 7)  # (repeats, bodies, pose)
+PIXELS = (2, 2, 50, 50, 3)  # (repeats, cams, H, W, 3)
+
+
+def _batch(shape, b=4, key=0):
+    return jax.random.normal(jax.random.PRNGKey(key), (b,) + shape)
+
+
+def test_flatten_obs():
+    obs = _batch(LOWDIM)
+    assert flatten_obs(obs, batched=True).shape == (4, 42)
+    assert flatten_obs(obs[0], batched=False).shape == (42,)
+
+
+def test_pixels_to_nhwc():
+    obs = _batch(PIXELS, b=2)
+    nhwc = pixels_to_nhwc(obs, batched=True)
+    assert nhwc.shape == (2, 50, 50, 12)
+    # Channel packing: (r, c, rgb) → channel index r*cams*3 + c*3 + rgb.
+    np.testing.assert_allclose(nhwc[1, 7, 9, 1 * 6 + 1 * 3 + 2], obs[1, 1, 1, 7, 9, 2])
+
+
+def test_policy_and_q_shapes():
+    obs = _batch(LOWDIM)
+    for cls in (DiscretePolicy, QNetwork):
+        model = cls(num_actions=5)
+        params = model.init(jax.random.PRNGKey(0), obs)
+        out = model.apply(params, obs)
+        assert out.shape == (4, 5)
+        assert out.dtype == jnp.float32
+
+
+def test_actor_critic_shapes():
+    obs = _batch(LOWDIM)
+    actor = Actor(action_dim=2)
+    a_params = actor.init(jax.random.PRNGKey(0), obs)
+    act = actor.apply(a_params, obs)
+    assert act.shape == (4, 2)
+    assert float(jnp.max(jnp.abs(act))) <= 1.0
+
+    critic = Critic()
+    c_params = critic.init(jax.random.PRNGKey(1), obs, act)
+    q = critic.apply(c_params, obs, act)
+    assert q.shape == (4,)
+
+
+def test_pixel_trunk_shapes():
+    obs = _batch(PIXELS, b=2)
+    actor = Actor(action_dim=2, use_raw_pixels=True)
+    params = actor.init(jax.random.PRNGKey(0), obs)
+    assert actor.apply(params, obs).shape == (2, 2)
+
+
+def test_naf_advantage_is_nonpositive_and_zero_at_mu():
+    obs = _batch(LOWDIM)
+    net = NAFNetwork(action_dim=2)
+    params = net.init(jax.random.PRNGKey(0), obs)
+    v, mu, l_flat = net.apply(params, obs)
+    assert v.shape == (4,) and mu.shape == (4, 2) and l_flat.shape == (4, 3)
+
+    # A(s, µ) = 0 and A(s, a) ≤ 0 elsewhere (negative-definite quadratic).
+    np.testing.assert_allclose(NAFNetwork.advantage(l_flat, mu, mu), 0.0, atol=1e-6)
+    a = jnp.clip(mu + 0.3, -1, 1)
+    adv = NAFNetwork.advantage(l_flat, mu, a)
+    assert np.all(np.asarray(adv) <= 1e-6)
+    # Q = V + A.
+    np.testing.assert_allclose(
+        NAFNetwork.q_value(v, l_flat, mu, mu), v, atol=1e-6
+    )
+
+
+def test_naf_lower_triangular_structure():
+    l_flat = jnp.array([[0.5, 1.0, -0.2]])
+    L = NAFNetwork.lower_triangular(l_flat, 2)[0]
+    np.testing.assert_allclose(L[0, 1], 0.0)
+    np.testing.assert_allclose(L[1, 0], 1.0)
+    np.testing.assert_allclose(L[0, 0], np.exp(0.5), rtol=1e-6)
+    np.testing.assert_allclose(L[1, 1], np.exp(-0.2), rtol=1e-6)
+
+
+def test_soft_target_update_polyak():
+    online = {"w": jnp.ones((3,))}
+    target = {"w": jnp.zeros((3,))}
+    out = soft_target_update(target, online, tau=0.1)
+    np.testing.assert_allclose(out["w"], 0.1)
+    # τ=1 → hard copy.
+    out = soft_target_update(target, online, tau=1.0)
+    np.testing.assert_allclose(out["w"], 1.0)

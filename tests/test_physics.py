@@ -65,9 +65,11 @@ def test_rest_state_is_stable(scene):
     assert float(jnp.max(jnp.abs(out.vel))) < 0.05
 
 
-def test_cart_impulse_response(scene):
+def test_cart_impulse_response():
     # Push the cart with a constant force; with friction μ it accelerates at
-    # a ≈ F/m_total − μ·g once sliding (pole rides on top).
+    # a ≈ F/m_total − μ·g once sliding (pole rides on top).  Uses an explicit
+    # unit-mass, high-ground-friction scene so the closed form is simple.
+    scene = make_scene(cart_mass=1.0, friction_cart_ground=0.5)
     force = jnp.array([10.0, 0.0, 0.0])
     t = 0.5
     n = int(round(t / float(scene.dt)))
@@ -82,7 +84,8 @@ def test_cart_impulse_response(scene):
     assert abs(float(out.pos[CART, 2]) - 0.1) < 5e-3
 
 
-def test_static_friction_holds_small_force(scene):
+def test_static_friction_holds_small_force():
+    scene = make_scene(cart_mass=1.0, friction_cart_ground=0.5)
     # A force below μ·m·g must not budge the cart (static friction).
     force = jnp.array([2.0, 0.0, 0.0])  # μ·(m_c+m_p)·g ≈ 5.4 N
     out = run(scene, rest_state(scene), force=force, steps=240)
