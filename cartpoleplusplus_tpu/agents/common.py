@@ -50,6 +50,16 @@ def make_parser(description: str) -> argparse.ArgumentParser:
     return parser
 
 
+def make_venv(config, num_envs: int) -> VectorCartpole:
+    """Vector env with the right observation fn (pixels iff --use-raw-pixels)."""
+    observe_fn = None
+    if config.use_raw_pixels:
+        from cartpoleplusplus_tpu.render import make_observe_pixels
+
+        observe_fn = make_observe_pixels(config)
+    return VectorCartpole(config, num_envs=num_envs, observe_fn=observe_fn)
+
+
 def eval_rollout(
     venv: VectorCartpole,
     act_fn: Callable,  # (params, obs[E, ...]) -> greedy action[E, ...]

@@ -204,8 +204,8 @@ def init_state(opts, config, venv, actor, critic, actor_tx, critic_tx) -> DDPGSt
 
 def train(opts) -> float:
     config = config_from_opts(opts, discrete_actions=False)
-    venv = VectorCartpole(config, num_envs=opts.num_envs)
-    eval_venv = VectorCartpole(config, num_envs=opts.num_eval)
+    venv = common.make_venv(config, opts.num_envs)
+    eval_venv = common.make_venv(config, opts.num_eval)
     actor = Actor(action_dim=2, use_raw_pixels=config.use_raw_pixels,
                   hidden=tuple(opts.hidden))
     critic = Critic(use_raw_pixels=config.use_raw_pixels, hidden=tuple(opts.hidden))

@@ -132,8 +132,8 @@ def greedy_act(policy: DiscretePolicy):
 def train(opts) -> float:
     """Full training run; returns final eval mean episode length."""
     config = config_from_opts(opts, discrete_actions=True)
-    venv = VectorCartpole(config, num_envs=opts.num_envs)
-    eval_venv = VectorCartpole(config, num_envs=opts.num_eval)
+    venv = common.make_venv(config, opts.num_envs)
+    eval_venv = common.make_venv(config, opts.num_eval)
     policy = DiscretePolicy(
         num_actions=NUM_DISCRETE_ACTIONS,
         use_raw_pixels=config.use_raw_pixels,

@@ -144,8 +144,8 @@ def greedy_act(net: NAFNetwork):
 
 def train(opts) -> float:
     config = config_from_opts(opts, discrete_actions=False)
-    venv = VectorCartpole(config, num_envs=opts.num_envs)
-    eval_venv = VectorCartpole(config, num_envs=opts.num_eval)
+    venv = common.make_venv(config, opts.num_envs)
+    eval_venv = common.make_venv(config, opts.num_eval)
     net = NAFNetwork(
         action_dim=2,
         use_raw_pixels=config.use_raw_pixels,

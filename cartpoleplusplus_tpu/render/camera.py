@@ -1,0 +1,66 @@
+"""Camera model for the TPU renderer.
+
+The reference gets pixels from ``p.getCameraImage(w, h, viewMatrix,
+projectionMatrix)`` with one or two fixed cameras aimed at the cart area
+(reference: bullet_cartpole.py:~L120-150, --num-cameras).  Bullet renders via
+its C++ TinyRenderer rasterizer; the TPU rebuild ray-casts instead (see
+render/raycast.py), so the camera's job here is to produce a static grid of
+world-space rays — computed once at trace time and baked into the compiled
+step as constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Pinhole camera: eye/target/up + vertical FOV (degrees)."""
+
+    eye: tuple[float, float, float]
+    target: tuple[float, float, float]
+    up: tuple[float, float, float] = (0.0, 0.0, 1.0)
+    fov_deg: float = 50.0
+
+
+# Two fixed views of the cart area, ~90° apart (reference uses 1 or 2 fixed
+# cameras so the agent can resolve 3D motion; exact poses are not recoverable
+# from the empty mount — these frame the cart/pole workspace equivalently).
+DEFAULT_CAMERAS = (
+    Camera(eye=(0.0, -2.4, 1.1), target=(0.0, 0.0, 0.4)),
+    Camera(eye=(-2.4, 0.0, 1.1), target=(0.0, 0.0, 0.4)),
+)
+
+
+def ray_grid(camera: Camera, height: int, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static (H*W, 3) ray directions + (3,) origin, host-side numpy.
+
+    Rays pass through pixel centers; the image is row-major with row 0 at the
+    TOP of the image (matching PNG/Bullet conventions).
+    """
+    eye = np.asarray(camera.eye, np.float32)
+    target = np.asarray(camera.target, np.float32)
+    up = np.asarray(camera.up, np.float32)
+
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, up)
+    right = right / np.linalg.norm(right)
+    cam_up = np.cross(right, fwd)
+
+    tan_half = np.tan(np.radians(camera.fov_deg) * 0.5)
+    aspect = width / height
+    # Pixel-center NDC coords in [-1, 1].
+    ys = (1.0 - 2.0 * (np.arange(height) + 0.5) / height) * tan_half
+    xs = (2.0 * (np.arange(width) + 0.5) / width - 1.0) * tan_half * aspect
+    gx, gy = np.meshgrid(xs, ys)  # (H, W)
+    dirs = (
+        fwd[None, None]
+        + gx[..., None] * right[None, None]
+        + gy[..., None] * cam_up[None, None]
+    )
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return dirs.reshape(-1, 3).astype(np.float32), eye
