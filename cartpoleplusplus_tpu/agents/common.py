@@ -78,11 +78,9 @@ def eval_rollout(
     def body(carry, _):
         states, obs, ep_len, ep_rew, alive = carry
         action = act_fn(params, obs)
-        states, obs, reward, done = jax.vmap(
-            lambda s, a: cartpole_mod.step(
-                venv.config, venv.scene, s, a, venv.observe_fn
-            )
-        )(states, action)
+        states, obs, reward, done = cartpole_mod.step_batched(
+            venv.config, venv.scene, states, action, venv.observe_fn
+        )
         ep_len = ep_len + alive.astype(jnp.int32)
         ep_rew = ep_rew + reward * alive
         alive = alive & ~done

@@ -84,8 +84,18 @@ def make_segment(
     steps_per_segment: int,
     ou_theta: float,
     ou_sigma: float,
+    axis_name: str | None = None,
 ):
-    """Build the jitted K-step fused train segment."""
+    """Build the jitted K-step fused train segment.
+
+    ``axis_name``: when run under ``shard_map`` over a device mesh (see
+    parallel/distributed.py), the name of the env-shard axis.  Gradients and
+    metrics are ``pmean``-reduced across it (ICI collectives); per-device RNG
+    streams are decorrelated by folding in the axis index.  The reference has
+    no distributed story (SURVEY.md §2.3) — this is the TPU-native data-
+    parallel design: env shards + replay shards per chip, replicated params,
+    one psum per update.
+    """
 
     def critic_loss_fn(critic_params, s1, a, y):
         q = critic.apply(critic_params, s1, a)
@@ -95,38 +105,51 @@ def make_segment(
         mu = actor.apply(actor_params, s1)
         return -jnp.mean(critic.apply(critic_params, s1, mu))
 
-    def train_once(st: DDPGState, rng):
-        s1, a, r, s2, term = replay_mod.sample(st.replay, rng, batch_size)
+    # The learner bundle (params + opt states) is threaded through lax.cond
+    # SEPARATELY from the big buffers (replay, env states, observations):
+    # conditionals select over every carried leaf, so routing the whole
+    # DDPGState through the cond would copy hundreds of MB of replay/obs per
+    # step on the pixel path.
+    def train_once(bundle, batch):
+        (actor_params, critic_params, target_a, target_c, aopt, copt) = bundle
+        s1, a, r, s2, term = batch
+        s1, s2 = replay_mod.decode_obs(s1), replay_mod.decode_obs(s2)
         # TD target from target nets (reference ddpg ~L150-280).
-        a2 = actor.apply(st.target_actor_params, s2)
-        q2 = critic.apply(st.target_critic_params, s2, a2)
+        a2 = actor.apply(target_a, s2)
+        q2 = critic.apply(target_c, s2, a2)
         y = r + gamma * (1.0 - term.astype(jnp.float32)) * q2
         closs, cgrads = jax.value_and_grad(critic_loss_fn)(
-            st.critic_params, s1, a, jax.lax.stop_gradient(y)
+            critic_params, s1, a, jax.lax.stop_gradient(y)
         )
-        cupd, copt = critic_tx.update(cgrads, st.critic_opt, st.critic_params)
-        critic_params = optax.apply_updates(st.critic_params, cupd)
+        if axis_name is not None:
+            cgrads = jax.lax.pmean(cgrads, axis_name)
+        cupd, copt = critic_tx.update(cgrads, copt, critic_params)
+        critic_params = optax.apply_updates(critic_params, cupd)
 
         aloss, agrads = jax.value_and_grad(actor_loss_fn)(
-            st.actor_params, critic_params, s1
+            actor_params, critic_params, s1
         )
-        aupd, aopt = actor_tx.update(agrads, st.actor_opt, st.actor_params)
-        actor_params = optax.apply_updates(st.actor_params, aupd)
+        if axis_name is not None:
+            agrads = jax.lax.pmean(agrads, axis_name)
+        aupd, aopt = actor_tx.update(agrads, aopt, actor_params)
+        actor_params = optax.apply_updates(actor_params, aupd)
 
-        return st.replace(
-            actor_params=actor_params,
-            critic_params=critic_params,
-            target_actor_params=soft_target_update(
-                st.target_actor_params, actor_params, tau
-            ),
-            target_critic_params=soft_target_update(
-                st.target_critic_params, critic_params, tau
-            ),
-            actor_opt=aopt,
-            critic_opt=copt,
-        ), {"critic_loss": closs, "actor_loss": aloss}
+        bundle = (
+            actor_params,
+            critic_params,
+            soft_target_update(target_a, actor_params, tau),
+            soft_target_update(target_c, critic_params, tau),
+            aopt,
+            copt,
+        )
+        return bundle, {"critic_loss": closs, "actor_loss": aloss}
 
     def segment(st: DDPGState):
+        if axis_name is not None:
+            # st.rng arrives replicated; decorrelate per-device streams.
+            st = st.replace(
+                rng=jax.random.fold_in(st.rng, jax.lax.axis_index(axis_name))
+            )
         rng, k_pool = jax.random.split(st.rng)
         st = st.replace(rng=rng)
         reset_pool, _ = venv.reset(k_pool)
@@ -139,8 +162,14 @@ def make_segment(
             env_states, obs2, reward, done = venv.step(
                 st.env_states, action, k_step, reset_pool=reset_pool
             )
+            store = st.replay.s1.dtype
             replay = replay_mod.add_batch(
-                st.replay, st.obs, action, reward, obs2, done
+                st.replay,
+                replay_mod.encode_obs(st.obs, store),
+                action,
+                reward,
+                replay_mod.encode_obs(obs2, store),
+                done,
             )
             # OU noise resets with the episode.
             ou = jnp.where(done[:, None], 0.0, ou)
@@ -152,18 +181,38 @@ def make_segment(
                 rng=rng,
                 env_steps=st.env_steps + 1,
             )
-            st, losses = jax.lax.cond(
+            # Sample OUTSIDE the cond (reads are cheap); only the small
+            # learner bundle flows through the conditional.
+            batch = replay_mod.sample(st.replay, k_sample, batch_size)
+            bundle = (
+                st.actor_params, st.critic_params,
+                st.target_actor_params, st.target_critic_params,
+                st.actor_opt, st.critic_opt,
+            )
+            bundle, losses = jax.lax.cond(
                 st.env_steps > warmup_steps,
-                lambda s: train_once(s, k_sample),
-                lambda s: (s, {"critic_loss": jnp.zeros(()), "actor_loss": jnp.zeros(())}),
-                st,
+                lambda b: train_once(b, batch),
+                lambda b: (b, {"critic_loss": jnp.zeros(()), "actor_loss": jnp.zeros(())}),
+                bundle,
+            )
+            st = st.replace(
+                actor_params=bundle[0], critic_params=bundle[1],
+                target_actor_params=bundle[2], target_critic_params=bundle[3],
+                actor_opt=bundle[4], critic_opt=bundle[5],
             )
             metrics = {**losses, "reward": jnp.mean(reward),
                        "done_frac": jnp.mean(done.astype(jnp.float32))}
             return st, metrics
 
         st, metrics = jax.lax.scan(body, st, None, length=steps_per_segment)
-        return st, jax.tree.map(jnp.mean, metrics)
+        metrics = jax.tree.map(jnp.mean, metrics)
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+            # Re-replicate the carried rng (devices diverged via fold_in).
+            st = st.replace(
+                rng=jax.lax.all_gather(st.rng, axis_name, axis=0)[0]
+            )
+        return st, metrics
 
     return segment
 
@@ -183,8 +232,11 @@ def init_state(opts, config, venv, actor, critic, actor_tx, critic_tx) -> DDPGSt
     actor_params = actor.init(k_a, dummy_obs)
     critic_params = critic.init(k_c, dummy_obs, dummy_act)
     env_states, obs = venv.reset(k_env)
+    # Pixel observations are stored quantized (uint8): 4× less HBM traffic
+    # and capacity on the hot path.
+    obs_dtype = jnp.uint8 if config.use_raw_pixels else jnp.float32
     replay = replay_mod.create(
-        opts.replay_capacity, config.obs_shape, (2,)
+        opts.replay_capacity, config.obs_shape, (2,), obs_dtype=obs_dtype
     )
     return DDPGState(
         actor_params=actor_params,

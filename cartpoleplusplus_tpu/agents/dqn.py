@@ -74,19 +74,23 @@ def make_segment(
         q_a = jnp.take_along_axis(q, a[:, None].astype(jnp.int32), axis=1)[:, 0]
         return jnp.mean((q_a - y) ** 2)
 
-    def train_once(st: DQNState, rng):
-        s1, a, r, s2, term = replay_mod.sample(st.replay, rng, batch_size)
-        q2 = jnp.max(qnet.apply(st.target_params, s2), axis=-1)
+    # Learner bundle threaded through lax.cond separately from the big
+    # buffers (see agents/ddpg.py for the rationale).
+    def train_once(bundle, batch):
+        params, target_params, opt = bundle
+        s1, a, r, s2, term = batch
+        s1, s2 = replay_mod.decode_obs(s1), replay_mod.decode_obs(s2)
+        q2 = jnp.max(qnet.apply(target_params, s2), axis=-1)
         y = r + gamma * (1.0 - term.astype(jnp.float32)) * q2
         loss, grads = jax.value_and_grad(loss_fn)(
-            st.params, s1, a, jax.lax.stop_gradient(y)
+            params, s1, a, jax.lax.stop_gradient(y)
         )
-        upd, opt = tx.update(grads, st.opt, st.params)
-        params = optax.apply_updates(st.params, upd)
-        return st.replace(
-            params=params,
-            target_params=soft_target_update(st.target_params, params, tau),
-            opt=opt,
+        upd, opt = tx.update(grads, opt, params)
+        params = optax.apply_updates(params, upd)
+        return (
+            params,
+            soft_target_update(target_params, params, tau),
+            opt,
         ), {"loss": loss}
 
     def segment(st: DQNState):
@@ -110,17 +114,28 @@ def make_segment(
             env_states, obs2, reward, done = venv.step(
                 st.env_states, action, k_step, reset_pool=reset_pool
             )
-            replay = replay_mod.add_batch(st.replay, st.obs, action, reward, obs2, done)
+            store = st.replay.s1.dtype
+            replay = replay_mod.add_batch(
+                st.replay,
+                replay_mod.encode_obs(st.obs, store),
+                action,
+                reward,
+                replay_mod.encode_obs(obs2, store),
+                done,
+            )
             st = st.replace(
                 replay=replay, env_states=env_states, obs=obs2,
                 rng=rng, env_steps=st.env_steps + 1,
             )
-            st, losses = jax.lax.cond(
+            batch = replay_mod.sample(st.replay, k_sample, batch_size)
+            bundle = (st.params, st.target_params, st.opt)
+            bundle, losses = jax.lax.cond(
                 st.env_steps > warmup_steps,
-                lambda s: train_once(s, k_sample),
-                lambda s: (s, {"loss": jnp.zeros(())}),
-                st,
+                lambda b: train_once(b, batch),
+                lambda b: (b, {"loss": jnp.zeros(())}),
+                bundle,
             )
+            st = st.replace(params=bundle[0], target_params=bundle[1], opt=bundle[2])
             return st, {**losses, "reward": jnp.mean(reward), "eps": eps}
 
         st, metrics = jax.lax.scan(body, st, None, length=steps_per_segment)
@@ -158,7 +173,8 @@ def train(opts) -> float:
         target_params=jax.tree.map(jnp.copy, params),
         opt=tx.init(params),
         replay=replay_mod.create(
-            opts.replay_capacity, config.obs_shape, (), action_dtype=jnp.int32
+            opts.replay_capacity, config.obs_shape, (), action_dtype=jnp.int32,
+            obs_dtype=jnp.uint8 if config.use_raw_pixels else jnp.float32,
         ),
         env_states=env_states,
         obs=obs,

@@ -60,9 +60,9 @@ def rollout_batch(venv: VectorCartpole, policy: DiscretePolicy, params, rng):
         states, obs, alive = carry
         logits = policy.apply(params, obs)
         action = jax.random.categorical(k, logits)
-        nstates, nobs, reward, done = jax.vmap(
-            lambda s, a: cartpole_mod.step(venv.config, venv.scene, s, a)
-        )(states, action)
+        nstates, nobs, reward, done = cartpole_mod.step_batched(
+            venv.config, venv.scene, states, action, venv.observe_fn
+        )
         out = (obs, action, reward, alive)
         return (nstates, nobs, alive & ~done), out
 

@@ -84,22 +84,28 @@ def make_segment(
         q = NAFNetwork.q_value(v, l_flat, mu, a)
         return jnp.mean((q - y) ** 2), new_vars
 
-    def train_once(st: NAFState, rng):
-        s1, a, r, s2, term = replay_mod.sample(st.replay, rng, batch_size)
-        (v2, _, _), _ = _apply(net, st.target_variables, s2, train=False)
+    # Learner bundle threaded through lax.cond separately from the big
+    # buffers (see agents/ddpg.py for the rationale: cond selects over every
+    # carried leaf, which would copy the replay/obs arrays every step).
+    def train_once(bundle, batch):
+        variables, target_variables, opt = bundle
+        s1, a, r, s2, term = batch
+        s1, s2 = replay_mod.decode_obs(s1), replay_mod.decode_obs(s2)
+        (v2, _, _), _ = _apply(net, target_variables, s2, train=False)
         y = r + gamma * (1.0 - term.astype(jnp.float32)) * v2
-        aux = {k: v for k, v in st.variables.items() if k != "params"}
+        aux = {k: v for k, v in variables.items() if k != "params"}
         (loss, new_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            st.variables["params"], aux, s1, a, jax.lax.stop_gradient(y)
+            variables["params"], aux, s1, a, jax.lax.stop_gradient(y)
         )
-        upd, opt = tx.update(grads, st.opt, st.variables["params"])
-        params = optax.apply_updates(st.variables["params"], upd)
+        upd, opt = tx.update(grads, opt, variables["params"])
+        params = optax.apply_updates(variables["params"], upd)
         variables = {**new_vars, "params": params}
-        return st.replace(
-            variables=variables,
-            target_variables=soft_target_update(st.target_variables, variables, tau),
-            opt=opt,
-        ), {"loss": loss}
+        bundle = (
+            variables,
+            soft_target_update(target_variables, variables, tau),
+            opt,
+        )
+        return bundle, {"loss": loss}
 
     def segment(st: NAFState):
         rng, k_pool = jax.random.split(st.rng)
@@ -114,17 +120,30 @@ def make_segment(
             env_states, obs2, reward, done = venv.step(
                 st.env_states, action, k_step, reset_pool=reset_pool
             )
-            replay = replay_mod.add_batch(st.replay, st.obs, action, reward, obs2, done)
+            store = st.replay.s1.dtype
+            replay = replay_mod.add_batch(
+                st.replay,
+                replay_mod.encode_obs(st.obs, store),
+                action,
+                reward,
+                replay_mod.encode_obs(obs2, store),
+                done,
+            )
             ou = jnp.where(done[:, None], 0.0, ou)
             st = st.replace(
                 replay=replay, env_states=env_states, obs=obs2, ou_noise=ou,
                 rng=rng, env_steps=st.env_steps + 1,
             )
-            st, losses = jax.lax.cond(
+            batch = replay_mod.sample(st.replay, k_sample, batch_size)
+            bundle = (st.variables, st.target_variables, st.opt)
+            bundle, losses = jax.lax.cond(
                 st.env_steps > warmup_steps,
-                lambda s: train_once(s, k_sample),
-                lambda s: (s, {"loss": jnp.zeros(())}),
-                st,
+                lambda b: train_once(b, batch),
+                lambda b: (b, {"loss": jnp.zeros(())}),
+                bundle,
+            )
+            st = st.replace(
+                variables=bundle[0], target_variables=bundle[1], opt=bundle[2]
             )
             return st, {**losses, "reward": jnp.mean(reward)}
 
@@ -165,7 +184,10 @@ def train(opts) -> float:
         variables=variables,
         target_variables=jax.tree.map(jnp.copy, variables),
         opt=tx.init(variables["params"]),
-        replay=replay_mod.create(opts.replay_capacity, config.obs_shape, (2,)),
+        replay=replay_mod.create(
+            opts.replay_capacity, config.obs_shape, (2,),
+            obs_dtype=jnp.uint8 if config.use_raw_pixels else jnp.float32,
+        ),
         env_states=env_states,
         obs=obs,
         ou_noise=ou_init((venv.num_envs, 2)),

@@ -34,7 +34,7 @@ from cartpoleplusplus_tpu.env.config import (
     REWARD_ANGLE_ACTION,
     CartpoleConfig,
 )
-from cartpoleplusplus_tpu.physics import engine, math3d
+from cartpoleplusplus_tpu.physics import engine, math3d, soa
 from cartpoleplusplus_tpu.physics.bodies import (
     CART,
     POLE,
@@ -214,3 +214,84 @@ def step(
     reward = jnp.where(state.done, 0.0, _reward(config, rigid, action, violated))
 
     return EnvState(rigid=rigid, steps=steps, done=done), frames, reward, done
+
+
+# ---------------------------------------------------------------------------
+# Batched fast path: SoA physics + vmapped observation.  Semantics identical
+# to vmap(reset)/vmap(step) (pinned by tests/test_env.py::test_batched_*);
+# the physics runs through physics/soa.py, which keeps the env axis on the
+# VPU lanes instead of per-env vmap over trailing-3 arrays (~2.5× faster at
+# 4096 envs on v5e).
+# ---------------------------------------------------------------------------
+
+
+def reset_batched(
+    config: CartpoleConfig,
+    scene: SceneParams,
+    rng: jax.Array,
+    num_envs: int,
+    observe_fn: Optional[ObserveFn] = None,
+) -> tuple[EnvState, jnp.ndarray]:
+    """Batched reset → (EnvState[E], obs[E, repeats, …])."""
+    observe = observe_fn or observe_lowdim
+    k_theta, k_jitter = jax.random.split(rng)
+
+    base = rest_state(scene)
+    rigid = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape), base
+    )
+    jit_ang = config.random_theta_jitter * jax.random.normal(k_jitter, (num_envs, 2))
+    axis = (
+        jnp.array([1.0, 0.0, 0.0]) * jit_ang[:, :1]
+        + jnp.array([0.0, 1.0, 0.0]) * jit_ang[:, 1:]
+    )
+    angle = jnp.linalg.norm(jit_ang, axis=-1) + 1e-12
+    pole_q = math3d.quat_from_axis_angle(axis, angle)  # (E, 4)
+    rigid = rigid.replace(quat=rigid.quat.at[:, POLE].set(pole_q))
+
+    theta = jax.random.uniform(k_theta, (num_envs,), minval=0.0, maxval=2.0 * jnp.pi)
+    push = config.initial_force * jnp.stack(
+        [jnp.cos(theta), jnp.sin(theta), jnp.zeros_like(theta)], axis=-1
+    )
+    rigid = soa.step_substeps_batched(scene, rigid, push, config.initial_force_steps)
+
+    frame = jax.vmap(lambda r: observe(scene, r))(rigid)
+    obs = jnp.broadcast_to(
+        frame[:, None], (num_envs, config.action_repeats) + frame.shape[1:]
+    )
+    state = EnvState(
+        rigid=rigid,
+        steps=jnp.zeros((num_envs,), jnp.int32),
+        done=jnp.zeros((num_envs,), jnp.bool_),
+    )
+    return state, obs
+
+
+def step_batched(
+    config: CartpoleConfig,
+    scene: SceneParams,
+    state: EnvState,
+    action: jnp.ndarray,
+    observe_fn: Optional[ObserveFn] = None,
+) -> tuple[EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched step → (EnvState[E], obs[E, repeats, …], reward[E], done[E])."""
+    observe = observe_fn or observe_lowdim
+    force = jax.vmap(lambda a: action_to_force(config, a))(action)
+
+    def repeat_body(rigid, _):
+        rigid = soa.step_substeps_batched(
+            scene, rigid, force, config.steps_per_repeat
+        )
+        return rigid, jax.vmap(lambda r: observe(scene, r))(rigid)
+
+    rigid, frames = jax.lax.scan(
+        repeat_body, state.rigid, None, length=config.action_repeats
+    )
+    obs = jnp.moveaxis(frames, 0, 1)  # (E, repeats, …)
+
+    steps = state.steps + 1
+    violated = _violation(config, rigid)
+    timeout = steps >= config.max_episode_len
+    done = state.done | violated | timeout
+    reward = jnp.where(state.done, 0.0, _reward(config, rigid, action, violated))
+    return EnvState(rigid=rigid, steps=steps, done=done), obs, reward, done

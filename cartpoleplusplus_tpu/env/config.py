@@ -83,14 +83,17 @@ class CartpoleConfig:
         return (self.action_repeats, 2, 7)
 
     @property
-    def pixel_obs_shape(self) -> tuple[int, int, int, int, int]:
-        """(repeats, cameras, H, W, 3) RGB float in [0,1]."""
+    def pixel_obs_shape(self) -> tuple[int, int]:
+        """(repeats, cameras·H·W·3) flat RGB float in [0,1].
+
+        Flat per-frame layout (pixel-major per camera, cameras concatenated)
+        — image-shaped observations would be lane-padded 3→128 by TPU tiling
+        on every materialization in the fused loop; see render/raycast.py.
+        Use render.frame_to_images for host-side viewing.
+        """
         return (
             self.action_repeats,
-            self.num_cameras,
-            self.render_height,
-            self.render_width,
-            3,
+            self.num_cameras * self.render_height * self.render_width * 3,
         )
 
     @property

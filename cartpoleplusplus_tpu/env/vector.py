@@ -56,10 +56,9 @@ class VectorCartpole:
 
     def reset(self, rng: jax.Array) -> tuple[EnvState, jnp.ndarray]:
         """Batched reset → (states, obs[num_envs, repeats, ...])."""
-        keys = jax.random.split(rng, self.num_envs)
-        return jax.vmap(
-            lambda k: cartpole.reset(self.config, self.scene, k, self.observe_fn)
-        )(keys)
+        return cartpole.reset_batched(
+            self.config, self.scene, rng, self.num_envs, self.observe_fn
+        )
 
     def step(
         self,
@@ -81,14 +80,13 @@ class VectorCartpole:
         ``reset_pool[i]`` if it terminates again within the same segment
         (statistically benign: segment ≪ episode for trained policies).
         """
-        next_state, obs, reward, done = jax.vmap(
-            lambda s, a: cartpole.step(self.config, self.scene, s, a, self.observe_fn)
-        )(state, action)
+        next_state, obs, reward, done = cartpole.step_batched(
+            self.config, self.scene, state, action, self.observe_fn
+        )
 
         if reset_pool is None:
-            keys = jax.random.split(rng, self.num_envs)
-            reset_pool, _ = jax.vmap(
-                lambda k: cartpole.reset(self.config, self.scene, k, self.observe_fn)
-            )(keys)
+            reset_pool, _ = cartpole.reset_batched(
+                self.config, self.scene, rng, self.num_envs, self.observe_fn
+            )
         carried = _where_tree(done, reset_pool, next_state)
         return carried, obs, reward, done

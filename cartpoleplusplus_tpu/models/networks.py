@@ -26,11 +26,12 @@ class DiscretePolicy(nn.Module):
 
     num_actions: int = 5
     use_raw_pixels: bool = False
+    pixel_encoder: str = "dense"
     hidden: Sequence[int] = DEFAULT_HIDDEN
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        h = ObsEncoder(self.use_raw_pixels, self.hidden)(obs, train)
+        h = ObsEncoder(self.use_raw_pixels, self.hidden, pixel_encoder=self.pixel_encoder)(obs, train)
         return nn.Dense(self.num_actions, name="logits")(h)
 
 
@@ -39,11 +40,12 @@ class QNetwork(nn.Module):
 
     num_actions: int = 5
     use_raw_pixels: bool = False
+    pixel_encoder: str = "dense"
     hidden: Sequence[int] = DEFAULT_HIDDEN
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        h = ObsEncoder(self.use_raw_pixels, self.hidden)(obs, train)
+        h = ObsEncoder(self.use_raw_pixels, self.hidden, pixel_encoder=self.pixel_encoder)(obs, train)
         return nn.Dense(self.num_actions, name="q")(h)
 
 
@@ -56,13 +58,16 @@ class Actor(nn.Module):
 
     action_dim: int = 2
     use_raw_pixels: bool = False
+    pixel_encoder: str = "dense"
     hidden: Sequence[int] = DEFAULT_HIDDEN
     use_batch_norm: bool = False
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         h = ObsEncoder(
-            self.use_raw_pixels, self.hidden, use_batch_norm=self.use_batch_norm
+            self.use_raw_pixels, self.hidden,
+            pixel_encoder=self.pixel_encoder,
+            use_batch_norm=self.use_batch_norm,
         )(obs, train)
         return nn.tanh(nn.Dense(self.action_dim, name="mu")(h))
 
@@ -76,6 +81,7 @@ class Critic(nn.Module):
     """
 
     use_raw_pixels: bool = False
+    pixel_encoder: str = "dense"
     hidden: Sequence[int] = DEFAULT_HIDDEN
     use_batch_norm: bool = False
 
@@ -84,7 +90,9 @@ class Critic(nn.Module):
         self, obs: jnp.ndarray, action: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
         h = ObsEncoder(
-            self.use_raw_pixels, self.hidden, use_batch_norm=self.use_batch_norm
+            self.use_raw_pixels, self.hidden,
+            pixel_encoder=self.pixel_encoder,
+            use_batch_norm=self.use_batch_norm,
         )(obs, train)
         h = jnp.concatenate([h, action.astype(h.dtype)], axis=-1)
         h = MLPTrunk((self.hidden[-1],))(h)
@@ -102,13 +110,16 @@ class NAFNetwork(nn.Module):
 
     action_dim: int = 2
     use_raw_pixels: bool = False
+    pixel_encoder: str = "dense"
     hidden: Sequence[int] = DEFAULT_HIDDEN
     use_batch_norm: bool = False
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, train: bool = False):
         h = ObsEncoder(
-            self.use_raw_pixels, self.hidden, use_batch_norm=self.use_batch_norm
+            self.use_raw_pixels, self.hidden,
+            pixel_encoder=self.pixel_encoder,
+            use_batch_norm=self.use_batch_norm,
         )(obs, train)
         v = nn.Dense(1, name="value")(h)[..., 0]
         mu = nn.tanh(nn.Dense(self.action_dim, name="mu")(h))

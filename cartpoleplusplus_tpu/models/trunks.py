@@ -32,16 +32,25 @@ def flatten_obs(obs: jnp.ndarray, batched: bool) -> jnp.ndarray:
     return obs.reshape(lead + (-1,))
 
 
-def pixels_to_nhwc(obs: jnp.ndarray, batched: bool) -> jnp.ndarray:
-    """Pixel obs (…, repeats, cams, H, W, 3) → (…, H, W, repeats*cams*3).
+def pixels_to_nhwc(
+    obs: jnp.ndarray, batched: bool, height: int = 50, width: int = 50
+) -> jnp.ndarray:
+    """Flat pixel obs (…, repeats, cams·H·W·3) → (…, H, W, repeats·cams·3).
 
     The reference feeds conv nets with repeat/camera frames stacked in the
-    channel axis (base_network.py simple_conv_net input handling).
+    channel axis (base_network.py simple_conv_net input handling).  Only used
+    by the optional conv encoder — the default TPU pixel path is the dense
+    embedding in ObsEncoder, which consumes the flat layout directly.
     """
     if not batched:
         obs = obs[None]
-    b, r, c, h, w, ch = obs.shape
-    nhwc = jnp.transpose(obs, (0, 3, 4, 1, 2, 5)).reshape(b, h, w, r * c * ch)
+    b, r, f = obs.shape
+    c = f // (height * width * 3)
+    # Flat frames are plane-major per camera: (cam, rgb, H, W).
+    planes = obs.reshape(b, r, c, 3, height, width)
+    nhwc = jnp.transpose(planes, (0, 4, 5, 1, 2, 3)).reshape(
+        b, height, width, r * c * 3
+    )
     return nhwc if batched else nhwc[0]
 
 
@@ -84,15 +93,24 @@ class ConvTrunk(nn.Module):
 
 
 class ObsEncoder(nn.Module):
-    """Input-processing switch: low-dim flatten+MLP or pixels conv+MLP.
+    """Input-processing switch: low-dim flatten+MLP or pixel embedding+MLP.
 
     The single entry point agents use — mirrors the reference's
     ``input_state_network`` dispatch on --use-raw-pixels.
     Expects a leading batch dimension.
+
+    Pixel path: the default is a dense embedding of the FLAT frame stack —
+    one big MXU matmul (22500·emb bf16) with zero layout churn.  The
+    reference's conv trunk survives as ``pixel_encoder='conv'``
+    (base_network.py simple_conv_net parity) but costs ~5× more on TPU at
+    these image sizes because NHWC materialization lane-pads the 3-channel
+    axis.
     """
 
     use_raw_pixels: bool = False
     hidden: Sequence[int] = DEFAULT_HIDDEN
+    pixel_encoder: str = "dense"  # 'dense' | 'conv'
+    pixel_embed: int = 256
     conv_features: Sequence[int] = (16, 32, 32)
     use_batch_norm: bool = False
     dtype: jnp.dtype = jnp.bfloat16
@@ -100,8 +118,13 @@ class ObsEncoder(nn.Module):
     @nn.compact
     def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.use_raw_pixels:
-            x = pixels_to_nhwc(obs, batched=True)
-            x = ConvTrunk(self.conv_features, dtype=self.dtype)(x)
+            if self.pixel_encoder == "conv":
+                x = pixels_to_nhwc(obs, batched=True)
+                x = ConvTrunk(self.conv_features, dtype=self.dtype)(x)
+            else:
+                x = flatten_obs(obs, batched=True).astype(self.dtype)
+                x = nn.Dense(self.pixel_embed, dtype=self.dtype, name="pixel_embed")(x)
+                x = nn.relu(x).astype(jnp.float32)
         else:
             x = flatten_obs(obs, batched=True)
         if self.use_batch_norm:

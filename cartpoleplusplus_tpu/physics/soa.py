@@ -1,0 +1,464 @@
+"""Batched SoA physics: the TPU hot path for thousands of envs.
+
+Same math as engine/contacts/solver (the per-env AoS reference
+implementation), restructured so that the ENV axis is the trailing vector
+axis of every array: state components are (E,) rows, contact-slot quantities
+are (16, E) planes.  Rationale (measured on v5e): the AoS path's arrays have
+trailing dims of 3/4, so every XLA op uses a few of the VPU's 128 lanes and
+the program degenerates into hundreds of tiny sequential ops per substep;
+in SoA form the same substep is a short chain of full-width elementwise ops.
+
+The public entry point keeps the AoS interface: ``step_substeps_batched``
+takes/returns a batched RigidState (E, 2, ...) and transposes at the
+boundary (26·E floats — negligible).
+
+Replaces Bullet's stepSimulation for the vectorized env path (reference
+bullet_cartpole.py:~L207-225; SURVEY.md §2.2).  Fidelity is pinned to the
+AoS engine by tests/test_soa.py's equivalence suite.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cartpoleplusplus_tpu.physics.bodies import RigidState, SceneParams
+from cartpoleplusplus_tpu.physics.contacts import _BOTTOM4, _ALL8, _TOP_FACE_BAND
+
+# ---------------------------------------------------------------------------
+# Component-tuple vector/quaternion algebra.  A "vec" is a tuple of 3 equal-
+# shape arrays, a "quat" a tuple of 4 (w, x, y, z).  Works for any array
+# shape — (E,), (16, E), or Pallas (8, L) refs — which is what lets this
+# module double as the math library for a future Pallas kernel.
+# ---------------------------------------------------------------------------
+
+
+def v_add(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def v_sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def v_scale(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def v_dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def v_cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def q_mul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return (
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    )
+
+
+def q_rotate(q, v):
+    """v + 2w(u×v) + 2(u×(u×v)) — same 15-mul form as math3d.quat_rotate."""
+    w = q[0]
+    u = (q[1], q[2], q[3])
+    uv = v_cross(u, v)
+    uuv = v_cross(u, uv)
+    return (
+        v[0] + 2.0 * (w * uv[0] + uuv[0]),
+        v[1] + 2.0 * (w * uv[1] + uuv[1]),
+        v[2] + 2.0 * (w * uv[2] + uuv[2]),
+    )
+
+
+def q_conj(q):
+    return (q[0], -q[1], -q[2], -q[3])
+
+
+def q_rotate_inv(q, v):
+    return q_rotate(q_conj(q), v)
+
+
+def q_normalize(q):
+    inv = jax.lax.rsqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3] + 1e-12)
+    return (q[0] * inv, q[1] * inv, q[2] * inv, q[3] * inv)
+
+
+def q_integrate(q, omega, dt):
+    """q ← normalize(q + dt/2 · (0, ω) ⊗ q) — math3d.quat_integrate."""
+    ow, ox, oy, oz = 0.0, omega[0], omega[1], omega[2]
+    dw = ow * q[0] - ox * q[1] - oy * q[2] - oz * q[3]
+    dx = ow * q[1] + ox * q[0] + oy * q[3] - oz * q[2]
+    dy = ow * q[2] - ox * q[3] + oy * q[0] + oz * q[1]
+    dz = ow * q[3] + ox * q[2] - oy * q[1] + oz * q[0]
+    h = 0.5 * dt
+    return q_normalize((q[0] + h * dw, q[1] + h * dx, q[2] + h * dy, q[3] + h * dz))
+
+
+def q_to_mat(q):
+    """Quat → 3×3 rotation as a tuple-of-tuples of arrays (row major)."""
+    w, x, y, z = q
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return (
+        (1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)),
+        (2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)),
+        (2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)),
+    )
+
+
+def m_vec(m, v):
+    """3×3 (tuple rows) times vec."""
+    return (
+        m[0][0] * v[0] + m[0][1] * v[1] + m[0][2] * v[2],
+        m[1][0] * v[0] + m[1][1] * v[1] + m[1][2] * v[2],
+        m[2][0] * v[0] + m[2][1] * v[1] + m[2][2] * v[2],
+    )
+
+
+def inv_inertia_world(q, inv_inertia_diag):
+    """R diag(d) Rᵀ with d a (3,) constant; returns 3×3 tuple-of-tuples."""
+    r = q_to_mat(q)
+    d = inv_inertia_diag
+    return tuple(
+        tuple(
+            r[i][0] * d[0] * r[j][0] + r[i][1] * d[1] * r[j][1] + r[i][2] * d[2] * r[j][2]
+            for j in range(3)
+        )
+        for i in range(3)
+    )
+
+
+def tangent_basis(n):
+    """Branchless Duff orthonormal basis for unit normals (component form)."""
+    nx, ny, nz = n
+    s = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + nz)
+    b = nx * ny * a
+    t1 = (1.0 + s * nx * nx * a, s * b, -s * nx)
+    t2 = (b, s + ny * ny * a, -ny)
+    return t1, t2
+
+
+# ---------------------------------------------------------------------------
+# SoA state + contact manifold
+# ---------------------------------------------------------------------------
+
+
+class SoAState(NamedTuple):
+    """Per-body component arrays, each (..., E)."""
+
+    cart_pos: tuple
+    cart_quat: tuple
+    cart_vel: tuple
+    cart_ang: tuple
+    pole_pos: tuple
+    pole_quat: tuple
+    pole_vel: tuple
+    pole_ang: tuple
+
+
+def from_rigid(state: RigidState) -> SoAState:
+    """(E, 2, k) AoS → component rows.  One small transpose per field."""
+    pos = jnp.moveaxis(state.pos, -1, 0)  # (3, E, 2)
+    quat = jnp.moveaxis(state.quat, -1, 0)
+    vel = jnp.moveaxis(state.vel, -1, 0)
+    ang = jnp.moveaxis(state.ang, -1, 0)
+    pick = lambda arr, b: tuple(arr[i, ..., b] for i in range(arr.shape[0]))
+    return SoAState(
+        cart_pos=pick(pos, 0), cart_quat=pick(quat, 0),
+        cart_vel=pick(vel, 0), cart_ang=pick(ang, 0),
+        pole_pos=pick(pos, 1), pole_quat=pick(quat, 1),
+        pole_vel=pick(vel, 1), pole_ang=pick(ang, 1),
+    )
+
+
+def to_rigid(s: SoAState) -> RigidState:
+    """Component rows → (E, 2, k) AoS."""
+    stack2 = lambda a, b: jnp.stack([jnp.stack(a, -1), jnp.stack(b, -1)], -2)
+    return RigidState(
+        pos=stack2(s.cart_pos, s.pole_pos),
+        quat=stack2(s.cart_quat, s.pole_quat),
+        vel=stack2(s.cart_vel, s.pole_vel),
+        ang=stack2(s.cart_ang, s.pole_ang),
+    )
+
+
+# Static slot constants (same 16-slot manifold as contacts.py).
+_CART_CORNERS = np.asarray(_BOTTOM4, np.float32)  # (4,3) signs
+_POLE_CORNERS8 = np.asarray(_ALL8, np.float32)  # (8,3)
+_POLE_BOTTOM = np.asarray(_BOTTOM4, np.float32)  # (4,3)
+N_SLOTS = 16
+# body_a per slot: cart ×4 then pole ×12 ; body_b: ground ×12 then cart ×4.
+_A_IS_CART = np.asarray([1.0] * 4 + [0.0] * 12, np.float32)[:, None]
+_B_IS_CART = np.asarray([0.0] * 12 + [1.0] * 4, np.float32)[:, None]
+
+
+def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
+    """One dt substep, everything (E,)/(16,E) shaped. Mirrors engine.substep."""
+    dt = scene.dt
+    g = scene.gravity  # numpy (3,)
+    inv_m = scene.inv_mass  # numpy (2,)
+    mu_cg = scene.friction_cart_ground
+    mu_pc = scene.friction_pole_cart
+    mu_pg = scene.friction_pole_ground
+
+    # 1. integrate external forces into velocities
+    cart_vel = (
+        s.cart_vel[0] + dt * inv_m[0] * force[0],
+        s.cart_vel[1] + dt * inv_m[0] * force[1],
+        s.cart_vel[2] + dt * (g[2] + inv_m[0] * force[2]),
+    )
+    pole_vel = (s.pole_vel[0], s.pole_vel[1], s.pole_vel[2] + dt * g[2])
+    cart_ang, pole_ang = s.cart_ang, s.pole_ang
+    if float(scene.linear_damping) != 0.0:
+        d = 1.0 - scene.linear_damping
+        cart_vel = v_scale(cart_vel, d)
+        pole_vel = v_scale(pole_vel, d)
+    if float(scene.angular_damping) != 0.0:
+        d = 1.0 - scene.angular_damping
+        cart_ang = v_scale(cart_ang, d)
+        pole_ang = v_scale(pole_ang, d)
+
+    # 2. contact manifold: per-slot (16, E) quantities.
+    che = scene.cart_half_extents  # numpy (3,)
+    phe = scene.pole_half_extents
+
+    def stack_rows(rows):
+        return jnp.stack(rows, axis=0)  # (k, E)
+
+    # world corners for each slot group
+    def corners_world(pos, quat, signs, he):
+        """→ tuple of 3 arrays (k, E): pos + R(quat)·(signs*he)."""
+        outs = []
+        for k in range(signs.shape[0]):
+            off = (
+                float(signs[k, 0] * he[0]),
+                float(signs[k, 1] * he[1]),
+                float(signs[k, 2] * he[2]),
+            )
+            outs.append(q_rotate(quat, off))
+        wx = stack_rows([pos[0] + o[0] for o in outs])
+        wy = stack_rows([pos[1] + o[1] for o in outs])
+        wz = stack_rows([pos[2] + o[2] for o in outs])
+        return (wx, wy, wz)
+
+    cgw = corners_world(s.cart_pos, s.cart_quat, _CART_CORNERS, che)  # (4,E)
+    pgw = corners_world(s.pole_pos, s.pole_quat, _POLE_CORNERS8, phe)  # (8,E)
+    pbw = corners_world(s.pole_pos, s.pole_quat, _POLE_BOTTOM, phe)  # (4,E)
+
+    # ground slots: penetration = -z, normal = +z
+    pen_cg = -cgw[2]
+    pen_pg = -pgw[2]
+    act_cg = (pen_cg > 0.0).astype(pen_cg.dtype)
+    act_pg = (pen_pg > 0.0).astype(pen_pg.dtype)
+
+    # pole-bottom corners in the cart frame; top face z = +hz there.
+    rel = v_sub(pbw, (s.cart_pos[0][None], s.cart_pos[1][None], s.cart_pos[2][None]))
+    in_cart = q_rotate_inv(
+        tuple(c[None] for c in s.cart_quat), rel
+    )  # (4, E) components
+    pen_pc = float(che[2]) - in_cart[2]
+    margin = 1e-3
+    act_pc = (
+        (jnp.abs(in_cart[0]) <= float(che[0]) + margin)
+        & (jnp.abs(in_cart[1]) <= float(che[1]) + margin)
+        & (pen_pc > 0.0)
+        & (pen_pc < _TOP_FACE_BAND * float(che[2]))
+    ).astype(pen_pc.dtype)
+
+    # cart top-face normal in world (shared by the 4 pole-cart slots)
+    up = (0.0, 0.0, 1.0)
+    n_pc = q_rotate(s.cart_quat, up)  # (E,) components
+
+    # assemble (16, E) slot planes
+    zeros_like_row = jnp.zeros_like(pen_cg[:1])
+    pen = jnp.concatenate([pen_cg, pen_pg, pen_pc], axis=0)  # (16,E)
+    active = jnp.concatenate([act_cg, act_pg, act_pc], axis=0)
+    one_row = jnp.ones_like(pen_cg)
+    nx = jnp.concatenate(
+        [0.0 * pen_cg, 0.0 * pen_pg, jnp.broadcast_to(n_pc[0][None], pen_pc.shape)]
+    )
+    ny = jnp.concatenate(
+        [0.0 * pen_cg, 0.0 * pen_pg, jnp.broadcast_to(n_pc[1][None], pen_pc.shape)]
+    )
+    nz = jnp.concatenate(
+        [one_row, jnp.ones_like(pen_pg), jnp.broadcast_to(n_pc[2][None], pen_pc.shape)]
+    )
+    n = (nx, ny, nz)
+    mu = jnp.concatenate(
+        [
+            jnp.full_like(pen_cg, float(mu_cg)),
+            jnp.full_like(pen_pg, float(mu_pg)),
+            jnp.full_like(pen_pc, float(mu_pc)),
+        ]
+    )
+
+    # r_a: contact point minus body_a COM; r_b for the cart side of pole-cart.
+    corners = (
+        jnp.concatenate([cgw[0], pgw[0], pbw[0]]),
+        jnp.concatenate([cgw[1], pgw[1], pbw[1]]),
+        jnp.concatenate([cgw[2], pgw[2], pbw[2]]),
+    )  # (16, E)
+    pos_a = tuple(
+        _A_IS_CART * c[None] + (1.0 - _A_IS_CART) * p[None]
+        for c, p in zip(s.cart_pos, s.pole_pos)
+    )
+    r_a = v_sub(corners, pos_a)  # (16,E)
+    r_b = tuple(_B_IS_CART * (c - cp[None]) for c, cp in zip(corners, s.cart_pos))
+
+    # 3. solver: mass-splitting Jacobi (same scheme as solver.py).
+    iiw_c = inv_inertia_world(s.cart_quat, scene.inv_inertia_body[0])
+    iiw_p = inv_inertia_world(s.pole_quat, scene.inv_inertia_body[1])
+
+    # per-body active contact counts (mass splitting).  The cart is body_a of
+    # slots 0-3 and body_b of 12-15; the pole is body_a of every slot 4-15.
+    cnt_cart = jnp.sum(active * (_A_IS_CART + _B_IS_CART), axis=0)  # (E,)
+    cnt_pole = jnp.sum(active * (1.0 - _A_IS_CART), axis=0)
+    cnt_cart = jnp.maximum(cnt_cart, 1.0)
+    cnt_pole = jnp.maximum(cnt_pole, 1.0)
+    n_a = _A_IS_CART * cnt_cart[None] + (1.0 - _A_IS_CART) * cnt_pole[None]
+    n_b = _B_IS_CART * cnt_cart[None]  # ground side contributes nothing
+
+    invm_a = (_A_IS_CART * inv_m[0] + (1.0 - _A_IS_CART) * inv_m[1]) * n_a
+    invm_b = _B_IS_CART * inv_m[0] * n_b
+
+    # per-slot inverse inertia (select cart/pole rows, scaled by counts)
+    def slot_inertia():
+        rows = []
+        for i in range(3):
+            row = []
+            for j in range(3):
+                m_a = _A_IS_CART * iiw_c[i][j][None] + (1.0 - _A_IS_CART) * iiw_p[i][j][None]
+                m_b = _B_IS_CART * iiw_c[i][j][None]
+                row.append((m_a * n_a, m_b * n_b))
+            rows.append(tuple(row))
+        return tuple(rows)
+
+    ii = slot_inertia()  # ii[i][j] = (a_side (16,E), b_side (16,E))
+
+    def eff_inv_mass(d):
+        def ang_term(side, r):
+            rxd = v_cross(r, d)
+            ird = tuple(
+                ii[i][0][side] * rxd[0] + ii[i][1][side] * rxd[1] + ii[i][2][side] * rxd[2]
+                for i in range(3)
+            )
+            return v_dot(d, v_cross(ird, r))
+
+        k = invm_a + ang_term(0, r_a) + invm_b + ang_term(1, r_b)
+        return 1.0 / k
+
+    t1, t2 = tangent_basis(n)
+    inv_kn = eff_inv_mass(n)
+    inv_kt1 = eff_inv_mass(t1)
+    inv_kt2 = eff_inv_mass(t2)
+
+    bias = (scene.baumgarte / dt) * jnp.maximum(pen - scene.slop, 0.0)
+
+    def body_vel_at_slots(cv, ca, pv, pa):
+        """velocity of body_a at each slot, minus body_b side."""
+        vel_a = tuple(
+            _A_IS_CART * c[None] + (1.0 - _A_IS_CART) * p[None] for c, p in zip(cv, pv)
+        )
+        ang_a = tuple(
+            _A_IS_CART * c[None] + (1.0 - _A_IS_CART) * p[None] for c, p in zip(ca, pa)
+        )
+        va = v_add(vel_a, v_cross(ang_a, r_a))
+        vel_b = tuple(_B_IS_CART * c[None] for c in cv)
+        ang_b = tuple(_B_IS_CART * c[None] for c in ca)
+        vb = v_add(vel_b, v_cross(ang_b, r_b))
+        return v_sub(va, vb)
+
+    def iteration(_, carry):
+        cv0, cv1, cv2, ca0, ca1, ca2, pv0, pv1, pv2, pa0, pa1, pa2, jn, jt1, jt2 = carry
+        cv, ca = (cv0, cv1, cv2), (ca0, ca1, ca2)
+        pv, pa = (pv0, pv1, pv2), (pa0, pa1, pa2)
+        v = body_vel_at_slots(cv, ca, pv, pa)
+
+        vn = v_dot(v, n)
+        jn_new = jnp.maximum(jn + (bias - vn) * inv_kn * active, 0.0)
+        dn = jn_new - jn
+        bound = mu * jn_new
+        vt1 = v_dot(v, t1)
+        vt2 = v_dot(v, t2)
+        jt1_new = jnp.clip(jt1 - vt1 * inv_kt1 * active, -bound, bound)
+        jt2_new = jnp.clip(jt2 - vt2 * inv_kt2 * active, -bound, bound)
+        d1 = jt1_new - jt1
+        d2 = jt2_new - jt2
+
+        imp = tuple(
+            dn * a + d1 * b + d2 * c for a, b, c in zip(n, t1, t2)
+        )  # (16,E) ×3
+
+        # scatter to bodies (static slot ranges)
+        imp_cart = tuple(
+            jnp.sum(_A_IS_CART * i, axis=0) - jnp.sum(_B_IS_CART * i, axis=0)
+            for i in imp
+        )
+        imp_pole = tuple(jnp.sum((1.0 - _A_IS_CART) * i, axis=0) for i in imp)
+        cv = v_add(cv, v_scale(imp_cart, inv_m[0]))
+        pv = v_add(pv, v_scale(imp_pole, inv_m[1]))
+
+        tau_a = v_cross(r_a, imp)  # (16,E)
+        tau_b = v_cross(r_b, imp)
+        tau_cart = tuple(
+            jnp.sum(_A_IS_CART * ta, axis=0) - jnp.sum(_B_IS_CART * tb, axis=0)
+            for ta, tb in zip(tau_a, tau_b)
+        )
+        tau_pole = tuple(jnp.sum((1.0 - _A_IS_CART) * ta, axis=0) for ta in tau_a)
+        ca = v_add(ca, m_vec(iiw_c, tau_cart))
+        pa = v_add(pa, m_vec(iiw_p, tau_pole))
+
+        return (*cv, *ca, *pv, *pa, jn_new, jt1_new, jt2_new)
+
+    zeros = jnp.zeros_like(pen)
+    carry = (*cart_vel, *cart_ang, *pole_vel, *pole_ang, zeros, zeros, zeros)
+    carry = jax.lax.fori_loop(0, scene.solver_iterations, iteration, carry)
+    cart_vel, cart_ang = carry[0:3], carry[3:6]
+    pole_vel, pole_ang = carry[6:9], carry[9:12]
+
+    # 4. integrate pose
+    cart_pos = v_add(s.cart_pos, v_scale(cart_vel, dt))
+    pole_pos = v_add(s.pole_pos, v_scale(pole_vel, dt))
+    cart_quat = q_integrate(s.cart_quat, cart_ang, dt)
+    pole_quat = q_integrate(s.pole_quat, pole_ang, dt)
+    return SoAState(
+        cart_pos=cart_pos, cart_quat=cart_quat, cart_vel=cart_vel, cart_ang=cart_ang,
+        pole_pos=pole_pos, pole_quat=pole_quat, pole_vel=pole_vel, pole_ang=pole_ang,
+    )
+
+
+def step_substeps_batched(
+    scene: SceneParams,
+    state: RigidState,
+    cart_force: jnp.ndarray,
+    num_substeps: int,
+) -> RigidState:
+    """Batched drop-in for vmap(engine.step_substeps): (E,…) in/out.
+
+    ``cart_force``: (E, 3) world-frame force applied at the cart COM, held
+    constant across the substeps (reference bullet_cartpole.py:~L207-215).
+    """
+    s = from_rigid(state)
+    force = tuple(cart_force[..., i] for i in range(3))
+
+    def body(s, _):
+        return _substep(scene, s, force), None
+
+    s, _ = jax.lax.scan(body, s, None, length=num_substeps)
+    return to_rigid(s)

@@ -1,15 +1,24 @@
-"""Sequential-impulse (PGS) contact solver, branchless and batch-friendly.
+"""Contact solver: mass-splitting Jacobi impulses, all slots in parallel.
 
 Replaces Bullet's C++ ``btSequentialImpulseConstraintSolver`` (invoked inside
 ``p.stepSimulation``, reference bullet_cartpole.py:~L209-225).  Design notes
 for TPU:
 
-* The contact manifold has a *static* 16-slot layout (contacts.py), so the
-  Gauss-Seidel sweep over slots is a compile-time-unrolled Python loop with
-  static body indices — no gathers, no dynamic control flow.
-* The iteration loop is a ``lax.fori_loop`` so the compiled graph stays small
-  regardless of iteration count.
-* Inactive slots participate with a 0 mask instead of being skipped — the
+* A Gauss-Seidel sweep (Bullet's choice, and this module's first version) is
+  a *sequential* chain of ~16 slots × ~15 tiny ops per iteration — dependency
+  depth, not FLOPs, dominates on TPU.  This solver instead updates ALL 16
+  contact slots simultaneously each iteration (Jacobi), with **mass
+  splitting**: each body's inverse mass/inertia is scaled by its number of
+  active contacts when computing per-contact impulses, which makes the
+  simultaneous update provably non-overshooting (each contact pushes a
+  virtual sub-body of mass m/n; merging sub-bodies averages velocities).
+  Accuracy per iteration is lower than Gauss-Seidel, so the default iteration
+  count is higher (bodies.SceneParams.solver_iterations = 16) — still ~10×
+  shallower end-to-end.
+* All per-slot math is vectorized over the static 16-slot manifold
+  (contacts.py); impulses scatter back to the 2 bodies through constant
+  (2, 16) incidence matrices — a tiny matmul instead of 16 ``.at[].add``s.
+* Inactive slots participate with a 0 mask instead of being skipped; the
   branchless formulation is what makes 4096-way ``vmap`` free.
 * Velocity-level Baumgarte stabilisation with slop, friction via a 2-tangent
   pyramid clamped by μ·λₙ, restitution 0 (Bullet's default).
@@ -22,40 +31,50 @@ import jax.numpy as jnp
 import numpy as np
 
 from cartpoleplusplus_tpu.physics import math3d
-from cartpoleplusplus_tpu.physics.bodies import RigidState, SceneParams
+from cartpoleplusplus_tpu.physics.bodies import NUM_BODIES, RigidState, SceneParams
 from cartpoleplusplus_tpu.physics.contacts import BODY_A, BODY_B, N_CONTACTS, Contacts
+
+# Static incidence: INC_A[b, c] = 1 iff slot c's body_a is b (same for B).
+_IDX_A = np.asarray(BODY_A)
+_IDX_B = np.asarray([max(b, 0) for b in BODY_B])
+_MASK_B = np.asarray([1.0 if b >= 0 else 0.0 for b in BODY_B], np.float32)
+INC_A = np.zeros((NUM_BODIES, N_CONTACTS), np.float32)
+INC_A[_IDX_A, np.arange(N_CONTACTS)] = 1.0
+INC_B = np.zeros((NUM_BODIES, N_CONTACTS), np.float32)
+INC_B[_IDX_B, np.arange(N_CONTACTS)] = _MASK_B
 
 
 def _world_inv_inertia(scene: SceneParams, state: RigidState) -> jnp.ndarray:
     """World-frame inverse inertia tensors, (2, 3, 3) = R diag(I⁻¹) Rᵀ."""
     rot = math3d.quat_to_mat(state.quat)  # (2, 3, 3)
-    return jnp.einsum("bij,bj,bkj->bik", rot, scene.inv_inertia_body, rot)
+    return jnp.einsum("bij,bj,bkj->bik", rot, jnp.asarray(scene.inv_inertia_body), rot)
 
 
 def solve(
     scene: SceneParams, state: RigidState, contacts: Contacts
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Run PGS on the velocity state; returns corrected (vel, ang).
+    """Run mass-splitting Jacobi on the velocity state; returns (vel, ang).
 
     Unbatched (one env); vmap at the env layer.
     """
-    dtype = state.vel.dtype
-    inv_mass = scene.inv_mass
+    inv_mass = jnp.asarray(scene.inv_mass, state.vel.dtype)  # (2,)
     inv_inertia = _world_inv_inertia(scene, state)  # (2,3,3)
 
-    n = contacts.normal
+    n = contacts.normal  # (C,3)
     t1, t2 = math3d.make_tangent_basis(n)
     r_a, r_b = contacts.r_a, contacts.r_b
-    active = contacts.active
+    active = contacts.active  # (C,)
 
-    # Effective masses along normal and tangents, vectorised over all slots.
-    # BODY_A / BODY_B are static tuples; numpy index arrays keep the gathers
-    # host-side constants (scene.inv_mass is a numpy constant too).
-    idx_a = np.asarray(BODY_A)
-    idx_b = np.asarray([max(b, 0) for b in BODY_B])
-    mask_b = np.asarray([1.0 if b >= 0 else 0.0 for b in BODY_B], dtype)
-    invm_a, invm_b = inv_mass[idx_a], inv_mass[idx_b]
-    inertia_a, inertia_b = inv_inertia[idx_a], inv_inertia[idx_b]
+    # Mass splitting: per-body active-contact counts (static within the
+    # substep — the manifold doesn't change during iterations).
+    count = INC_A @ active + INC_B @ active  # (2,)
+    count = jnp.maximum(count, 1.0)
+    n_a, n_b_cnt = count[_IDX_A], count[_IDX_B]  # (C,)
+
+    invm_a = inv_mass[_IDX_A] * n_a
+    invm_b = inv_mass[_IDX_B] * n_b_cnt * _MASK_B
+    inertia_a = inv_inertia[_IDX_A] * n_a[:, None, None]
+    inertia_b = inv_inertia[_IDX_B] * (n_b_cnt * _MASK_B)[:, None, None]
 
     def eff_inv_mass(direction):
         def ang_term(inertia, r):
@@ -65,14 +84,10 @@ def solve(
                 axis=-1,
             )
 
-        k = (
-            invm_a
-            + ang_term(inertia_a, r_a)
-            + mask_b * (invm_b + ang_term(inertia_b, r_b))
-        )
+        k = invm_a + ang_term(inertia_a, r_a) + invm_b + ang_term(inertia_b, r_b)
         return 1.0 / k
 
-    inv_kn = eff_inv_mass(n)
+    inv_kn = eff_inv_mass(n)  # (C,)
     inv_kt1 = eff_inv_mass(t1)
     inv_kt2 = eff_inv_mass(t2)
 
@@ -81,49 +96,51 @@ def solve(
         contacts.penetration - scene.slop, 0.0
     )
 
-    def rel_vel(vel, ang, i):
-        a, b = BODY_A[i], BODY_B[i]
-        v = vel[a] + jnp.cross(ang[a], r_a[i])
-        if b >= 0:
-            v = v - vel[b] - jnp.cross(ang[b], r_b[i])
-        return v
+    mask_b = jnp.asarray(_MASK_B, state.vel.dtype)
 
-    def apply_impulse(vel, ang, i, imp):
-        a, b = BODY_A[i], BODY_B[i]
-        vel = vel.at[a].add(inv_mass[a] * imp)
-        ang = ang.at[a].add(inv_inertia[a] @ jnp.cross(r_a[i], imp))
-        if b >= 0:
-            vel = vel.at[b].add(-inv_mass[b] * imp)
-            ang = ang.at[b].add(-(inv_inertia[b] @ jnp.cross(r_b[i], imp)))
+    def rel_vel(vel, ang):
+        """(C, 3) relative velocity at every slot, one shot."""
+        v_a = vel[_IDX_A] + jnp.cross(ang[_IDX_A], r_a)
+        v_b = vel[_IDX_B] + jnp.cross(ang[_IDX_B], r_b)
+        return v_a - mask_b[:, None] * v_b
+
+    def apply_impulses(vel, ang, imp):
+        """Scatter (C, 3) impulse vectors back to the 2 bodies."""
+        # Linear: Δv_b = m⁻¹_b Σ_c ±imp_c  (signed incidence matmul).
+        signed = INC_A @ imp - INC_B @ imp  # (2,3)
+        vel = vel + inv_mass[:, None] * signed
+        # Angular: torque impulses r × imp, gathered per body then rotated
+        # through the world inverse inertia.
+        tau_a = jnp.cross(r_a, imp)
+        tau_b = jnp.cross(r_b, imp)
+        tau = INC_A @ tau_a - INC_B @ tau_b  # (2,3)
+        ang = ang + jnp.einsum("bij,bj->bi", inv_inertia, tau)
         return vel, ang
 
     def iteration(_, carry):
         vel, ang, jn, jt1, jt2 = carry
-        for i in range(N_CONTACTS):
-            # Normal impulse with accumulated clamping at 0.
-            vn = jnp.dot(rel_vel(vel, ang, i), n[i])
-            dj = (bias[i] - vn) * inv_kn[i] * active[i]
-            jn_new = jnp.maximum(jn[i] + dj, 0.0)
-            d = jn_new - jn[i]
-            jn = jn.at[i].set(jn_new)
-            vel, ang = apply_impulse(vel, ang, i, d * n[i])
+        v = rel_vel(vel, ang)  # (C,3)
 
-            # Friction along both tangents, clamped by the friction cone.
-            bound = contacts.mu[i] * jn[i]
-            vt1 = jnp.dot(rel_vel(vel, ang, i), t1[i])
-            jt1_new = jnp.clip(jt1[i] - vt1 * inv_kt1[i] * active[i], -bound, bound)
-            d1 = jt1_new - jt1[i]
-            jt1 = jt1.at[i].set(jt1_new)
-            vel, ang = apply_impulse(vel, ang, i, d1 * t1[i])
+        # Normal phase: accumulated clamping at 0, all slots at once.
+        vn = jnp.sum(v * n, axis=-1)
+        jn_new = jnp.maximum(jn + (bias - vn) * inv_kn * active, 0.0)
+        dn = jn_new - jn
 
-            vt2 = jnp.dot(rel_vel(vel, ang, i), t2[i])
-            jt2_new = jnp.clip(jt2[i] - vt2 * inv_kt2[i] * active[i], -bound, bound)
-            d2 = jt2_new - jt2[i]
-            jt2 = jt2.at[i].set(jt2_new)
-            vel, ang = apply_impulse(vel, ang, i, d2 * t2[i])
-        return vel, ang, jn, jt1, jt2
+        # Friction phase (same pre-impulse velocities; pyramid clamp at the
+        # *updated* normal impulse).
+        bound = contacts.mu * jn_new
+        vt1 = jnp.sum(v * t1, axis=-1)
+        vt2 = jnp.sum(v * t2, axis=-1)
+        jt1_new = jnp.clip(jt1 - vt1 * inv_kt1 * active, -bound, bound)
+        jt2_new = jnp.clip(jt2 - vt2 * inv_kt2 * active, -bound, bound)
+        d1 = jt1_new - jt1
+        d2 = jt2_new - jt2
 
-    zeros = jnp.zeros((N_CONTACTS,), dtype)
+        imp = dn[:, None] * n + d1[:, None] * t1 + d2[:, None] * t2
+        vel, ang = apply_impulses(vel, ang, imp)
+        return vel, ang, jn_new, jt1_new, jt2_new
+
+    zeros = jnp.zeros((N_CONTACTS,), state.vel.dtype)
     vel, ang, _, _, _ = jax.lax.fori_loop(
         0,
         scene.solver_iterations,

@@ -77,12 +77,32 @@ def add_batch(
     """
     b = s1.shape[0]
     cap = replay.capacity
+    if cap % b == 0:
+        # Aligned fast path: the cursor starts at 0 and advances by b, so a
+        # batch never wraps mid-write — one contiguous dynamic_update_slice
+        # per field.  This is what keeps the fused loop fast: XLA updates the
+        # donated buffer in place, whereas a general scatter with computed
+        # indices can force a full-buffer materialisation per step (for
+        # pixel observations that is hundreds of MB per env step).
+        def upd(buf, val):
+            start = (replay.cursor,) + (jnp.zeros((), jnp.int32),) * (buf.ndim - 1)
+            return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype), start)
+
+        return replay.replace(
+            s1=upd(replay.s1, s1),
+            action=upd(replay.action, action),
+            reward=upd(replay.reward, reward),
+            s2=upd(replay.s2, s2),
+            terminal=upd(replay.terminal, terminal),
+            cursor=(replay.cursor + b) % cap,
+            size=jnp.minimum(replay.size + b, cap),
+        )
     idx = (replay.cursor + jnp.arange(b, dtype=jnp.int32)) % cap
     return replay.replace(
-        s1=replay.s1.at[idx].set(s1),
-        action=replay.action.at[idx].set(action),
+        s1=replay.s1.at[idx].set(s1.astype(replay.s1.dtype)),
+        action=replay.action.at[idx].set(action.astype(replay.action.dtype)),
         reward=replay.reward.at[idx].set(reward.astype(jnp.float32)),
-        s2=replay.s2.at[idx].set(s2),
+        s2=replay.s2.at[idx].set(s2.astype(replay.s2.dtype)),
         terminal=replay.terminal.at[idx].set(terminal),
         cursor=(replay.cursor + b) % cap,
         size=jnp.minimum(replay.size + b, cap),
@@ -95,6 +115,25 @@ def add(replay: ReplayState, s1, action, reward, s2, terminal) -> ReplayState:
     return add_batch(
         replay, one(s1), one(action), one(reward), one(s2), one(terminal)
     )
+
+
+def encode_obs(obs: jnp.ndarray, storage_dtype) -> jnp.ndarray:
+    """Quantize [0,1] float observations for storage (uint8 = 4× less HBM).
+
+    Pixel replay at scale is HBM-bound (4096 envs × 22.5k floats per obs);
+    the reference stored renders as PNG bytes on disk (event_log.py) — the
+    on-device analogue is uint8 quantization.
+    """
+    if storage_dtype == jnp.uint8:
+        return jnp.clip(obs * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    return obs.astype(storage_dtype)
+
+
+def decode_obs(stored: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of encode_obs: back to float32 in [0,1]."""
+    if stored.dtype == jnp.uint8:
+        return stored.astype(jnp.float32) * (1.0 / 255.0)
+    return stored.astype(jnp.float32)
 
 
 def sample(

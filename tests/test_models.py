@@ -16,7 +16,7 @@ from cartpoleplusplus_tpu.models import (
 )
 
 LOWDIM = (3, 2, 7)  # (repeats, bodies, pose)
-PIXELS = (2, 2, 50, 50, 3)  # (repeats, cams, H, W, 3)
+PIXELS = (2, 2 * 50 * 50 * 3)  # (repeats, flat cams·H·W·3)
 
 
 def _batch(shape, b=4, key=0):
@@ -33,8 +33,12 @@ def test_pixels_to_nhwc():
     obs = _batch(PIXELS, b=2)
     nhwc = pixels_to_nhwc(obs, batched=True)
     assert nhwc.shape == (2, 50, 50, 12)
-    # Channel packing: (r, c, rgb) → channel index r*cams*3 + c*3 + rgb.
-    np.testing.assert_allclose(nhwc[1, 7, 9, 1 * 6 + 1 * 3 + 2], obs[1, 1, 1, 7, 9, 2])
+    # Channel packing: (r, c, rgb) → channel index r*cams*3 + c*3 + rgb;
+    # flat frames are plane-major: (cam, rgb, y, x).
+    planes = np.asarray(obs).reshape(2, 2, 2, 3, 50, 50)
+    np.testing.assert_allclose(
+        nhwc[1, 7, 9, 1 * 6 + 1 * 3 + 2], planes[1, 1, 1, 2, 7, 9]
+    )
 
 
 def test_policy_and_q_shapes():
@@ -63,9 +67,10 @@ def test_actor_critic_shapes():
 
 def test_pixel_trunk_shapes():
     obs = _batch(PIXELS, b=2)
-    actor = Actor(action_dim=2, use_raw_pixels=True)
-    params = actor.init(jax.random.PRNGKey(0), obs)
-    assert actor.apply(params, obs).shape == (2, 2)
+    for enc in ("dense", "conv"):
+        actor = Actor(action_dim=2, use_raw_pixels=True, pixel_encoder=enc)
+        params = actor.init(jax.random.PRNGKey(0), obs)
+        assert actor.apply(params, obs).shape == (2, 2)
 
 
 def test_naf_advantage_is_nonpositive_and_zero_at_mu():

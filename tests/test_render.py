@@ -27,29 +27,34 @@ from cartpoleplusplus_tpu.render.raycast import (
 )
 
 
+def _ray(ox, oy, oz, dx, dy, dz):
+    """Single-ray component tuples for the SoA _ray_box API."""
+    one = jnp.ones((1,))
+    return (ox * one, oy * one, oz * one), (dx * one, dy * one, dz * one)
+
+
 def test_ray_box_hit_and_normal():
-    he = jnp.array([1.0, 1.0, 1.0])
-    origin = jnp.array([[-5.0, 0.0, 0.0]])
-    direction = jnp.array([[1.0, 0.0, 0.0]])
+    he = (1.0, 1.0, 1.0)
+    origin, direction = _ray(-5.0, 0.0, 0.0, 1.0, 0.0, 0.0)
     t, n, hit = _ray_box(origin, direction, he)
     assert bool(hit[0])
     np.testing.assert_allclose(t[0], 4.0, rtol=1e-5)
-    np.testing.assert_allclose(n[0], [-1.0, 0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(
+        [float(n[0][0]), float(n[1][0]), float(n[2][0])], [-1.0, 0.0, 0.0], atol=1e-6
+    )
 
 
 def test_ray_box_miss():
-    he = jnp.array([1.0, 1.0, 1.0])
-    origin = jnp.array([[-5.0, 3.0, 0.0]])
-    direction = jnp.array([[1.0, 0.0, 0.0]])
+    he = (1.0, 1.0, 1.0)
+    origin, direction = _ray(-5.0, 3.0, 0.0, 1.0, 0.0, 0.0)
     t, _, hit = _ray_box(origin, direction, he)
     assert not bool(hit[0])
     assert float(t[0]) > 1e8
 
 
 def test_ray_from_inside_box():
-    he = jnp.array([1.0, 1.0, 1.0])
-    origin = jnp.array([[0.0, 0.0, 0.0]])
-    direction = jnp.array([[0.0, 0.0, 1.0]])
+    he = (1.0, 1.0, 1.0)
+    origin, direction = _ray(0.0, 0.0, 0.0, 0.0, 0.0, 1.0)
     t, _, hit = _ray_box(origin, direction, he)
     assert bool(hit[0])
     np.testing.assert_allclose(t[0], 1.0, rtol=1e-5)
@@ -64,7 +69,7 @@ def test_scene_center_ray_sees_pole():
     rgb = render_rays(scene, rigid, origin, dirs)
     np.testing.assert_allclose(
         np.asarray(rgb[0]) / np.asarray(rgb[0]).max(),
-        POLE_COLOR / POLE_COLOR.max(),
+        np.asarray(POLE_COLOR) / np.asarray(POLE_COLOR).max(),
         atol=0.02,
     )
 
@@ -75,8 +80,8 @@ def test_scene_ray_sees_cart_and_sky():
     origin = jnp.array([0.0, -3.0, 0.1])
     dirs = jnp.array([[0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])  # at cart; straight up
     rgb = np.asarray(render_rays(scene, rigid, origin, dirs))
-    np.testing.assert_allclose(rgb[0] / rgb[0].max(), CART_COLOR / CART_COLOR.max(), atol=0.02)
-    np.testing.assert_allclose(rgb[1], SKY_COLOR, atol=1e-5)
+    np.testing.assert_allclose(rgb[0] / rgb[0].max(), np.asarray(CART_COLOR) / np.asarray(CART_COLOR).max(), atol=0.02)
+    np.testing.assert_allclose(rgb[1], np.asarray(SKY_COLOR), atol=1e-5)
 
 
 def test_observe_pixels_shape_and_content():
@@ -87,15 +92,19 @@ def test_observe_pixels_shape_and_content():
     scene = cartpole_mod.scene_for(cfg)
     observe = make_observe_pixels(cfg)
     frame = jax.jit(lambda r: observe(scene, r))(rest_state(scene))
-    assert frame.shape == (2, 50, 50, 3)
-    img = np.asarray(frame[0])
+    assert frame.shape == (2 * 50 * 50 * 3,)
+    from cartpoleplusplus_tpu.render.raycast import frame_to_images
+
+    imgs = frame_to_images(cfg, frame)
+    assert imgs.shape == (2, 50, 50, 3)
+    img = imgs[0]
     assert img.min() >= 0.0 and img.max() <= 1.0
     # Pole (red-dominant) visible near image center columns.
     center = img[:, 20:30, :]
     red_dom = (center[..., 0] > center[..., 2] + 0.2).sum()
     assert red_dom > 20, "pole should be visible near the center"
     # Sky at the top corners, ground in the bottom rows.
-    np.testing.assert_allclose(img[0, 0], SKY_COLOR, atol=0.02)
+    np.testing.assert_allclose(img[0, 0], np.asarray(SKY_COLOR), atol=0.02)
     bottom = img[-1, :, :]
     assert (np.abs(bottom[:, 0] - bottom[:, 1]) < 0.05).all(), "bottom row is gray ground"
 
@@ -110,11 +119,11 @@ def test_pixel_env_step_end_to_end():
     state, obs = jax.jit(lambda k: cartpole_mod.reset(cfg, scene, k, observe))(
         jax.random.PRNGKey(0)
     )
-    assert obs.shape == (2, 1, 24, 24, 3)
+    assert obs.shape == (2, 24 * 24 * 3)
     state, obs, reward, done = jax.jit(
         lambda s, a: cartpole_mod.step(cfg, scene, s, a, observe)
     )(state, jnp.int32(1))
-    assert obs.shape == (2, 1, 24, 24, 3)
+    assert obs.shape == (2, 24 * 24 * 3)
     # Frames change over time (cart moved under the initial push).
     assert not np.allclose(np.asarray(obs[0]), np.asarray(obs[1]))
 
@@ -126,7 +135,7 @@ def test_render_vmap_batch():
     cam = Camera(eye=(0.0, -2.4, 1.1), target=(0.0, 0.0, 0.4))
     dirs, eye = ray_grid(cam, 16, 16)
     out = jax.jit(
-        jax.vmap(lambda r: render_rays(scene, r, jnp.asarray(eye), jnp.asarray(dirs)))
+        jax.vmap(lambda r: render_rays(scene, r, eye, dirs))
     )(batch)
     assert out.shape == (3, 256, 3)
     np.testing.assert_allclose(out[0], out[2], atol=1e-6)

@@ -80,3 +80,34 @@ def test_ou_noise_mean_reverts():
     xs = np.stack(xs)
     assert abs(xs.mean()) < 0.2
     assert xs.std() < 1.0
+
+
+def test_pixel_obs_uint8_codec():
+    from cartpoleplusplus_tpu.replay.buffer import decode_obs, encode_obs
+
+    obs = jnp.array([0.0, 0.25, 0.5, 1.0])
+    enc = encode_obs(obs, jnp.uint8)
+    assert enc.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(enc), [0, 64, 128, 255])
+    dec = decode_obs(enc)
+    assert dec.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(obs), atol=1 / 255)
+    # float storage is a passthrough
+    np.testing.assert_allclose(decode_obs(encode_obs(obs, jnp.float32)), obs)
+
+
+def test_add_batch_respects_storage_dtype():
+    replay = create(capacity=8, obs_shape=(4,), action_shape=(), obs_dtype=jnp.uint8)
+    from cartpoleplusplus_tpu.replay.buffer import encode_obs
+
+    obs = jnp.full((4, 4), 0.5)
+    replay = add_batch(
+        replay,
+        encode_obs(obs, jnp.uint8),
+        jnp.zeros(4),
+        jnp.ones(4),
+        encode_obs(obs, jnp.uint8),
+        jnp.zeros(4, bool),
+    )
+    assert replay.s1.dtype == jnp.uint8
+    assert int(replay.s1[0, 0]) == 128
