@@ -50,14 +50,29 @@ def make_parser(description: str) -> argparse.ArgumentParser:
     return parser
 
 
-def make_venv(config, num_envs: int) -> VectorCartpole:
-    """Vector env with the right observation fn (pixels iff --use-raw-pixels)."""
+def make_venv(
+    config, num_envs: int, pallas_render: bool = False
+) -> VectorCartpole:
+    """Vector env with the right observation fn (pixels iff --use-raw-pixels).
+
+    ``pallas_render``: use the hand-tiled Pallas camera kernel
+    (render/pallas_kernel.py) instead of the XLA ray caster for the batched
+    path.  Requires num_envs to be a multiple of the kernel's env tile.
+    """
     observe_fn = None
+    observe_batched_fn = None
     if config.use_raw_pixels:
         from cartpoleplusplus_tpu.render import make_observe_pixels
 
         observe_fn = make_observe_pixels(config)
-    return VectorCartpole(config, num_envs=num_envs, observe_fn=observe_fn)
+        if pallas_render:
+            from cartpoleplusplus_tpu.render.pallas_kernel import make_render_batched
+
+            observe_batched_fn = make_render_batched(config)
+    return VectorCartpole(
+        config, num_envs=num_envs, observe_fn=observe_fn,
+        observe_batched_fn=observe_batched_fn,
+    )
 
 
 def eval_rollout(
@@ -79,7 +94,8 @@ def eval_rollout(
         states, obs, ep_len, ep_rew, alive = carry
         action = act_fn(params, obs)
         states, obs, reward, done = cartpole_mod.step_batched(
-            venv.config, venv.scene, states, action, venv.observe_fn
+            venv.config, venv.scene, states, action, venv.observe_fn,
+            venv.observe_batched_fn,
         )
         ep_len = ep_len + alive.astype(jnp.int32)
         ep_rew = ep_rew + reward * alive

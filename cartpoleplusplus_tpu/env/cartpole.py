@@ -225,15 +225,25 @@ def step(
 # ---------------------------------------------------------------------------
 
 
+def _batched_observe(observe_fn, observe_batched_fn):
+    """Pick the batched observation fn: explicit batched (e.g. the Pallas
+    renderer) or vmap of the per-env hook."""
+    if observe_batched_fn is not None:
+        return observe_batched_fn
+    observe = observe_fn or observe_lowdim
+    return lambda scene, rigid: jax.vmap(lambda r: observe(scene, r))(rigid)
+
+
 def reset_batched(
     config: CartpoleConfig,
     scene: SceneParams,
     rng: jax.Array,
     num_envs: int,
     observe_fn: Optional[ObserveFn] = None,
+    observe_batched_fn=None,
 ) -> tuple[EnvState, jnp.ndarray]:
     """Batched reset → (EnvState[E], obs[E, repeats, …])."""
-    observe = observe_fn or observe_lowdim
+    observe_b = _batched_observe(observe_fn, observe_batched_fn)
     k_theta, k_jitter = jax.random.split(rng)
 
     base = rest_state(scene)
@@ -255,7 +265,7 @@ def reset_batched(
     )
     rigid = soa.step_substeps_batched(scene, rigid, push, config.initial_force_steps)
 
-    frame = jax.vmap(lambda r: observe(scene, r))(rigid)
+    frame = observe_b(scene, rigid)
     obs = jnp.broadcast_to(
         frame[:, None], (num_envs, config.action_repeats) + frame.shape[1:]
     )
@@ -273,16 +283,17 @@ def step_batched(
     state: EnvState,
     action: jnp.ndarray,
     observe_fn: Optional[ObserveFn] = None,
+    observe_batched_fn=None,
 ) -> tuple[EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched step → (EnvState[E], obs[E, repeats, …], reward[E], done[E])."""
-    observe = observe_fn or observe_lowdim
+    observe_b = _batched_observe(observe_fn, observe_batched_fn)
     force = jax.vmap(lambda a: action_to_force(config, a))(action)
 
     def repeat_body(rigid, _):
         rigid = soa.step_substeps_batched(
             scene, rigid, force, config.steps_per_repeat
         )
-        return rigid, jax.vmap(lambda r: observe(scene, r))(rigid)
+        return rigid, observe_b(scene, rigid)
 
     rigid, frames = jax.lax.scan(
         repeat_body, state.rigid, None, length=config.action_repeats

@@ -91,14 +91,19 @@ def render_planes(
     rigid: RigidState,
     dirs: tuple[np.ndarray, np.ndarray, np.ndarray],
     eye: tuple[float, float, float],
+    dtype=jnp.float32,
 ):
-    """Shade P rays → (r, g, b) component planes, each (P,).
+    """Shade P rays → (r, g, b) component planes, each (P,) of ``dtype``.
 
     Unbatched over envs (vmap at the env layer keeps the pixel axis
     trailing).  ``dirs`` are static numpy component arrays; ``eye`` static
     floats — both bake into the compiled program.
+
+    ``dtype=jnp.bfloat16`` halves the renderer's HBM traffic; an 8-bit
+    mantissa is ~0.4% relative error — sub-pixel at 50×50 and far below the
+    uint8 quantization the replay buffer applies anyway.
     """
-    dx, dy, dz = (jnp.asarray(d, jnp.float32) for d in dirs)
+    dx, dy, dz = (jnp.asarray(d, dtype) for d in dirs)
     d = (dx, dy, dz)
     e = (float(eye[0]), float(eye[1]), float(eye[2]))
 
@@ -110,10 +115,10 @@ def render_planes(
     checker = jnp.mod(jnp.floor(gx) + jnp.floor(gy), 2.0) > 0.5
 
     # Cart and pole boxes (per-env scalars from the rigid state).
-    cart_c = tuple(rigid.pos[CART, k] for k in range(3))
-    pole_c = tuple(rigid.pos[POLE, k] for k in range(3))
-    cart_q = tuple(rigid.quat[CART, k] for k in range(4))
-    pole_q = tuple(rigid.quat[POLE, k] for k in range(4))
+    cart_c = tuple(rigid.pos[CART, k].astype(dtype) for k in range(3))
+    pole_c = tuple(rigid.pos[POLE, k].astype(dtype) for k in range(3))
+    cart_q = tuple(rigid.quat[CART, k].astype(dtype) for k in range(4))
+    pole_q = tuple(rigid.quat[POLE, k].astype(dtype) for k in range(4))
     t_cart, n_cart, _ = _ray_obb(e, d, cart_c, cart_q, scene.cart_half_extents)
     t_pole, n_pole, _ = _ray_obb(e, d, pole_c, pole_q, scene.pole_half_extents)
 
@@ -171,6 +176,7 @@ def render_rays(
 def make_observe_pixels(
     config,
     cameras: tuple[Camera, ...] | None = None,
+    dtype=jnp.bfloat16,
 ):
     """Build an ObserveFn: (scene, rigid) → FLAT (num_cameras·3·H·W,) frame.
 
@@ -190,7 +196,7 @@ def make_observe_pixels(
     def observe(scene: SceneParams, rigid: RigidState) -> jnp.ndarray:
         planes = []
         for dirs, eye in grids:
-            planes.extend(render_planes(scene, rigid, dirs, eye))
+            planes.extend(render_planes(scene, rigid, dirs, eye, dtype=dtype))
         return jnp.concatenate(planes) if len(planes) > 1 else planes[0]
 
     return observe
