@@ -48,9 +48,13 @@ def run_episode(config, scene, step_fn, reset_fn, rng, collect=False):
             pose = np.asarray(
                 jnp.concatenate([state.rigid.pos, state.rigid.quat], axis=-1)
             )
+            vels = np.concatenate(
+                [np.asarray(state.rigid.vel), np.asarray(state.rigid.ang)], axis=-1
+            )
             events.append(
                 event_log_mod.make_event(
-                    pose[0], pose[1], np.asarray(action), float(reward), done
+                    pose[0], pose[1], np.asarray(action), float(reward), done,
+                    velocities=vels,
                 )
             )
     return rng, steps, total_reward, events

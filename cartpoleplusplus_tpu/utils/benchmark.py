@@ -1,0 +1,161 @@
+"""Benchmark + profiling harness: the framework's perf CLI.
+
+The reference has no benchmarks at all (SURVEY.md §6); its only timing signal
+is per-episode wall-clock lines on stderr.  The rebuild makes throughput a
+first-class CLI: measure the fused sim+render+act+learn loop in env
+steps/sec/chip, optionally capture a ``jax.profiler`` trace, and emit a
+single machine-readable JSON line (the repo-root ``bench.py`` wraps this).
+
+Usage:
+  python -m cartpoleplusplus_tpu.utils.benchmark [--num-envs 4096] [...]
+  cartpole-bench --trace-dir /tmp/trace   # + tensorboard-compatible trace
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+BASELINE_TARGET = 1e7  # env steps/sec/chip, BASELINE.json north star
+
+
+def add_bench_opts(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--num-envs", type=int, default=4096)
+    parser.add_argument("--num-cameras", type=int, default=1)
+    parser.add_argument("--action-repeats", type=int, default=3)
+    parser.add_argument("--steps-per-repeat", type=int, default=5)
+    parser.add_argument("--steps-per-segment", type=int, default=20)
+    parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument("--replay-capacity", type=int, default=4096)
+    parser.add_argument("--segments", type=int, default=5)
+    parser.add_argument("--lowdim", action="store_true",
+                        help="benchmark low-dim obs instead of pixels")
+    parser.add_argument("--pallas-render", action="store_true",
+                        help="use the Pallas camera kernel instead of the "
+                             "XLA ray caster")
+    parser.add_argument("--sim-only", action="store_true",
+                        help="benchmark sim+render only (no learner)")
+    parser.add_argument("--trace-dir", type=str, default=None,
+                        help="capture a jax.profiler trace to this dir")
+
+
+def build(opts):
+    """(state, segment_fn) for the configured fused loop."""
+    from cartpoleplusplus_tpu.agents import common, ddpg as ddpg_mod
+    from cartpoleplusplus_tpu.env.config import CartpoleConfig
+
+    config = CartpoleConfig(
+        discrete_actions=False,
+        use_raw_pixels=not opts.lowdim,
+        num_cameras=opts.num_cameras,
+        render_width=50,
+        render_height=50,
+        action_repeats=opts.action_repeats,
+        steps_per_repeat=opts.steps_per_repeat,
+    )
+    venv = common.make_venv(
+        config, opts.num_envs, pallas_render=getattr(opts, "pallas_render", False)
+    )
+
+    if opts.sim_only:
+        def make_state():
+            states, obs = venv.reset(jax.random.PRNGKey(0))
+            return (states, obs)
+
+        @jax.jit
+        def segment(carry):
+            states, obs = carry
+
+            def body(c, _):
+                states, obs = c
+                action = jnp.tanh(obs.reshape(obs.shape[0], -1)[:, :2].astype(jnp.float32))
+                states, obs, r, d = venv.step(
+                    states, action, jax.random.PRNGKey(0), reset_pool=states
+                )
+                return (states, obs), r.mean()
+
+            carry, rs = jax.lax.scan(body, carry, None, length=opts.steps_per_segment)
+            return carry, {"reward": rs.mean()}
+
+        return jax.jit(make_state)(), segment
+
+    from cartpoleplusplus_tpu.models import Actor, Critic
+
+    actor = Actor(action_dim=2, use_raw_pixels=config.use_raw_pixels)
+    critic = Critic(use_raw_pixels=config.use_raw_pixels)
+    atx, ctx = optax.adam(1e-4), optax.adam(1e-3)
+    o = type("O", (), {"seed": 0, "replay_capacity": opts.replay_capacity})()
+    st = ddpg_mod.init_state(o, config, venv, actor, critic, atx, ctx)
+    segment = jax.jit(
+        ddpg_mod.make_segment(
+            venv, actor, critic, atx, ctx,
+            gamma=0.99, tau=0.005, batch_size=opts.batch_size,
+            warmup_steps=0, steps_per_segment=opts.steps_per_segment,
+            ou_theta=0.15, ou_sigma=0.2,
+        ),
+        donate_argnums=0,
+    )
+    return st, segment
+
+
+def run(opts) -> dict:
+    st, segment = build(opts)
+
+    # Warm up (compile + one segment); synchronize by FETCHING a scalar —
+    # under remote-execution runtimes block_until_ready returns at enqueue.
+    st, m = segment(st)
+    float(m["reward"])
+
+    if opts.trace_dir:
+        jax.profiler.start_trace(opts.trace_dir)
+    t0 = time.perf_counter()
+    for _ in range(opts.segments):
+        st, m = segment(st)
+    float(m["reward"])
+    dt = time.perf_counter() - t0
+    if opts.trace_dir:
+        jax.profiler.stop_trace()
+
+    env_steps = opts.segments * opts.steps_per_segment * opts.num_envs
+    sps = env_steps / dt
+    name = "batched_env_steps_per_sec_per_chip"
+    if not opts.lowdim:
+        name += "_pixel_render"
+    if opts.sim_only:
+        name += "_sim_only"
+    return {
+        "metric": name,
+        "value": round(sps, 1),
+        "unit": "env_steps/sec/chip",
+        "vs_baseline": round(sps / BASELINE_TARGET, 4),
+        "_wall_s": round(dt, 3),
+        "_env_steps": env_steps,
+        "_backend": jax.default_backend(),
+    }
+
+
+def main(argv=None):
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    parser = argparse.ArgumentParser(description="cartpole++ TPU benchmark")
+    add_bench_opts(parser)
+    opts = parser.parse_args(argv)
+    result = run(opts)
+    meta = {k: v for k, v in result.items() if k.startswith("_")}
+    print(json.dumps({k: v for k, v in result.items() if not k.startswith("_")}))
+    print(f"# {meta}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,8 +46,13 @@ def make_event(
     reward: float,
     done: bool,
     renders: Optional[Sequence[np.ndarray]] = None,
+    velocities: Optional[np.ndarray] = None,
 ) -> event_pb2.Event:
-    """Build one Event proto from (7,) poses [pos(3) + quat wxyz(4)]."""
+    """Build one Event proto from (7,) poses [pos(3) + quat wxyz(4)].
+
+    ``velocities``: optional (2, 6) [body, (linear(3), angular(3))] — enables
+    exact re-simulation by the fidelity harness (utils/fidelity.py).
+    """
     ev = event_pb2.Event()
     cart_pose = np.asarray(cart_pose, np.float32)
     pole_pose = np.asarray(pole_pose, np.float32)
@@ -55,6 +60,12 @@ def make_event(
     ev.cart.orientation.extend(cart_pose[3:7].tolist())
     ev.pole.position.extend(pole_pose[:3].tolist())
     ev.pole.orientation.extend(pole_pose[3:7].tolist())
+    if velocities is not None:
+        velocities = np.asarray(velocities, np.float32)
+        ev.cart.linear_velocity.extend(velocities[0, :3].tolist())
+        ev.cart.angular_velocity.extend(velocities[0, 3:6].tolist())
+        ev.pole.linear_velocity.extend(velocities[1, :3].tolist())
+        ev.pole.angular_velocity.extend(velocities[1, 3:6].tolist())
     ev.action.extend(np.atleast_1d(np.asarray(action, np.float32)).tolist())
     ev.reward = float(reward)
     ev.done = bool(done)
