@@ -68,6 +68,11 @@ def add_ddpg_opts(parser):
     parser.add_argument("--ou-theta", type=float, default=0.15)
     parser.add_argument("--ou-sigma", type=float, default=0.2)
     parser.add_argument("--use-batch-norm", action="store_true")
+    parser.add_argument("--reward-scale", type=float, default=1.0,
+                        help="scale rewards in the TD target (stabilizes the "
+                             "critic when returns approach 1/(1-gamma))")
+    parser.add_argument("--grad-clip", type=float, default=0.0,
+                        help="global-norm gradient clip (0 = off)")
 
 
 def make_segment(
@@ -84,6 +89,7 @@ def make_segment(
     steps_per_segment: int,
     ou_theta: float,
     ou_sigma: float,
+    reward_scale: float = 1.0,
     axis_name: str | None = None,
 ):
     """Build the jitted K-step fused train segment.
@@ -117,7 +123,7 @@ def make_segment(
         # TD target from target nets (reference ddpg ~L150-280).
         a2 = actor.apply(target_a, s2)
         q2 = critic.apply(target_c, s2, a2)
-        y = r + gamma * (1.0 - term.astype(jnp.float32)) * q2
+        y = reward_scale * r + gamma * (1.0 - term.astype(jnp.float32)) * q2
         closs, cgrads = jax.value_and_grad(critic_loss_fn)(
             critic_params, s1, a, jax.lax.stop_gradient(y)
         )
@@ -261,8 +267,16 @@ def train(opts) -> float:
     actor = Actor(action_dim=2, use_raw_pixels=config.use_raw_pixels,
                   hidden=tuple(opts.hidden))
     critic = Critic(use_raw_pixels=config.use_raw_pixels, hidden=tuple(opts.hidden))
-    actor_tx = optax.adam(opts.actor_learning_rate)
-    critic_tx = optax.adam(opts.critic_learning_rate)
+
+    def tx(lr):
+        if opts.grad_clip > 0:
+            return optax.chain(
+                optax.clip_by_global_norm(opts.grad_clip), optax.adam(lr)
+            )
+        return optax.adam(lr)
+
+    actor_tx = tx(opts.actor_learning_rate)
+    critic_tx = tx(opts.critic_learning_rate)
     logger = MetricsLogger(opts.metrics_jsonl)
 
     st = init_state(opts, config, venv, actor, critic, actor_tx, critic_tx)
@@ -278,6 +292,7 @@ def train(opts) -> float:
             warmup_steps=opts.warmup_steps,
             steps_per_segment=opts.steps_per_segment,
             ou_theta=opts.ou_theta, ou_sigma=opts.ou_sigma,
+            reward_scale=opts.reward_scale,
         ),
         donate_argnums=0,
     )

@@ -43,6 +43,13 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def load_raw(ckpt_dir: str, step: int) -> Any:
+    """Load a checkpoint as raw nested dicts (no target structure needed)."""
+    path = os.path.join(ckpt_dir, f"ckpt_{step}.msgpack")
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
 def restore_latest(ckpt_dir: str, target: Any) -> tuple[Any, Optional[int]]:
     """Restore the newest checkpoint into ``target``'s structure.
 

@@ -6,23 +6,26 @@ Rebuild of the reference's ``event_log.py`` (~180 LoC, SURVEY.md §2.1/§3.5):
 renders to PNG files.  This is the repo's trajectory replay/inspection
 mechanism and the rebuild's fidelity-harness hook.
 
-Wire format: 4-byte little-endian length prefix + serialized Episode proto
-(schema: utils/event.proto, compiled to event_pb2.py).
+Wire format: trajlog record stream (magic + 4-byte little-endian length
+prefix per record, see native/trajlog.cpp) where each record is a serialized
+Episode proto (schema: utils/event.proto, compiled to event_pb2.py).
+Framing IO runs through the native C++ codec when available
+(utils/native.py), mirroring the reference's reliance on protobuf's C++
+backend for its event logs; a pure-Python path with the identical format is
+the fallback.
 """
 
 from __future__ import annotations
 
 import argparse
 import os
-import struct as struct_mod
 import sys
 from typing import Iterable, Iterator, Optional, Sequence
 
 import numpy as np
 
 from cartpoleplusplus_tpu.utils import event_pb2
-
-_LEN = struct_mod.Struct("<I")
+from cartpoleplusplus_tpu.utils.native import RecordWriter, read_records
 
 
 def _png_encode(rgb: np.ndarray) -> bytes:
@@ -78,36 +81,25 @@ class EventLog:
     """Streaming episode writer (reference EventLog.add_episode)."""
 
     def __init__(self, path: str):
-        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        self._f = open(path, "ab")
+        self._writer = RecordWriter(path)
 
     def add_episode(self, events: Iterable[event_pb2.Event]) -> None:
         ep = event_pb2.Episode()
         for ev in events:
             ep.event.append(ev)
-        data = ep.SerializeToString()
-        self._f.write(_LEN.pack(len(data)))
-        self._f.write(data)
-        self._f.flush()
+        self._writer.write(ep.SerializeToString())
+        self._writer.flush()
 
     def close(self):
-        self._f.close()
+        self._writer.close()
 
 
 def read_event_log(path: str) -> Iterator[event_pb2.Episode]:
     """Stream episodes back (reference read_event_log generator)."""
-    with open(path, "rb") as f:
-        while True:
-            header = f.read(_LEN.size)
-            if len(header) < _LEN.size:
-                return
-            (n,) = _LEN.unpack(header)
-            data = f.read(n)
-            if len(data) < n:
-                raise IOError(f"truncated event log {path!r}")
-            ep = event_pb2.Episode()
-            ep.ParseFromString(data)
-            yield ep
+    for data in read_records(path):
+        ep = event_pb2.Episode()
+        ep.ParseFromString(data)
+        yield ep
 
 
 def episode_poses(ep: event_pb2.Episode) -> np.ndarray:

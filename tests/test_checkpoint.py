@@ -1,0 +1,74 @@
+"""Checkpoint / resume behavior (reference util.py Saver wrapper parity).
+
+The reference saves every N episodes into --ckpt-dir and restores-if-present
+at startup (SURVEY.md §5).  These tests pin the same behavior: round-trip of
+arbitrary pytrees, latest-step selection, and a full agent-level
+train → restart → resume cycle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cartpoleplusplus_tpu.utils import checkpoint as ckpt
+
+
+def test_save_restore_roundtrip(tmp_path):
+    tree = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones(3)},
+        "step": jnp.int32(7),
+        "rng": jax.random.PRNGKey(3),
+    }
+    ckpt.save(str(tmp_path), 10, tree)
+    target = jax.tree.map(jnp.zeros_like, tree)
+    restored, step = ckpt.restore_latest(str(tmp_path), target)
+    assert step == 10
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(tree)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_latest_picks_newest(tmp_path):
+    for step in (5, 20, 10):
+        ckpt.save(str(tmp_path), step, {"v": jnp.float32(step)})
+    restored, step = ckpt.restore_latest(str(tmp_path), {"v": jnp.float32(0)})
+    assert step == 20
+    assert float(restored["v"]) == 20.0
+
+
+def test_restore_missing_dir_returns_target(tmp_path):
+    target = {"v": jnp.float32(1.5)}
+    restored, step = ckpt.restore_latest(str(tmp_path / "nope"), target)
+    assert step is None
+    assert restored is target
+
+
+def test_agent_level_resume(tmp_path):
+    """DDPG trains, checkpoints, restarts from the checkpoint and continues."""
+    from cartpoleplusplus_tpu.agents import ddpg
+
+    argv = [
+        "--num-train-batches", "2", "--num-envs", "4", "--num-eval", "4",
+        "--action-repeats", "2", "--steps-per-repeat", "2",
+        "--max-episode-len", "10", "--steps-per-segment", "3",
+        "--batch-size", "8", "--replay-capacity", "64", "--warmup-steps", "1",
+        "--eval-freq", "1", "--ckpt-dir", str(tmp_path), "--ckpt-freq", "1",
+    ]
+    parser = __import__(
+        "cartpoleplusplus_tpu.agents.common", fromlist=["make_parser"]
+    ).make_parser("t")
+    ddpg.add_ddpg_opts(parser)
+    opts = parser.parse_args(argv)
+    ddpg.train(opts)
+    step = ckpt.latest_step(str(tmp_path))
+    assert step == 2
+    raw1 = ckpt.load_raw(str(tmp_path), 2)
+    steps_run1 = int(raw1["env_steps"])
+    assert steps_run1 == 2 * 3  # 2 segments × 3 steps
+
+    # Second run restores-if-present and continues: the carried env_steps
+    # counter must advance past run 1's (reference restore behavior).
+    opts2 = parser.parse_args(argv)
+    ddpg.train(opts2)
+    raw2 = ckpt.load_raw(str(tmp_path), 2)
+    assert int(raw2["env_steps"]) == steps_run1 + 2 * 3
