@@ -51,7 +51,8 @@ def make_parser(description: str) -> argparse.ArgumentParser:
 
 
 def make_venv(
-    config, num_envs: int, pallas_render: bool = False
+    config, num_envs: int, pallas_render: bool = False,
+    pallas_physics: bool = False,
 ) -> VectorCartpole:
     """Vector env with the right observation fn (pixels iff --use-raw-pixels).
 
@@ -61,6 +62,11 @@ def make_venv(
     """
     observe_fn = None
     observe_batched_fn = None
+    physics_fn = None
+    if pallas_physics:
+        from cartpoleplusplus_tpu.physics.pallas_step import step_substeps_pallas
+
+        physics_fn = step_substeps_pallas
     if config.use_raw_pixels:
         from cartpoleplusplus_tpu.render import make_observe_pixels
 
@@ -71,7 +77,7 @@ def make_venv(
             observe_batched_fn = make_render_batched(config)
     return VectorCartpole(
         config, num_envs=num_envs, observe_fn=observe_fn,
-        observe_batched_fn=observe_batched_fn,
+        observe_batched_fn=observe_batched_fn, physics_fn=physics_fn,
     )
 
 

@@ -55,6 +55,11 @@ def add_naf_opts(parser):
     parser.add_argument("--ou-theta", type=float, default=0.15)
     parser.add_argument("--ou-sigma", type=float, default=0.2)
     parser.add_argument("--use-batch-norm", action="store_true")
+    parser.add_argument("--reward-scale", type=float, default=1.0,
+                        help="scale rewards in the TD target (stabilizes V "
+                             "when returns approach 1/(1-gamma))")
+    parser.add_argument("--grad-clip", type=float, default=0.0,
+                        help="global-norm gradient clip (0 = off)")
 
 
 def _apply(net: NAFNetwork, variables, obs, train: bool):
@@ -77,6 +82,7 @@ def make_segment(
     steps_per_segment: int,
     ou_theta: float,
     ou_sigma: float,
+    reward_scale: float = 1.0,
 ):
     def loss_fn(params, aux_vars, s1, a, y):
         variables = {**aux_vars, "params": params}
@@ -92,7 +98,7 @@ def make_segment(
         s1, a, r, s2, term = batch
         s1, s2 = replay_mod.decode_obs(s1), replay_mod.decode_obs(s2)
         (v2, _, _), _ = _apply(net, target_variables, s2, train=False)
-        y = r + gamma * (1.0 - term.astype(jnp.float32)) * v2
+        y = reward_scale * r + gamma * (1.0 - term.astype(jnp.float32)) * v2
         aux = {k: v for k, v in variables.items() if k != "params"}
         (loss, new_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             variables["params"], aux, s1, a, jax.lax.stop_gradient(y)
@@ -171,7 +177,13 @@ def train(opts) -> float:
         hidden=tuple(opts.hidden),
         use_batch_norm=opts.use_batch_norm,
     )
-    tx = optax.adam(opts.learning_rate)
+    if opts.grad_clip > 0:
+        tx = optax.chain(
+            optax.clip_by_global_norm(opts.grad_clip),
+            optax.adam(opts.learning_rate),
+        )
+    else:
+        tx = optax.adam(opts.learning_rate)
     logger = MetricsLogger(opts.metrics_jsonl)
 
     rng = jax.random.PRNGKey(opts.seed)
@@ -206,6 +218,7 @@ def train(opts) -> float:
             warmup_steps=opts.warmup_steps,
             steps_per_segment=opts.steps_per_segment,
             ou_theta=opts.ou_theta, ou_sigma=opts.ou_sigma,
+            reward_scale=opts.reward_scale,
         ),
         donate_argnums=0,
     )

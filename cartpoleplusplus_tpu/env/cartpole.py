@@ -241,9 +241,16 @@ def reset_batched(
     num_envs: int,
     observe_fn: Optional[ObserveFn] = None,
     observe_batched_fn=None,
+    physics_fn=None,
 ) -> tuple[EnvState, jnp.ndarray]:
-    """Batched reset → (EnvState[E], obs[E, repeats, …])."""
+    """Batched reset → (EnvState[E], obs[E, repeats, …]).
+
+    ``physics_fn``: batched substepper (scene, rigid, force, n) → rigid;
+    defaults to the XLA SoA path; physics.pallas_step.step_substeps_pallas is
+    the Mosaic alternative.
+    """
     observe_b = _batched_observe(observe_fn, observe_batched_fn)
+    physics = physics_fn or soa.step_substeps_batched
     k_theta, k_jitter = jax.random.split(rng)
 
     base = rest_state(scene)
@@ -263,7 +270,7 @@ def reset_batched(
     push = config.initial_force * jnp.stack(
         [jnp.cos(theta), jnp.sin(theta), jnp.zeros_like(theta)], axis=-1
     )
-    rigid = soa.step_substeps_batched(scene, rigid, push, config.initial_force_steps)
+    rigid = physics(scene, rigid, push, config.initial_force_steps)
 
     frame = observe_b(scene, rigid)
     obs = jnp.broadcast_to(
@@ -284,15 +291,15 @@ def step_batched(
     action: jnp.ndarray,
     observe_fn: Optional[ObserveFn] = None,
     observe_batched_fn=None,
+    physics_fn=None,
 ) -> tuple[EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched step → (EnvState[E], obs[E, repeats, …], reward[E], done[E])."""
     observe_b = _batched_observe(observe_fn, observe_batched_fn)
+    physics = physics_fn or soa.step_substeps_batched
     force = jax.vmap(lambda a: action_to_force(config, a))(action)
 
     def repeat_body(rigid, _):
-        rigid = soa.step_substeps_batched(
-            scene, rigid, force, config.steps_per_repeat
-        )
+        rigid = physics(scene, rigid, force, config.steps_per_repeat)
         return rigid, observe_b(scene, rigid)
 
     rigid, frames = jax.lax.scan(

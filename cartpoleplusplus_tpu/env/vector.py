@@ -49,18 +49,20 @@ class VectorCartpole:
         scene: Optional[SceneParams] = None,
         observe_fn: Optional[ObserveFn] = None,
         observe_batched_fn=None,
+        physics_fn=None,
     ):
         self.config = config
         self.num_envs = num_envs
         self.scene = scene if scene is not None else cartpole.scene_for(config)
         self.observe_fn = observe_fn
         self.observe_batched_fn = observe_batched_fn
+        self.physics_fn = physics_fn
 
     def reset(self, rng: jax.Array) -> tuple[EnvState, jnp.ndarray]:
         """Batched reset → (states, obs[num_envs, repeats, ...])."""
         return cartpole.reset_batched(
             self.config, self.scene, rng, self.num_envs, self.observe_fn,
-            self.observe_batched_fn,
+            self.observe_batched_fn, self.physics_fn,
         )
 
     def step(
@@ -85,13 +87,13 @@ class VectorCartpole:
         """
         next_state, obs, reward, done = cartpole.step_batched(
             self.config, self.scene, state, action, self.observe_fn,
-            self.observe_batched_fn,
+            self.observe_batched_fn, self.physics_fn,
         )
 
         if reset_pool is None:
             reset_pool, _ = cartpole.reset_batched(
                 self.config, self.scene, rng, self.num_envs, self.observe_fn,
-                self.observe_batched_fn,
+                self.observe_batched_fn, self.physics_fn,
             )
         carried = _where_tree(done, reset_pool, next_state)
         return carried, obs, reward, done

@@ -144,9 +144,13 @@ def inv_inertia_world(q, inv_inertia_diag):
 
 
 def tangent_basis(n):
-    """Branchless Duff orthonormal basis for unit normals (component form)."""
+    """Branchless Duff orthonormal basis for unit normals (component form).
+
+    The sign is computed arithmetically (not via jnp.where with two scalar
+    branches) so the same code lowers inside Mosaic kernels.
+    """
     nx, ny, nz = n
-    s = jnp.where(nz >= 0.0, 1.0, -1.0)
+    s = 2.0 * (nz >= 0.0).astype(nx.dtype) - 1.0
     a = -1.0 / (s + nz)
     b = nx * ny * a
     t1 = (1.0 + s * nx * nx * a, s * b, -s * nx)
@@ -203,9 +207,9 @@ _CART_CORNERS = np.asarray(_BOTTOM4, np.float32)  # (4,3) signs
 _POLE_CORNERS8 = np.asarray(_ALL8, np.float32)  # (8,3)
 _POLE_BOTTOM = np.asarray(_BOTTOM4, np.float32)  # (4,3)
 N_SLOTS = 16
-# body_a per slot: cart ×4 then pole ×12 ; body_b: ground ×12 then cart ×4.
-_A_IS_CART = np.asarray([1.0] * 4 + [0.0] * 12, np.float32)[:, None]
-_B_IS_CART = np.asarray([0.0] * 12 + [1.0] * 4, np.float32)[:, None]
+# Slot → body map (static): slots 0-3 cart vs ground, 4-11 pole vs ground,
+# 12-15 pole vs cart top.  _substep exploits this with static slicing rather
+# than mask arrays (Pallas kernels reject captured array constants).
 
 
 def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
@@ -285,6 +289,26 @@ def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
     up = (0.0, 0.0, 1.0)
     n_pc = q_rotate(s.cart_quat, up)  # (E,) components
 
+    # Slot-group helpers.  Body assignments are static (slots 0-3: cart vs
+    # ground; 4-11: pole vs ground; 12-15: pole vs cart-top), so per-slot
+    # body selection is CONCATENATION of statically-sliced groups — no mask
+    # arrays (Pallas kernels reject captured array constants, and the masked
+    # formulation multiplied every slot by 0/1 anyway).
+    inner = pen_cg.shape[1:]
+
+    def a_sel(cart_comp, pole_comp):
+        """Per-slot body_a value: cart for slots 0-3, pole for 4-15."""
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(cart_comp[None], (4,) + inner),
+                jnp.broadcast_to(pole_comp[None], (12,) + inner),
+            ]
+        )
+
+    def b4(cart_comp):
+        """Body_b (cart) value for the 4 pole-on-cart slots."""
+        return jnp.broadcast_to(cart_comp[None], (4,) + inner)
+
     # assemble (16, E) slot planes
     zeros_like_row = jnp.zeros_like(pen_cg[:1])
     pen = jnp.concatenate([pen_cg, pen_pg, pen_pc], axis=0)  # (16,E)
@@ -314,12 +338,10 @@ def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
         jnp.concatenate([cgw[1], pgw[1], pbw[1]]),
         jnp.concatenate([cgw[2], pgw[2], pbw[2]]),
     )  # (16, E)
-    pos_a = tuple(
-        _A_IS_CART * c[None] + (1.0 - _A_IS_CART) * p[None]
-        for c, p in zip(s.cart_pos, s.pole_pos)
-    )
+    pos_a = tuple(a_sel(c, p) for c, p in zip(s.cart_pos, s.pole_pos))
     r_a = v_sub(corners, pos_a)  # (16,E)
-    r_b = tuple(_B_IS_CART * (c - cp[None]) for c, cp in zip(corners, s.cart_pos))
+    # Body_b exists only for the 4 pole-on-cart slots: (4, …) components.
+    r_b4 = tuple(c[12:] - cp[None] for c, cp in zip(corners, s.cart_pos))
 
     # 3. solver: mass-splitting Jacobi (same scheme as solver.py).
     iiw_c = inv_inertia_world(s.cart_quat, scene.inv_inertia_body[0])
@@ -327,40 +349,43 @@ def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
 
     # per-body active contact counts (mass splitting).  The cart is body_a of
     # slots 0-3 and body_b of 12-15; the pole is body_a of every slot 4-15.
-    cnt_cart = jnp.sum(active * (_A_IS_CART + _B_IS_CART), axis=0)  # (E,)
-    cnt_pole = jnp.sum(active * (1.0 - _A_IS_CART), axis=0)
-    cnt_cart = jnp.maximum(cnt_cart, 1.0)
-    cnt_pole = jnp.maximum(cnt_pole, 1.0)
-    n_a = _A_IS_CART * cnt_cart[None] + (1.0 - _A_IS_CART) * cnt_pole[None]
-    n_b = _B_IS_CART * cnt_cart[None]  # ground side contributes nothing
+    cnt_cart = jnp.maximum(
+        jnp.sum(active[:4], axis=0) + jnp.sum(active[12:], axis=0), 1.0
+    )
+    cnt_pole = jnp.maximum(jnp.sum(active[4:], axis=0), 1.0)
+    n_a = a_sel(cnt_cart, cnt_pole)
+    n_b4 = b4(cnt_cart)
 
-    invm_a = (_A_IS_CART * inv_m[0] + (1.0 - _A_IS_CART) * inv_m[1]) * n_a
-    invm_b = _B_IS_CART * inv_m[0] * n_b
+    invm_a = a_sel(inv_m[0] * cnt_cart, inv_m[1] * cnt_pole)
+    invm_b4 = inv_m[0] * n_b4
 
     # per-slot inverse inertia (select cart/pole rows, scaled by counts)
-    def slot_inertia():
-        rows = []
-        for i in range(3):
-            row = []
-            for j in range(3):
-                m_a = _A_IS_CART * iiw_c[i][j][None] + (1.0 - _A_IS_CART) * iiw_p[i][j][None]
-                m_b = _B_IS_CART * iiw_c[i][j][None]
-                row.append((m_a * n_a, m_b * n_b))
-            rows.append(tuple(row))
-        return tuple(rows)
+    ii_a = tuple(
+        tuple(a_sel(iiw_c[i][j], iiw_p[i][j]) * n_a for j in range(3))
+        for i in range(3)
+    )
+    ii_b4 = tuple(
+        tuple(b4(iiw_c[i][j]) * n_b4 for j in range(3)) for i in range(3)
+    )
 
-    ii = slot_inertia()  # ii[i][j] = (a_side (16,E), b_side (16,E))
+    def _add_tail4(full, tail4):
+        """full[12:] += tail4 via static-slice concatenation."""
+        return jnp.concatenate([full[:12], full[12:] + tail4])
 
     def eff_inv_mass(d):
-        def ang_term(side, r):
-            rxd = v_cross(r, d)
-            ird = tuple(
-                ii[i][0][side] * rxd[0] + ii[i][1][side] * rxd[1] + ii[i][2][side] * rxd[2]
-                for i in range(3)
-            )
-            return v_dot(d, v_cross(ird, r))
-
-        k = invm_a + ang_term(0, r_a) + invm_b + ang_term(1, r_b)
+        rxd = v_cross(r_a, d)
+        ird = tuple(
+            ii_a[i][0] * rxd[0] + ii_a[i][1] * rxd[1] + ii_a[i][2] * rxd[2]
+            for i in range(3)
+        )
+        k = invm_a + v_dot(d, v_cross(ird, r_a))
+        d4 = tuple(dk[12:] for dk in d)
+        rxd4 = v_cross(r_b4, d4)
+        ird4 = tuple(
+            ii_b4[i][0] * rxd4[0] + ii_b4[i][1] * rxd4[1] + ii_b4[i][2] * rxd4[2]
+            for i in range(3)
+        )
+        k = _add_tail4(k, invm_b4 + v_dot(d4, v_cross(ird4, r_b4)))
         return 1.0 / k
 
     t1, t2 = tangent_basis(n)
@@ -371,18 +396,14 @@ def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
     bias = (scene.baumgarte / dt) * jnp.maximum(pen - scene.slop, 0.0)
 
     def body_vel_at_slots(cv, ca, pv, pa):
-        """velocity of body_a at each slot, minus body_b side."""
-        vel_a = tuple(
-            _A_IS_CART * c[None] + (1.0 - _A_IS_CART) * p[None] for c, p in zip(cv, pv)
-        )
-        ang_a = tuple(
-            _A_IS_CART * c[None] + (1.0 - _A_IS_CART) * p[None] for c, p in zip(ca, pa)
-        )
+        """velocity of body_a at each slot, minus body_b side (slots 12-15)."""
+        vel_a = tuple(a_sel(c, p) for c, p in zip(cv, pv))
+        ang_a = tuple(a_sel(c, p) for c, p in zip(ca, pa))
         va = v_add(vel_a, v_cross(ang_a, r_a))
-        vel_b = tuple(_B_IS_CART * c[None] for c in cv)
-        ang_b = tuple(_B_IS_CART * c[None] for c in ca)
-        vb = v_add(vel_b, v_cross(ang_b, r_b))
-        return v_sub(va, vb)
+        vel_b4 = tuple(b4(c) for c in cv)
+        ang_b4 = tuple(b4(c) for c in ca)
+        vb4 = v_add(vel_b4, v_cross(ang_b4, r_b4))
+        return tuple(_add_tail4(vak, -vb4k) for vak, vb4k in zip(va, vb4))
 
     def iteration(_, carry):
         cv0, cv1, cv2, ca0, ca1, ca2, pv0, pv1, pv2, pa0, pa1, pa2, jn, jt1, jt2 = carry
@@ -407,20 +428,20 @@ def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
 
         # scatter to bodies (static slot ranges)
         imp_cart = tuple(
-            jnp.sum(_A_IS_CART * i, axis=0) - jnp.sum(_B_IS_CART * i, axis=0)
-            for i in imp
+            jnp.sum(i[:4], axis=0) - jnp.sum(i[12:], axis=0) for i in imp
         )
-        imp_pole = tuple(jnp.sum((1.0 - _A_IS_CART) * i, axis=0) for i in imp)
+        imp_pole = tuple(jnp.sum(i[4:], axis=0) for i in imp)
         cv = v_add(cv, v_scale(imp_cart, inv_m[0]))
         pv = v_add(pv, v_scale(imp_pole, inv_m[1]))
 
         tau_a = v_cross(r_a, imp)  # (16,E)
-        tau_b = v_cross(r_b, imp)
+        imp4 = tuple(i[12:] for i in imp)
+        tau_b4 = v_cross(r_b4, imp4)
         tau_cart = tuple(
-            jnp.sum(_A_IS_CART * ta, axis=0) - jnp.sum(_B_IS_CART * tb, axis=0)
-            for ta, tb in zip(tau_a, tau_b)
+            jnp.sum(ta[:4], axis=0) - jnp.sum(tb, axis=0)
+            for ta, tb in zip(tau_a, tau_b4)
         )
-        tau_pole = tuple(jnp.sum((1.0 - _A_IS_CART) * ta, axis=0) for ta in tau_a)
+        tau_pole = tuple(jnp.sum(ta[4:], axis=0) for ta in tau_a)
         ca = v_add(ca, m_vec(iiw_c, tau_cart))
         pa = v_add(pa, m_vec(iiw_p, tau_pole))
 

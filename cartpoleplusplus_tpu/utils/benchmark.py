@@ -40,6 +40,12 @@ def add_bench_opts(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--pallas-render", action="store_true",
                         help="use the Pallas camera kernel instead of the "
                              "XLA ray caster")
+    parser.add_argument("--pallas-physics", action="store_true", default=None,
+                        help="use the Pallas fused physics kernel instead "
+                             "of the XLA SoA path (default: on when "
+                             "num-envs is a multiple of 1024)")
+    parser.add_argument("--no-pallas-physics", dest="pallas_physics",
+                        action="store_false")
     parser.add_argument("--sim-only", action="store_true",
                         help="benchmark sim+render only (no learner)")
     parser.add_argument("--trace-dir", type=str, default=None,
@@ -60,8 +66,13 @@ def build(opts):
         action_repeats=opts.action_repeats,
         steps_per_repeat=opts.steps_per_repeat,
     )
+    pallas_physics = getattr(opts, "pallas_physics", None)
+    if pallas_physics is None:  # auto: kernel needs 1024-env tiles
+        pallas_physics = opts.num_envs % 1024 == 0
     venv = common.make_venv(
-        config, opts.num_envs, pallas_render=getattr(opts, "pallas_render", False)
+        config, opts.num_envs,
+        pallas_render=getattr(opts, "pallas_render", False),
+        pallas_physics=pallas_physics,
     )
 
     if opts.sim_only:
