@@ -23,11 +23,15 @@ from cartpoleplusplus_tpu.utils import event_log as event_log_mod
 from cartpoleplusplus_tpu.utils.metrics import MetricsLogger
 
 
-def run_episode(config, scene, step_fn, reset_fn, rng, collect=False):
+def run_episode(config, scene, step_fn, reset_fn, rng, collect=False,
+                render_fn=None):
     """Roll one episode with random actions on the host loop.
 
     Host-driven (not fused) on purpose: this tool exists to inspect per-step
-    data, matching the reference's usage.
+    data, matching the reference's usage.  ``render_fn`` (rigid → list of
+    (H, W, 3) images) attaches per-camera PNG renders to each event — the
+    reference's render-to-event-log path (random_action_agent.py +
+    event_log.py --img-output-dir).
     """
     events = []
     rng, k = jax.random.split(rng)
@@ -51,10 +55,11 @@ def run_episode(config, scene, step_fn, reset_fn, rng, collect=False):
             vels = np.concatenate(
                 [np.asarray(state.rigid.vel), np.asarray(state.rigid.ang)], axis=-1
             )
+            renders = render_fn(state.rigid) if render_fn else None
             events.append(
                 event_log_mod.make_event(
                     pose[0], pose[1], np.asarray(action), float(reward), done,
-                    velocities=vels,
+                    velocities=vels, renders=renders,
                 )
             )
     return rng, steps, total_reward, events
@@ -72,6 +77,8 @@ def main(argv=None):
     parser.add_argument("--continuous", action="store_true",
                         help="sample continuous 2D actions instead of discrete")
     parser.add_argument("--event-log-out", type=str, default=None)
+    parser.add_argument("--record-renders", action="store_true",
+                        help="attach per-camera PNG renders to logged events")
     parser.add_argument("--metrics-jsonl", type=str, default=None)
     opts = parser.parse_args(argv)
     print(f"OPTS {vars(opts)}", file=sys.stderr)
@@ -81,13 +88,25 @@ def main(argv=None):
     reset_fn = jax.jit(lambda k: cartpole_mod.reset(config, scene, k))
     step_fn = jax.jit(lambda s, a: cartpole_mod.step(config, scene, s, a))
 
+    render_fn = None
+    if opts.record_renders:
+        from cartpoleplusplus_tpu.render import make_observe_pixels
+        from cartpoleplusplus_tpu.render.raycast import frame_to_images
+
+        observe = make_observe_pixels(config, dtype=jnp.float32)
+        frame_jit = jax.jit(lambda r: observe(scene, r))
+
+        def render_fn(rigid):
+            return list(frame_to_images(config, np.asarray(frame_jit(rigid))))
+
     log = event_log_mod.EventLog(opts.event_log_out) if opts.event_log_out else None
     metrics = MetricsLogger(opts.metrics_jsonl)
     rng = jax.random.PRNGKey(opts.seed)
     lengths = []
     for ep in range(opts.num_episodes):
         rng, steps, total_reward, events = run_episode(
-            config, scene, step_fn, reset_fn, rng, collect=log is not None
+            config, scene, step_fn, reset_fn, rng, collect=log is not None,
+            render_fn=render_fn,
         )
         lengths.append(steps)
         metrics.log("episode", idx=ep, steps=steps, total_reward=total_reward)
