@@ -21,6 +21,22 @@ from flax import linen as nn
 from cartpoleplusplus_tpu.models.trunks import DEFAULT_HIDDEN, MLPTrunk, ObsEncoder
 
 
+def final_layer_init(scale: float = 3e-3):
+    """Small symmetric-uniform init for output heads.
+
+    The DDPG paper's final-layer init (±3e-3), which the reference's TF nets
+    replicate: keeps initial actions/values near zero so the actor does not
+    start (or collapse) at the tanh rails before the critic is informative.
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        import jax
+
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+    return init
+
+
 class DiscretePolicy(nn.Module):
     """Softmax policy over the 5 discrete actions (LRPG)."""
 
@@ -69,7 +85,12 @@ class Actor(nn.Module):
             pixel_encoder=self.pixel_encoder,
             use_batch_norm=self.use_batch_norm,
         )(obs, train)
-        return nn.tanh(nn.Dense(self.action_dim, name="mu")(h))
+        return nn.tanh(
+            nn.Dense(
+                self.action_dim, name="mu",
+                kernel_init=final_layer_init(), bias_init=final_layer_init(),
+            )(h)
+        )
 
 
 class Critic(nn.Module):
@@ -96,7 +117,10 @@ class Critic(nn.Module):
         )(obs, train)
         h = jnp.concatenate([h, action.astype(h.dtype)], axis=-1)
         h = MLPTrunk((self.hidden[-1],))(h)
-        return nn.Dense(1, name="q")(h)[..., 0]
+        return nn.Dense(
+            1, name="q",
+            kernel_init=final_layer_init(), bias_init=final_layer_init(),
+        )(h)[..., 0]
 
 
 class NAFNetwork(nn.Module):
@@ -121,8 +145,16 @@ class NAFNetwork(nn.Module):
             pixel_encoder=self.pixel_encoder,
             use_batch_norm=self.use_batch_norm,
         )(obs, train)
-        v = nn.Dense(1, name="value")(h)[..., 0]
-        mu = nn.tanh(nn.Dense(self.action_dim, name="mu")(h))
+        v = nn.Dense(
+            1, name="value",
+            kernel_init=final_layer_init(), bias_init=final_layer_init(),
+        )(h)[..., 0]
+        mu = nn.tanh(
+            nn.Dense(
+                self.action_dim, name="mu",
+                kernel_init=final_layer_init(), bias_init=final_layer_init(),
+            )(h)
+        )
         n = self.action_dim
         l_flat = nn.Dense(n * (n + 1) // 2, name="l_entries")(h)
         return v, mu, l_flat
