@@ -41,6 +41,10 @@ def add_agent_opts(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--metrics-jsonl", type=str, default=None,
                         help="structured metrics sink")
     parser.add_argument("--hidden", type=int, nargs="+", default=[100, 50])
+    parser.add_argument("--pixel-encoder", type=str, default="dense",
+                        choices=["dense", "conv"],
+                        help="pixel trunk: dense MXU embedding (fast) or the "
+                             "reference-style conv stack")
 
 
 def make_parser(description: str) -> argparse.ArgumentParser:

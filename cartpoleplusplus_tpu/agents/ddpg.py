@@ -265,8 +265,9 @@ def train(opts) -> float:
     venv = common.make_venv(config, opts.num_envs)
     eval_venv = common.make_venv(config, opts.num_eval)
     actor = Actor(action_dim=2, use_raw_pixels=config.use_raw_pixels,
-                  hidden=tuple(opts.hidden))
-    critic = Critic(use_raw_pixels=config.use_raw_pixels, hidden=tuple(opts.hidden))
+                  pixel_encoder=opts.pixel_encoder, hidden=tuple(opts.hidden))
+    critic = Critic(use_raw_pixels=config.use_raw_pixels,
+                    pixel_encoder=opts.pixel_encoder, hidden=tuple(opts.hidden))
 
     def tx(lr):
         if opts.grad_clip > 0:

@@ -158,6 +158,7 @@ def train(opts) -> float:
     qnet = QNetwork(
         num_actions=NUM_DISCRETE_ACTIONS,
         use_raw_pixels=config.use_raw_pixels,
+        pixel_encoder=opts.pixel_encoder,
         hidden=tuple(opts.hidden),
     )
     tx = optax.adam(opts.learning_rate)

@@ -137,6 +137,7 @@ def train(opts) -> float:
     policy = DiscretePolicy(
         num_actions=NUM_DISCRETE_ACTIONS,
         use_raw_pixels=config.use_raw_pixels,
+        pixel_encoder=opts.pixel_encoder,
         hidden=tuple(opts.hidden),
     )
     logger = MetricsLogger(opts.metrics_jsonl)

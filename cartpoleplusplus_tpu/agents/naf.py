@@ -174,6 +174,7 @@ def train(opts) -> float:
     net = NAFNetwork(
         action_dim=2,
         use_raw_pixels=config.use_raw_pixels,
+        pixel_encoder=opts.pixel_encoder,
         hidden=tuple(opts.hidden),
         use_batch_norm=opts.use_batch_norm,
     )
