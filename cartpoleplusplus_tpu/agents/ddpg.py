@@ -73,6 +73,11 @@ def add_ddpg_opts(parser):
                              "critic when returns approach 1/(1-gamma))")
     parser.add_argument("--grad-clip", type=float, default=0.0,
                         help="global-norm gradient clip (0 = off)")
+    parser.add_argument("--num-devices", type=int, default=1,
+                        help="shard envs+replay over this many devices "
+                             "(shard_map data parallelism; params replicate, "
+                             "grads pmean over ICI). num-envs, replay "
+                             "capacity, and num-eval must divide evenly.")
 
 
 def make_segment(
@@ -286,17 +291,47 @@ def train(opts) -> float:
         if restored is not None:
             logger.log("restore", step=restored)
 
-    segment = jax.jit(
-        make_segment(
-            venv, actor, critic, actor_tx, critic_tx,
-            gamma=opts.gamma, tau=opts.tau, batch_size=opts.batch_size,
+    if getattr(opts, "num_devices", 1) > 1:
+        # Multi-chip data parallelism: env/replay shards per device,
+        # replicated params, gradient pmean over ICI (parallel/distributed).
+        from cartpoleplusplus_tpu.parallel import (
+            make_distributed_segment,
+            make_mesh,
+        )
+
+        if opts.num_envs % opts.num_devices or opts.replay_capacity % opts.num_devices:
+            raise SystemExit(
+                "--num-envs and --replay-capacity must be divisible by "
+                "--num-devices"
+            )
+        mesh = make_mesh(opts.num_devices)
+        local_venv = common.make_venv(
+            config, opts.num_envs // opts.num_devices,
+            pallas_render=False, pallas_physics=False,
+        )
+        build, shard_state = make_distributed_segment(
+            mesh, local_venv, actor, critic, actor_tx, critic_tx,
+            gamma=opts.gamma, tau=opts.tau,
+            batch_size=opts.batch_size // opts.num_devices or 1,
             warmup_steps=opts.warmup_steps,
             steps_per_segment=opts.steps_per_segment,
             ou_theta=opts.ou_theta, ou_sigma=opts.ou_sigma,
             reward_scale=opts.reward_scale,
-        ),
-        donate_argnums=0,
-    )
+        )
+        st = shard_state(st)
+        segment = build(st)
+    else:
+        segment = jax.jit(
+            make_segment(
+                venv, actor, critic, actor_tx, critic_tx,
+                gamma=opts.gamma, tau=opts.tau, batch_size=opts.batch_size,
+                warmup_steps=opts.warmup_steps,
+                steps_per_segment=opts.steps_per_segment,
+                ou_theta=opts.ou_theta, ou_sigma=opts.ou_sigma,
+                reward_scale=opts.reward_scale,
+            ),
+            donate_argnums=0,
+        )
     eval_fn = jax.jit(
         lambda p, k: common.eval_rollout(eval_venv, greedy_act(actor), p, k)
     )
@@ -338,4 +373,10 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    # Re-enter through the canonical module: under ``python -m`` this file
+    # executes as __main__, and flax dataclasses defined here would register
+    # as DIFFERENT pytree node types than the ones other modules import
+    # (breaking e.g. the distributed path's tree_maps).
+    from cartpoleplusplus_tpu.agents.ddpg import main as _main
+
+    _main()

@@ -201,4 +201,10 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    # Re-enter through the canonical module: under ``python -m`` this file
+    # executes as __main__, and flax dataclasses defined here would register
+    # as DIFFERENT pytree node types than the ones other modules import
+    # (breaking e.g. the distributed path's tree_maps).
+    from cartpoleplusplus_tpu.agents.lrpg import main as _main
+
+    _main()

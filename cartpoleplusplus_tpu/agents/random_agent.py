@@ -124,4 +124,10 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    # Re-enter through the canonical module: under ``python -m`` this file
+    # executes as __main__, and flax dataclasses defined here would register
+    # as DIFFERENT pytree node types than the ones other modules import
+    # (breaking e.g. the distributed path's tree_maps).
+    from cartpoleplusplus_tpu.agents.random_agent import main as _main
+
+    _main()

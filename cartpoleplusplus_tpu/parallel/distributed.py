@@ -75,6 +75,7 @@ def make_distributed_segment(
     steps_per_segment: int = 25,
     ou_theta: float = 0.15,
     ou_sigma: float = 0.2,
+    reward_scale: float = 1.0,
 ):
     """Jitted multi-chip segment: DDPGState (sharded) → (DDPGState, metrics).
 
@@ -88,7 +89,8 @@ def make_distributed_segment(
         local_venv, actor, critic, actor_tx, critic_tx,
         gamma=gamma, tau=tau, batch_size=batch_size,
         warmup_steps=warmup_steps, steps_per_segment=steps_per_segment,
-        ou_theta=ou_theta, ou_sigma=ou_sigma, axis_name=axis,
+        ou_theta=ou_theta, ou_sigma=ou_sigma, reward_scale=reward_scale,
+        axis_name=axis,
     )
 
     def specs_for(st: DDPGState) -> DDPGState:
