@@ -22,6 +22,7 @@ done
 for seed in 0 1 2; do
   python -m cartpoleplusplus_tpu.agents.naf $COMMON \
     --num-train-batches "${BATCHES:-1500}" \
+    --reward-scale 0.1 --grad-clip 10 \
     --seed "$seed" --metrics-jsonl "$OUT/sweep_naf_s${seed}.jsonl" &
   wait $!
 done
