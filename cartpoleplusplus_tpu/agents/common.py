@@ -105,7 +105,7 @@ def eval_rollout(
         action = act_fn(params, obs)
         states, obs, reward, done = cartpole_mod.step_batched(
             venv.config, venv.scene, states, action, venv.observe_fn,
-            venv.observe_batched_fn,
+            venv.observe_batched_fn, venv.physics_fn,
         )
         ep_len = ep_len + alive.astype(jnp.int32)
         ep_rew = ep_rew + reward * alive

@@ -38,7 +38,11 @@ from cartpoleplusplus_tpu.utils.noise import ou_init, ou_step
 
 @struct.dataclass
 class DDPGState:
-    """Everything the fused loop carries (donated across segments)."""
+    """Everything the fused loop carries (donated across segments).
+
+    The ``*_params`` fields hold full flax variable dicts ({'params': …,
+    optionally 'batch_stats': …} when --use-batch-norm), mirroring NAFState.
+    """
 
     actor_params: dict
     critic_params: dict
@@ -52,6 +56,21 @@ class DDPGState:
     ou_noise: jnp.ndarray  # (E, 2)
     rng: jax.Array
     env_steps: jnp.ndarray  # () int64-ish counter (int32 fine here)
+
+
+def _apply_train(net, params, aux, *args):
+    """Apply in train mode, threading batch stats functionally when BN is on.
+
+    Rebuild of the reference's IS_TRAINING placeholder + batch-norm update
+    ops (base_network.py:~L150-190): with --use-batch-norm the variables dict
+    carries a 'batch_stats' collection that mutates on every train-mode
+    forward; without it this is a plain apply.
+    """
+    variables = {**aux, "params": params}
+    if "batch_stats" in aux:
+        out, mutated = net.apply(variables, *args, train=True, mutable=["batch_stats"])
+        return out, {**aux, **mutated}
+    return net.apply(variables, *args, train=False), aux
 
 
 def add_ddpg_opts(parser):
@@ -108,13 +127,13 @@ def make_segment(
     one psum per update.
     """
 
-    def critic_loss_fn(critic_params, s1, a, y):
-        q = critic.apply(critic_params, s1, a)
-        return jnp.mean((q - y) ** 2)
+    def critic_loss_fn(c_params, c_aux, s1, a, y):
+        q, new_aux = _apply_train(critic, c_params, c_aux, s1, a)
+        return jnp.mean((q - y) ** 2), new_aux
 
-    def actor_loss_fn(actor_params, critic_params, s1):
-        mu = actor.apply(actor_params, s1)
-        return -jnp.mean(critic.apply(critic_params, s1, mu))
+    def actor_loss_fn(a_params, a_aux, critic_vars, s1):
+        mu, new_aux = _apply_train(actor, a_params, a_aux, s1)
+        return -jnp.mean(critic.apply(critic_vars, s1, mu)), new_aux
 
     # The learner bundle (params + opt states) is threaded through lax.cond
     # SEPARATELY from the big buffers (replay, env states, observations):
@@ -122,34 +141,40 @@ def make_segment(
     # DDPGState through the cond would copy hundreds of MB of replay/obs per
     # step on the pixel path.
     def train_once(bundle, batch):
-        (actor_params, critic_params, target_a, target_c, aopt, copt) = bundle
+        (actor_vars, critic_vars, target_a, target_c, aopt, copt) = bundle
         s1, a, r, s2, term = batch
         s1, s2 = replay_mod.decode_obs(s1), replay_mod.decode_obs(s2)
         # TD target from target nets (reference ddpg ~L150-280).
         a2 = actor.apply(target_a, s2)
         q2 = critic.apply(target_c, s2, a2)
         y = reward_scale * r + gamma * (1.0 - term.astype(jnp.float32)) * q2
-        closs, cgrads = jax.value_and_grad(critic_loss_fn)(
-            critic_params, s1, a, jax.lax.stop_gradient(y)
-        )
+        c_aux = {k: v for k, v in critic_vars.items() if k != "params"}
+        (closs, c_aux), cgrads = jax.value_and_grad(
+            critic_loss_fn, has_aux=True
+        )(critic_vars["params"], c_aux, s1, a, jax.lax.stop_gradient(y))
         if axis_name is not None:
             cgrads = jax.lax.pmean(cgrads, axis_name)
-        cupd, copt = critic_tx.update(cgrads, copt, critic_params)
-        critic_params = optax.apply_updates(critic_params, cupd)
+        cupd, copt = critic_tx.update(cgrads, copt, critic_vars["params"])
+        critic_vars = {
+            **c_aux, "params": optax.apply_updates(critic_vars["params"], cupd)
+        }
 
-        aloss, agrads = jax.value_and_grad(actor_loss_fn)(
-            actor_params, critic_params, s1
-        )
+        a_aux = {k: v for k, v in actor_vars.items() if k != "params"}
+        (aloss, a_aux), agrads = jax.value_and_grad(
+            actor_loss_fn, has_aux=True
+        )(actor_vars["params"], a_aux, critic_vars, s1)
         if axis_name is not None:
             agrads = jax.lax.pmean(agrads, axis_name)
-        aupd, aopt = actor_tx.update(agrads, aopt, actor_params)
-        actor_params = optax.apply_updates(actor_params, aupd)
+        aupd, aopt = actor_tx.update(agrads, aopt, actor_vars["params"])
+        actor_vars = {
+            **a_aux, "params": optax.apply_updates(actor_vars["params"], aupd)
+        }
 
         bundle = (
-            actor_params,
-            critic_params,
-            soft_target_update(target_a, actor_params, tau),
-            soft_target_update(target_c, critic_params, tau),
+            actor_vars,
+            critic_vars,
+            soft_target_update(target_a, actor_vars, tau),
+            soft_target_update(target_c, critic_vars, tau),
             aopt,
             copt,
         )
@@ -163,14 +188,14 @@ def make_segment(
             )
         rng, k_pool = jax.random.split(st.rng)
         st = st.replace(rng=rng)
-        reset_pool, _ = venv.reset(k_pool)
+        reset_pool = venv.reset(k_pool)
 
         def body(st: DDPGState, _):
             rng, k_ou, k_step, k_sample = jax.random.split(st.rng, 4)
             # Explore: µ(s) + OU noise (reference adds OU to actor output).
             ou = ou_step(st.ou_noise, k_ou, theta=ou_theta, sigma=ou_sigma)
             action = jnp.clip(actor.apply(st.actor_params, st.obs) + ou, -1.0, 1.0)
-            env_states, obs2, reward, done = venv.step(
+            env_states, obs2, reward, done, obs_next = venv.step(
                 st.env_states, action, k_step, reset_pool=reset_pool
             )
             store = st.replay.s1.dtype
@@ -184,10 +209,13 @@ def make_segment(
             )
             # OU noise resets with the episode.
             ou = jnp.where(done[:, None], 0.0, ou)
+            # Carry obs_next (the reset obs for done envs), NOT obs2: acting
+            # on the terminal frame of the finished episode would poison both
+            # the policy's first new-episode action and replay.
             st = st.replace(
                 replay=replay,
                 env_states=env_states,
-                obs=obs2,
+                obs=obs_next,
                 ou_noise=ou,
                 rng=rng,
                 env_steps=st.env_steps + 1,
@@ -238,10 +266,10 @@ def greedy_act(actor: Actor):
 def init_state(opts, config, venv, actor, critic, actor_tx, critic_tx) -> DDPGState:
     rng = jax.random.PRNGKey(opts.seed)
     rng, k_a, k_c, k_env = jax.random.split(rng, 4)
-    dummy_obs = jnp.zeros((1,) + config.obs_shape, jnp.float32)
-    dummy_act = jnp.zeros((1, 2), jnp.float32)
-    actor_params = actor.init(k_a, dummy_obs)
-    critic_params = critic.init(k_c, dummy_obs, dummy_act)
+    dummy_obs = jnp.zeros((2,) + config.obs_shape, jnp.float32)
+    dummy_act = jnp.zeros((2, 2), jnp.float32)
+    actor_params = dict(actor.init(k_a, dummy_obs, train=False))
+    critic_params = dict(critic.init(k_c, dummy_obs, dummy_act, train=False))
     env_states, obs = venv.reset(k_env)
     # Pixel observations are stored quantized (uint8): 4× less HBM traffic
     # and capacity on the hot path.
@@ -254,8 +282,8 @@ def init_state(opts, config, venv, actor, critic, actor_tx, critic_tx) -> DDPGSt
         critic_params=critic_params,
         target_actor_params=jax.tree.map(jnp.copy, actor_params),
         target_critic_params=jax.tree.map(jnp.copy, critic_params),
-        actor_opt=actor_tx.init(actor_params),
-        critic_opt=critic_tx.init(critic_params),
+        actor_opt=actor_tx.init(actor_params["params"]),
+        critic_opt=critic_tx.init(critic_params["params"]),
         replay=replay,
         env_states=env_states,
         obs=obs,
@@ -270,9 +298,11 @@ def train(opts) -> float:
     venv = common.make_venv(config, opts.num_envs)
     eval_venv = common.make_venv(config, opts.num_eval)
     actor = Actor(action_dim=2, use_raw_pixels=config.use_raw_pixels,
-                  pixel_encoder=opts.pixel_encoder, hidden=tuple(opts.hidden))
+                  pixel_encoder=opts.pixel_encoder, hidden=tuple(opts.hidden),
+                  use_batch_norm=opts.use_batch_norm)
     critic = Critic(use_raw_pixels=config.use_raw_pixels,
-                    pixel_encoder=opts.pixel_encoder, hidden=tuple(opts.hidden))
+                    pixel_encoder=opts.pixel_encoder, hidden=tuple(opts.hidden),
+                    use_batch_norm=opts.use_batch_norm)
 
     def tx(lr):
         if opts.grad_clip > 0:
@@ -286,9 +316,15 @@ def train(opts) -> float:
     logger = MetricsLogger(opts.metrics_jsonl)
 
     st = init_state(opts, config, venv, actor, critic, actor_tx, critic_tx)
+    start_segment = 0
     if opts.ckpt_dir:
         st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
         if restored is not None:
+            # Resume the segment counter too, so checkpoint numbering stays
+            # monotonic — restarting at 0 would re-save ckpt_1..N with newer
+            # weights UNDER older files, and a later restore_latest would pick
+            # the stale pre-resume checkpoint.
+            start_segment = restored
             logger.log("restore", step=restored)
 
     if getattr(opts, "num_devices", 1) > 1:
@@ -338,7 +374,7 @@ def train(opts) -> float:
 
     rng = jax.random.PRNGKey(opts.seed + 1)
     final_eval = 0.0
-    for i in range(opts.num_train_batches):
+    for i in range(start_segment, opts.num_train_batches):
         st, metrics = segment(st)
         if (i + 1) % max(opts.eval_freq, 1) == 0 or i + 1 == opts.num_train_batches:
             rng, k_eval = jax.random.split(rng)
@@ -357,7 +393,7 @@ def train(opts) -> float:
         if opts.ckpt_dir and (i + 1) % max(opts.ckpt_freq, 1) == 0:
             ckpt_mod.save(opts.ckpt_dir, i + 1, st)
     if opts.ckpt_dir:
-        ckpt_mod.save(opts.ckpt_dir, opts.num_train_batches, st)
+        ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start_segment), st)
     logger.close()
     return final_eval
 

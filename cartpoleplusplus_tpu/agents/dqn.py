@@ -52,7 +52,11 @@ def add_dqn_opts(parser):
     parser.add_argument("--eps-start", type=float, default=1.0)
     parser.add_argument("--eps-end", type=float, default=0.05)
     parser.add_argument("--eps-decay-steps", type=int, default=5000,
-                        help="env steps over which ε anneals linearly")
+                        help="vectorized steps (segments × steps-per-segment, "
+                             "each stepping all --num-envs replicas at once) "
+                             "over which ε anneals linearly; the env_steps "
+                             "METRIC counts env transitions, i.e. this × "
+                             "num-envs")
 
 
 def make_segment(
@@ -96,7 +100,7 @@ def make_segment(
     def segment(st: DQNState):
         rng, k_pool = jax.random.split(st.rng)
         st = st.replace(rng=rng)
-        reset_pool, _ = venv.reset(k_pool)
+        reset_pool = venv.reset(k_pool)
 
         def body(st: DQNState, _):
             rng, k_eps, k_rand, k_step, k_sample = jax.random.split(st.rng, 5)
@@ -111,7 +115,7 @@ def make_segment(
             eps = eps_start + (eps_end - eps_start) * frac
             explore = jax.random.uniform(k_eps, (venv.num_envs,)) < eps
             action = jnp.where(explore, random_a, greedy).astype(jnp.int32)
-            env_states, obs2, reward, done = venv.step(
+            env_states, obs2, reward, done, obs_next = venv.step(
                 st.env_states, action, k_step, reset_pool=reset_pool
             )
             store = st.replay.s1.dtype
@@ -123,8 +127,9 @@ def make_segment(
                 replay_mod.encode_obs(obs2, store),
                 done,
             )
+            # Carry obs_next (reset obs for done envs), not the terminal obs2.
             st = st.replace(
-                replay=replay, env_states=env_states, obs=obs2,
+                replay=replay, env_states=env_states, obs=obs_next,
                 rng=rng, env_steps=st.env_steps + 1,
             )
             batch = replay_mod.sample(st.replay, k_sample, batch_size)
@@ -182,9 +187,13 @@ def train(opts) -> float:
         rng=rng,
         env_steps=jnp.zeros((), jnp.int32),
     )
+    start_segment = 0
     if opts.ckpt_dir:
         st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
         if restored is not None:
+            # Resume the segment counter so checkpoint numbering stays
+            # monotonic across restarts (see agents/ddpg.py).
+            start_segment = restored
             logger.log("restore", step=restored)
 
     segment = jax.jit(
@@ -204,7 +213,7 @@ def train(opts) -> float:
 
     rng = jax.random.PRNGKey(opts.seed + 1)
     final_eval = 0.0
-    for i in range(opts.num_train_batches):
+    for i in range(start_segment, opts.num_train_batches):
         st, metrics = segment(st)
         if (i + 1) % max(opts.eval_freq, 1) == 0 or i + 1 == opts.num_train_batches:
             rng, k_eval = jax.random.split(rng)
@@ -223,7 +232,7 @@ def train(opts) -> float:
         if opts.ckpt_dir and (i + 1) % max(opts.ckpt_freq, 1) == 0:
             ckpt_mod.save(opts.ckpt_dir, i + 1, st)
     if opts.ckpt_dir:
-        ckpt_mod.save(opts.ckpt_dir, opts.num_train_batches, st)
+        ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start_segment), st)
     logger.close()
     return final_eval
 

@@ -116,14 +116,14 @@ def make_segment(
     def segment(st: NAFState):
         rng, k_pool = jax.random.split(st.rng)
         st = st.replace(rng=rng)
-        reset_pool, _ = venv.reset(k_pool)
+        reset_pool = venv.reset(k_pool)
 
         def body(st: NAFState, _):
             rng, k_ou, k_step, k_sample = jax.random.split(st.rng, 4)
             (_, mu, _), _ = _apply(net, st.variables, st.obs, train=False)
             ou = ou_step(st.ou_noise, k_ou, theta=ou_theta, sigma=ou_sigma)
             action = jnp.clip(mu + ou, -1.0, 1.0)
-            env_states, obs2, reward, done = venv.step(
+            env_states, obs2, reward, done, obs_next = venv.step(
                 st.env_states, action, k_step, reset_pool=reset_pool
             )
             store = st.replay.s1.dtype
@@ -136,8 +136,9 @@ def make_segment(
                 done,
             )
             ou = jnp.where(done[:, None], 0.0, ou)
+            # Carry obs_next (reset obs for done envs), not the terminal obs2.
             st = st.replace(
-                replay=replay, env_states=env_states, obs=obs2, ou_noise=ou,
+                replay=replay, env_states=env_states, obs=obs_next, ou_noise=ou,
                 rng=rng, env_steps=st.env_steps + 1,
             )
             batch = replay_mod.sample(st.replay, k_sample, batch_size)
@@ -207,9 +208,13 @@ def train(opts) -> float:
         rng=rng,
         env_steps=jnp.zeros((), jnp.int32),
     )
+    start_segment = 0
     if opts.ckpt_dir:
         st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
         if restored is not None:
+            # Resume the segment counter so checkpoint numbering stays
+            # monotonic across restarts (see agents/ddpg.py).
+            start_segment = restored
             logger.log("restore", step=restored)
 
     segment = jax.jit(
@@ -229,7 +234,7 @@ def train(opts) -> float:
 
     rng = jax.random.PRNGKey(opts.seed + 1)
     final_eval = 0.0
-    for i in range(opts.num_train_batches):
+    for i in range(start_segment, opts.num_train_batches):
         st, metrics = segment(st)
         if (i + 1) % max(opts.eval_freq, 1) == 0 or i + 1 == opts.num_train_batches:
             rng, k_eval = jax.random.split(rng)
@@ -247,7 +252,7 @@ def train(opts) -> float:
         if opts.ckpt_dir and (i + 1) % max(opts.ckpt_freq, 1) == 0:
             ckpt_mod.save(opts.ckpt_dir, i + 1, st)
     if opts.ckpt_dir:
-        ckpt_mod.save(opts.ckpt_dir, opts.num_train_batches, st)
+        ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start_segment), st)
     logger.close()
     return final_eval
 

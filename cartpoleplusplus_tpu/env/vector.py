@@ -7,8 +7,12 @@ per process, stepped over FFI).  The TPU rebuild's core scaling axis is
 "4096-way vectorized envs, fused sim+render+learner jit loop").
 
 Auto-reset semantics: when an env reports done, the *returned* obs/reward are
-the terminal ones (so the learner sees the transition), and the carried state
-is a fresh reset — the standard batched-RL convention.
+the terminal ones (so the learner sees the transition), and the carried
+state AND carried observation are a fresh reset — the standard batched-RL
+convention.  ``step`` therefore returns both the transition obs (s2 of the
+replay tuple) and the carried obs (what the policy acts on next); conflating
+the two would make the policy act on a stale terminal frame for the first
+step of every new episode and poison replay with cross-episode transitions.
 """
 
 from __future__ import annotations
@@ -70,20 +74,24 @@ class VectorCartpole:
         state: EnvState,
         action: jnp.ndarray,
         rng: jax.Array,
-        reset_pool: Optional[EnvState] = None,
-    ) -> tuple[EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Batched step with auto-reset → (states, obs, reward, done).
+        reset_pool: Optional[tuple[EnvState, jnp.ndarray]] = None,
+    ) -> tuple[EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Batched step with auto-reset → (states, obs, reward, done, next_obs).
 
-        ``done[i]`` marks the transition boundary; the carried ``state`` for
-        done envs is already re-initialised (a fresh episode begins next call).
+        ``done[i]`` marks the transition boundary; ``obs`` is the transition's
+        s2 (terminal frame for done envs — what replay stores), while
+        ``next_obs`` is the observation the policy should act on next: for
+        done envs it is the *reset* observation of the fresh episode, matching
+        the carried ``state``.
 
-        ``reset_pool``: optional precomputed batch of reset states (from
-        :meth:`reset`).  The reference's reset simulates a 30-substep random
-        push (bullet_cartpole.py:~L150-190) — 2× the physics of a step — so
-        the fused training loop precomputes a pool per scan segment instead of
-        re-simulating resets for all envs every step.  Env ``i`` reuses
-        ``reset_pool[i]`` if it terminates again within the same segment
-        (statistically benign: segment ≪ episode for trained policies).
+        ``reset_pool``: optional precomputed ``(states, obs)`` reset batch
+        (exactly what :meth:`reset` returns).  The reference's reset simulates
+        a 30-substep random push (bullet_cartpole.py:~L150-190) — 2× the
+        physics of a step — so the fused training loop precomputes a pool per
+        scan segment instead of re-simulating resets for all envs every step.
+        Env ``i`` reuses ``reset_pool[i]`` if it terminates again within the
+        same segment (statistically benign: segment ≪ episode for trained
+        policies).
         """
         next_state, obs, reward, done = cartpole.step_batched(
             self.config, self.scene, state, action, self.observe_fn,
@@ -91,9 +99,11 @@ class VectorCartpole:
         )
 
         if reset_pool is None:
-            reset_pool, _ = cartpole.reset_batched(
+            reset_pool = cartpole.reset_batched(
                 self.config, self.scene, rng, self.num_envs, self.observe_fn,
                 self.observe_batched_fn, self.physics_fn,
             )
-        carried = _where_tree(done, reset_pool, next_state)
-        return carried, obs, reward, done
+        reset_states, reset_obs = reset_pool
+        carried = _where_tree(done, reset_states, next_state)
+        next_obs = _where_tree(done, reset_obs, obs)
+        return carried, obs, reward, done, next_obs

@@ -12,9 +12,11 @@ for TPU:
   active contacts when computing per-contact impulses, which makes the
   simultaneous update provably non-overshooting (each contact pushes a
   virtual sub-body of mass m/n; merging sub-bodies averages velocities).
-  Accuracy per iteration is lower than Gauss-Seidel, so the default iteration
-  count is higher (bodies.SceneParams.solver_iterations = 16) — still ~10×
-  shallower end-to-end.
+  Accuracy per iteration is lower than Gauss-Seidel, so more iterations are
+  needed per unit of accuracy; the validated default is
+  ``bodies.SceneParams.solver_iterations = 10`` (pinned by the analytic tests
+  in tests/test_physics.py) — still ~10× shallower end-to-end than a
+  16-slot sequential sweep.
 * All per-slot math is vectorized over the static 16-slot manifold
   (contacts.py); impulses scatter back to the 2 bodies through constant
   (2, 16) incidence matrices — a tiny matmul instead of 16 ``.at[].add``s.

@@ -87,10 +87,10 @@ def build(opts):
             def body(c, _):
                 states, obs = c
                 action = jnp.tanh(obs.reshape(obs.shape[0], -1)[:, :2].astype(jnp.float32))
-                states, obs, r, d = venv.step(
-                    states, action, jax.random.PRNGKey(0), reset_pool=states
+                states, obs, r, d, obs_next = venv.step(
+                    states, action, jax.random.PRNGKey(0), reset_pool=c
                 )
-                return (states, obs), r.mean()
+                return (states, obs_next), r.mean()
 
             carry, rs = jax.lax.scan(body, carry, None, length=opts.steps_per_segment)
             return carry, {"reward": rs.mean()}

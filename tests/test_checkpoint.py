@@ -43,12 +43,12 @@ def test_restore_missing_dir_returns_target(tmp_path):
     assert restored is target
 
 
-def test_agent_level_resume(tmp_path):
-    """DDPG trains, checkpoints, restarts from the checkpoint and continues."""
+def _ddpg_opts(tmp_path, num_train_batches):
     from cartpoleplusplus_tpu.agents import ddpg
 
     argv = [
-        "--num-train-batches", "2", "--num-envs", "4", "--num-eval", "4",
+        "--num-train-batches", str(num_train_batches),
+        "--num-envs", "4", "--num-eval", "4",
         "--action-repeats", "2", "--steps-per-repeat", "2",
         "--max-episode-len", "10", "--steps-per-segment", "3",
         "--batch-size", "8", "--replay-capacity", "64", "--warmup-steps", "1",
@@ -58,17 +58,37 @@ def test_agent_level_resume(tmp_path):
         "cartpoleplusplus_tpu.agents.common", fromlist=["make_parser"]
     ).make_parser("t")
     ddpg.add_ddpg_opts(parser)
-    opts = parser.parse_args(argv)
-    ddpg.train(opts)
+    return parser.parse_args(argv)
+
+
+def test_agent_level_resume(tmp_path):
+    """DDPG trains, checkpoints, restarts from the checkpoint and continues.
+
+    Resume carries the SEGMENT counter (ADVICE round 1): run 2 with a higher
+    --num-train-batches picks up at run 1's last segment and numbers new
+    checkpoints monotonically after it — never re-saving ckpt_1..N with newer
+    weights under older filenames.
+    """
+    from cartpoleplusplus_tpu.agents import ddpg
+
+    ddpg.train(_ddpg_opts(tmp_path, 2))
     step = ckpt.latest_step(str(tmp_path))
     assert step == 2
     raw1 = ckpt.load_raw(str(tmp_path), 2)
     steps_run1 = int(raw1["env_steps"])
     assert steps_run1 == 2 * 3  # 2 segments × 3 steps
 
-    # Second run restores-if-present and continues: the carried env_steps
-    # counter must advance past run 1's (reference restore behavior).
-    opts2 = parser.parse_args(argv)
-    ddpg.train(opts2)
-    raw2 = ckpt.load_raw(str(tmp_path), 2)
+    # Second run restores-if-present and continues from segment 2 → runs 2
+    # more segments, saved as ckpt_3 and ckpt_4 (monotonic numbering).
+    ddpg.train(_ddpg_opts(tmp_path, 4))
+    assert ckpt.latest_step(str(tmp_path)) == 4
+    raw2 = ckpt.load_raw(str(tmp_path), 4)
     assert int(raw2["env_steps"]) == steps_run1 + 2 * 3
+
+    # A re-run that is already complete (num-train-batches == restored
+    # segment) trains zero additional segments and must NOT clobber newer
+    # checkpoints with stale lower-numbered ones.
+    ddpg.train(_ddpg_opts(tmp_path, 4))
+    assert ckpt.latest_step(str(tmp_path)) == 4
+    raw3 = ckpt.load_raw(str(tmp_path), 4)
+    assert int(raw3["env_steps"]) == steps_run1 + 2 * 3

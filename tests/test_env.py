@@ -159,7 +159,7 @@ def test_vector_env_autoreset(cfg):
     states = states.replace(rigid=states.rigid.replace(pos=pos))
 
     step = jax.jit(venv.step)
-    new_states, obs, reward, done = step(
+    new_states, obs, reward, done, next_obs = step(
         states, jnp.zeros((4,), jnp.int32), jax.random.PRNGKey(1)
     )
     assert bool(done[0]) and not bool(done[1])
@@ -167,20 +167,32 @@ def test_vector_env_autoreset(cfg):
     assert int(new_states.steps[0]) == 0
     assert int(new_states.steps[1]) == 1
     assert not bool(new_states.done[0])
+    # The carried obs for the reset env must be the RESET observation, not
+    # the terminal frame (stale-obs/replay-corruption bug, ADVICE round 1):
+    # env 0's pole was pushed to x=5, so its terminal frame differs from any
+    # fresh reset frame near the origin.
+    assert not np.allclose(np.asarray(next_obs[0]), np.asarray(obs[0]))
+    # Non-terminated envs carry the transition obs unchanged.
+    np.testing.assert_array_equal(np.asarray(next_obs[1]), np.asarray(obs[1]))
 
 
 def test_vector_env_reset_pool(cfg):
     venv = VectorCartpole(cfg, num_envs=3)
-    pool, _ = venv.reset(jax.random.PRNGKey(7))
+    pool = venv.reset(jax.random.PRNGKey(7))
     states, _ = venv.reset(jax.random.PRNGKey(0))
     pos = states.rigid.pos.at[2, POLE, 0].set(5.0).at[2, POLE, 2].set(3.0)
     states = states.replace(rigid=states.rigid.replace(pos=pos))
-    new_states, _, _, done = jax.jit(venv.step)(
+    new_states, _, _, done, next_obs = jax.jit(venv.step)(
         states, jnp.zeros((3,), jnp.int32), jax.random.PRNGKey(1), reset_pool=pool
     )
     assert bool(done[2])
+    pool_states, pool_obs = pool
     np.testing.assert_allclose(
-        np.asarray(new_states.rigid.pos[2]), np.asarray(pool.rigid.pos[2])
+        np.asarray(new_states.rigid.pos[2]), np.asarray(pool_states.rigid.pos[2])
+    )
+    # The carried obs for the reset env comes from the pool too.
+    np.testing.assert_array_equal(
+        np.asarray(next_obs[2]), np.asarray(pool_obs[2])
     )
 
 
