@@ -74,7 +74,11 @@ def make_venv(
     if config.use_raw_pixels:
         from cartpoleplusplus_tpu.render import make_observe_pixels
 
-        observe_fn = make_observe_pixels(config)
+        # uint8 end-to-end: frames leave the renderer replay-ready and every
+        # obs hop (carry, replay write, policy read) moves 4× fewer bytes;
+        # networks decode in ObsEncoder.  Also removes the train/act
+        # distribution mismatch of quantizing only the stored copy.
+        observe_fn = make_observe_pixels(config, dtype=jnp.uint8)
         if pallas_render:
             from cartpoleplusplus_tpu.render.pallas_kernel import make_render_batched
 

@@ -57,6 +57,11 @@ def add_dqn_opts(parser):
                              "over which ε anneals linearly; the env_steps "
                              "METRIC counts env transitions, i.e. this × "
                              "num-envs")
+    parser.add_argument("--num-devices", type=int, default=1,
+                        help="shard envs+replay over this many devices "
+                             "(shard_map data parallelism; params replicate, "
+                             "grads pmean over ICI). num-envs and replay "
+                             "capacity must divide evenly.")
 
 
 def make_segment(
@@ -72,6 +77,7 @@ def make_segment(
     eps_start: float,
     eps_end: float,
     eps_decay_steps: int,
+    axis_name: str | None = None,
 ):
     def loss_fn(params, s1, a, y):
         q = qnet.apply(params, s1)
@@ -89,6 +95,8 @@ def make_segment(
         loss, grads = jax.value_and_grad(loss_fn)(
             params, s1, a, jax.lax.stop_gradient(y)
         )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
         upd, opt = tx.update(grads, opt, params)
         params = optax.apply_updates(params, upd)
         return (
@@ -98,6 +106,11 @@ def make_segment(
         ), {"loss": loss}
 
     def segment(st: DQNState):
+        if axis_name is not None:
+            # st.rng arrives replicated; decorrelate per-device streams.
+            st = st.replace(
+                rng=jax.random.fold_in(st.rng, jax.lax.axis_index(axis_name))
+            )
         rng, k_pool = jax.random.split(st.rng)
         st = st.replace(rng=rng)
         reset_pool = venv.reset(k_pool)
@@ -144,9 +157,20 @@ def make_segment(
             return st, {**losses, "reward": jnp.mean(reward), "eps": eps}
 
         st, metrics = jax.lax.scan(body, st, None, length=steps_per_segment)
-        return st, jax.tree.map(jnp.mean, metrics)
+        metrics = jax.tree.map(jnp.mean, metrics)
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+            # Re-replicate the carried rng (devices diverged via fold_in).
+            st = st.replace(
+                rng=jax.lax.all_gather(st.rng, axis_name, axis=0)[0]
+            )
+        return st, metrics
 
     return segment
+
+
+DQN_SHARDED_FIELDS = ("replay", "env_states", "obs")
+DQN_METRIC_KEYS = ("loss", "reward", "eps")
 
 
 def greedy_act(qnet: QNetwork):
@@ -196,17 +220,44 @@ def train(opts) -> float:
             start_segment = restored
             logger.log("restore", step=restored)
 
-    segment = jax.jit(
-        make_segment(
-            venv, qnet, tx,
-            gamma=opts.gamma, tau=opts.tau, batch_size=opts.batch_size,
+    if getattr(opts, "num_devices", 1) > 1:
+        # Multi-chip DP: env/replay shards per device, replicated params,
+        # gradient pmean over ICI (parallel/distributed.py, agent-generic).
+        from cartpoleplusplus_tpu.parallel import make_distributed, make_mesh
+
+        if opts.num_envs % opts.num_devices or opts.replay_capacity % opts.num_devices:
+            raise SystemExit(
+                "--num-envs and --replay-capacity must be divisible by "
+                "--num-devices"
+            )
+        mesh = make_mesh(opts.num_devices)
+        local_venv = common.make_venv(config, opts.num_envs // opts.num_devices)
+        per_chip = make_segment(
+            local_venv, qnet, tx,
+            gamma=opts.gamma, tau=opts.tau,
+            batch_size=opts.batch_size // opts.num_devices or 1,
             warmup_steps=opts.warmup_steps,
             steps_per_segment=opts.steps_per_segment,
             eps_start=opts.eps_start, eps_end=opts.eps_end,
             eps_decay_steps=opts.eps_decay_steps,
-        ),
-        donate_argnums=0,
-    )
+            axis_name=mesh.axis_names[0],
+        )
+        segment, shard_state = make_distributed(
+            mesh, per_chip, st, DQN_SHARDED_FIELDS, DQN_METRIC_KEYS
+        )
+        st = shard_state(st)
+    else:
+        segment = jax.jit(
+            make_segment(
+                venv, qnet, tx,
+                gamma=opts.gamma, tau=opts.tau, batch_size=opts.batch_size,
+                warmup_steps=opts.warmup_steps,
+                steps_per_segment=opts.steps_per_segment,
+                eps_start=opts.eps_start, eps_end=opts.eps_end,
+                eps_decay_steps=opts.eps_decay_steps,
+            ),
+            donate_argnums=0,
+        )
     eval_fn = jax.jit(
         lambda p, k: common.eval_rollout(eval_venv, greedy_act(qnet), p, k)
     )

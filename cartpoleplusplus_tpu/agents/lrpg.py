@@ -85,8 +85,20 @@ def discounted_returns(rewards: jnp.ndarray, valid: jnp.ndarray, gamma: float):
     return returns[::-1]
 
 
-def make_train_step(venv: VectorCartpole, policy: DiscretePolicy, tx, gamma: float):
-    """One fused update: batched rollout → whitened returns → PG step."""
+def make_train_step(
+    venv: VectorCartpole,
+    policy: DiscretePolicy,
+    tx,
+    gamma: float,
+    axis_name: str | None = None,
+):
+    """One fused update: batched rollout → whitened returns → PG step.
+
+    ``axis_name``: under ``shard_map`` (parallel/distributed.py) each device
+    rolls out its own env batch (decorrelated RNG via axis-index fold-in) and
+    gradients/metrics are pmean'd over ICI — on-policy data parallelism with
+    fully replicated state.
+    """
 
     def loss_fn(params, obs_t, act_t, ret_t, valid_t):
         T, E = act_t.shape
@@ -102,17 +114,27 @@ def make_train_step(venv: VectorCartpole, policy: DiscretePolicy, tx, gamma: flo
         return -jnp.sum(logp * adv * w) / jnp.maximum(jnp.sum(w), 1.0)
 
     def train_step(ts: TrainState):
-        rng, k_roll = jax.random.split(ts.rng)
+        rng = ts.rng
+        if axis_name is not None:
+            # Replicated key in; decorrelate this device's rollouts.
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        rng, k_roll = jax.random.split(rng)
         obs_t, act_t, rew_t, valid_t = rollout_batch(venv, policy, ts.params, k_roll)
         ret_t = discounted_returns(rew_t, valid_t.astype(jnp.float32), gamma)
         loss, grads = jax.value_and_grad(loss_fn)(
             ts.params, obs_t, act_t, ret_t, valid_t
         )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
         ep_len = jnp.sum(valid_t.astype(jnp.float32)) / valid_t.shape[1]
         ep_rew = jnp.sum(rew_t * valid_t) / valid_t.shape[1]
         metrics = {"loss": loss, "ep_len": ep_len, "ep_rew": ep_rew}
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+            # Re-replicate the carried rng (devices diverged via fold_in).
+            rng = jax.lax.all_gather(rng, axis_name, axis=0)[0]
         return (
             TrainState(params=params, opt_state=opt_state, rng=rng,
                        update=ts.update + 1),
@@ -120,6 +142,10 @@ def make_train_step(venv: VectorCartpole, policy: DiscretePolicy, tx, gamma: flo
         )
 
     return train_step
+
+
+LRPG_SHARDED_FIELDS: tuple = ()  # on-policy: every field replicates
+LRPG_METRIC_KEYS = ("loss", "ep_len", "ep_rew")
 
 
 def greedy_act(policy: DiscretePolicy):
@@ -159,7 +185,26 @@ def train(opts) -> float:
         if restored is not None:
             logger.log("restore", step=restored)
 
-    train_step = jax.jit(make_train_step(venv, policy, tx, opts.gamma), donate_argnums=0)
+    if getattr(opts, "num_devices", 1) > 1:
+        # On-policy multi-chip DP: each device rolls out its own env batch;
+        # grads pmean over ICI; all state replicated (agent-generic layer).
+        from cartpoleplusplus_tpu.parallel import make_distributed, make_mesh
+
+        if opts.num_envs % opts.num_devices:
+            raise SystemExit("--num-envs must be divisible by --num-devices")
+        mesh = make_mesh(opts.num_devices)
+        local_venv = common.make_venv(config, opts.num_envs // opts.num_devices)
+        per_chip = make_train_step(
+            local_venv, policy, tx, opts.gamma, axis_name=mesh.axis_names[0]
+        )
+        train_step, shard_state = make_distributed(
+            mesh, per_chip, ts, LRPG_SHARDED_FIELDS, LRPG_METRIC_KEYS
+        )
+        ts = shard_state(ts)
+    else:
+        train_step = jax.jit(
+            make_train_step(venv, policy, tx, opts.gamma), donate_argnums=0
+        )
     eval_fn = jax.jit(
         lambda p, k: common.eval_rollout(eval_venv, greedy_act(policy), p, k)
     )
@@ -191,10 +236,18 @@ def train(opts) -> float:
     return final_eval
 
 
+def add_lrpg_opts(parser):
+    parser.add_argument("--num-devices", type=int, default=1,
+                        help="roll out env shards on this many devices "
+                             "(shard_map data parallelism; grads pmean over "
+                             "ICI). num-envs must divide evenly.")
+
+
 def main(argv=None):
     parser = common.make_parser(
         "LRPG (REINFORCE) agent on cartpole++ (TPU rebuild of lrpg_cartpole.py)"
     )
+    add_lrpg_opts(parser)
     opts = parser.parse_args(argv)
     print(f"OPTS {vars(opts)}", file=sys.stderr)  # reference prints opts at startup
     train(opts)

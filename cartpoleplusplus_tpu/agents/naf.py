@@ -60,6 +60,11 @@ def add_naf_opts(parser):
                              "when returns approach 1/(1-gamma))")
     parser.add_argument("--grad-clip", type=float, default=0.0,
                         help="global-norm gradient clip (0 = off)")
+    parser.add_argument("--num-devices", type=int, default=1,
+                        help="shard envs+replay over this many devices "
+                             "(shard_map data parallelism; params replicate, "
+                             "grads pmean over ICI). num-envs and replay "
+                             "capacity must divide evenly.")
 
 
 def _apply(net: NAFNetwork, variables, obs, train: bool):
@@ -83,6 +88,7 @@ def make_segment(
     ou_theta: float,
     ou_sigma: float,
     reward_scale: float = 1.0,
+    axis_name: str | None = None,
 ):
     def loss_fn(params, aux_vars, s1, a, y):
         variables = {**aux_vars, "params": params}
@@ -103,6 +109,8 @@ def make_segment(
         (loss, new_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             variables["params"], aux, s1, a, jax.lax.stop_gradient(y)
         )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
         upd, opt = tx.update(grads, opt, variables["params"])
         params = optax.apply_updates(variables["params"], upd)
         variables = {**new_vars, "params": params}
@@ -114,6 +122,11 @@ def make_segment(
         return bundle, {"loss": loss}
 
     def segment(st: NAFState):
+        if axis_name is not None:
+            # st.rng arrives replicated; decorrelate per-device streams.
+            st = st.replace(
+                rng=jax.random.fold_in(st.rng, jax.lax.axis_index(axis_name))
+            )
         rng, k_pool = jax.random.split(st.rng)
         st = st.replace(rng=rng)
         reset_pool = venv.reset(k_pool)
@@ -155,9 +168,20 @@ def make_segment(
             return st, {**losses, "reward": jnp.mean(reward)}
 
         st, metrics = jax.lax.scan(body, st, None, length=steps_per_segment)
-        return st, jax.tree.map(jnp.mean, metrics)
+        metrics = jax.tree.map(jnp.mean, metrics)
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+            # Re-replicate the carried rng (devices diverged via fold_in).
+            st = st.replace(
+                rng=jax.lax.all_gather(st.rng, axis_name, axis=0)[0]
+            )
+        return st, metrics
 
     return segment
+
+
+NAF_SHARDED_FIELDS = ("replay", "env_states", "obs", "ou_noise")
+NAF_METRIC_KEYS = ("loss", "reward")
 
 
 def greedy_act(net: NAFNetwork):
@@ -217,17 +241,44 @@ def train(opts) -> float:
             start_segment = restored
             logger.log("restore", step=restored)
 
-    segment = jax.jit(
-        make_segment(
-            venv, net, tx,
-            gamma=opts.gamma, tau=opts.tau, batch_size=opts.batch_size,
+    if getattr(opts, "num_devices", 1) > 1:
+        # Multi-chip DP: env/replay shards per device, replicated params,
+        # gradient pmean over ICI (parallel/distributed.py, agent-generic).
+        from cartpoleplusplus_tpu.parallel import make_distributed, make_mesh
+
+        if opts.num_envs % opts.num_devices or opts.replay_capacity % opts.num_devices:
+            raise SystemExit(
+                "--num-envs and --replay-capacity must be divisible by "
+                "--num-devices"
+            )
+        mesh = make_mesh(opts.num_devices)
+        local_venv = common.make_venv(config, opts.num_envs // opts.num_devices)
+        per_chip = make_segment(
+            local_venv, net, tx,
+            gamma=opts.gamma, tau=opts.tau,
+            batch_size=opts.batch_size // opts.num_devices or 1,
             warmup_steps=opts.warmup_steps,
             steps_per_segment=opts.steps_per_segment,
             ou_theta=opts.ou_theta, ou_sigma=opts.ou_sigma,
             reward_scale=opts.reward_scale,
-        ),
-        donate_argnums=0,
-    )
+            axis_name=mesh.axis_names[0],
+        )
+        segment, shard_state = make_distributed(
+            mesh, per_chip, st, NAF_SHARDED_FIELDS, NAF_METRIC_KEYS
+        )
+        st = shard_state(st)
+    else:
+        segment = jax.jit(
+            make_segment(
+                venv, net, tx,
+                gamma=opts.gamma, tau=opts.tau, batch_size=opts.batch_size,
+                warmup_steps=opts.warmup_steps,
+                steps_per_segment=opts.steps_per_segment,
+                ou_theta=opts.ou_theta, ou_sigma=opts.ou_sigma,
+                reward_scale=opts.reward_scale,
+            ),
+            donate_argnums=0,
+        )
     eval_fn = jax.jit(
         lambda v, k: common.eval_rollout(eval_venv, greedy_act(net), v, k)
     )

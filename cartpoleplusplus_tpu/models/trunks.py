@@ -117,6 +117,12 @@ class ObsEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.use_raw_pixels and obs.dtype == jnp.uint8:
+            # uint8 end-to-end pixel path: the renderer quantizes frames on
+            # device (replay stores them verbatim — no re-encode) and the
+            # network is the single decode point.  4× less HBM traffic on
+            # every obs hop of the fused loop.
+            obs = obs.astype(self.dtype) * (1.0 / 255.0)
         if self.use_raw_pixels:
             if self.pixel_encoder == "conv":
                 x = pixels_to_nhwc(obs, batched=True)

@@ -6,7 +6,9 @@ TPU-native design — shard_map over a 1-D env mesh with ICI gradient pmean.
 
 from cartpoleplusplus_tpu.parallel.distributed import (
     global_ddpg_state,
+    make_distributed,
     make_distributed_segment,
+    state_specs,
 )
 from cartpoleplusplus_tpu.parallel.mesh import (
     ENV_AXIS,
@@ -17,7 +19,9 @@ from cartpoleplusplus_tpu.parallel.mesh import (
 
 __all__ = [
     "global_ddpg_state",
+    "make_distributed",
     "make_distributed_segment",
+    "state_specs",
     "ENV_AXIS",
     "make_mesh",
     "replicate",

@@ -1,70 +1,121 @@
-"""Multi-chip fused DDPG training: env-sharded shard_map over the mesh.
+"""Multi-chip fused training: env-sharded shard_map over the mesh.
 
 This is the rebuild's distributed-communication layer — the subsystem the
 reference simply does not have (SURVEY.md §2.3: no NCCL/MPI/Gloo, not even
 multiprocessing).  Design per the TPU sharding playbook:
 
   * 1-D mesh, axis "env": the env batch, replay buffer, observations, and
-    OU-noise state shard along their leading (env/capacity) dim — one shard
-    per chip, zero cross-chip traffic on the sim/replay path.
+    exploration-noise state shard along their leading (env/capacity) dim —
+    one shard per chip, zero cross-chip traffic on the sim/replay path.
   * Network params + optimizer state are replicated; each chip computes
     gradients on its local replay batch and ``pmean``s them (ICI psum), so
     replicas stay bit-identical.
   * RNG: a replicated key, decorrelated per chip by folding in the axis
-    index inside the mapped function (agents/ddpg.py make_segment).
+    index inside the mapped function (each agent's make_segment).
   * The per-chip program is the *same* fused K-step segment used single-chip
     — multi-chip is a pure sharding annotation change, the XLA way.
+
+The layer is agent-generic: :func:`state_specs` partitions ANY flax-struct
+agent state given the names of its env-sharded fields, and
+:func:`make_distributed` wraps any per-chip ``state → (state, metrics)``
+segment.  Every agent (DDPG, NAF, DQN, LRPG) exposes ``--num-devices`` on
+top of it.
 """
 
 from __future__ import annotations
 
-from functools import partial
+import dataclasses
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cartpoleplusplus_tpu.agents import ddpg as ddpg_mod
-from cartpoleplusplus_tpu.agents.ddpg import DDPGState
-from cartpoleplusplus_tpu.env.vector import VectorCartpole
-from cartpoleplusplus_tpu.models import Actor, Critic
-from cartpoleplusplus_tpu.parallel.mesh import ENV_AXIS
+from cartpoleplusplus_tpu.replay import ReplayState
 
 
-def _state_specs(st: DDPGState, axis: str) -> DDPGState:
-    """PartitionSpec tree for a DDPGState: params replicated, env data sharded.
+def state_specs(st, axis: str, sharded_fields: tuple[str, ...]):
+    """PartitionSpec tree for an agent-state dataclass.
 
-    Replay cursor/size and the step counter stay replicated — every shard
-    writes the same number of local transitions per step, so the scalars
-    evolve identically on all chips.
+    ``sharded_fields``: names of the state's fields whose arrays shard along
+    their leading (env / replay-capacity) dim.  Everything else — params,
+    optimizer state, RNG key, step counters — replicates.  ReplayState fields
+    keep their ``cursor``/``size`` scalars replicated (every shard writes the
+    same number of local transitions per step, so the scalars evolve
+    identically on all chips).
+
+    Field-name granularity (rather than guessing from array shapes) is
+    deliberate: a hidden layer of width ``num_envs`` would silently shard a
+    weight matrix under any shape-based rule.
     """
     repl = lambda tree: jax.tree.map(lambda _: P(), tree)
-    shard = lambda tree: jax.tree.map(
-        lambda x: P(axis) if getattr(x, "ndim", 0) >= 1 else P(), tree
+
+    def shard_tree(v):
+        if isinstance(v, ReplayState):
+            return v.replace(
+                s1=P(axis), action=P(axis), reward=P(axis), s2=P(axis),
+                terminal=P(axis), cursor=P(), size=P(),
+            )
+        return jax.tree.map(
+            lambda x: P(axis) if getattr(x, "ndim", 0) >= 1 else P(), v
+        )
+
+    out = {}
+    for f in dataclasses.fields(st):
+        v = getattr(st, f.name)
+        out[f.name] = shard_tree(v) if f.name in sharded_fields else repl(v)
+    return type(st)(**out)
+
+
+def make_distributed(
+    mesh: Mesh,
+    per_chip_segment,
+    st_example,
+    sharded_fields: tuple[str, ...],
+    metric_keys: tuple[str, ...],
+):
+    """shard_map any per-chip fused segment over the mesh.
+
+    ``per_chip_segment``: state → (state, {metric: scalar}) built with
+    ``axis_name=mesh.axis_names[0]`` so it pmeans its gradients/metrics and
+    decorrelates its RNG stream per chip.  ``st_example`` provides the state
+    structure (host-built GLOBAL state: env/replay sized for the whole mesh).
+
+    Returns ``(segment, shard_state)``: the jitted donated segment and a
+    placement function mapping a global host state onto the mesh.
+    """
+    axis = mesh.axis_names[0]
+    specs = state_specs(st_example, axis, sharded_fields)
+    out_specs = (specs, {k: P() for k in metric_keys})
+    mapped = jax.shard_map(
+        per_chip_segment,
+        mesh=mesh,
+        in_specs=(specs,),
+        out_specs=out_specs,
+        check_vma=False,
     )
-    return DDPGState(
-        actor_params=repl(st.actor_params),
-        critic_params=repl(st.critic_params),
-        target_actor_params=repl(st.target_actor_params),
-        target_critic_params=repl(st.target_critic_params),
-        actor_opt=repl(st.actor_opt),
-        critic_opt=repl(st.critic_opt),
-        replay=st.replay.replace(
-            s1=P(axis), action=P(axis), reward=P(axis), s2=P(axis),
-            terminal=P(axis), cursor=P(), size=P(),
-        ),
-        env_states=shard(st.env_states),
-        obs=P(axis),
-        ou_noise=P(axis),
-        rng=P(),
-        env_steps=P(),
-    )
+    segment = jax.jit(mapped, donate_argnums=0)
+
+    def shard_state(st):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), st, specs
+        )
+
+    return segment, shard_state
+
+
+# ---------------------------------------------------------------------------
+# DDPG convenience wrappers (the flagship multi-chip path; kept for the
+# driver's dryrun and agents/ddpg.py --num-devices).
+# ---------------------------------------------------------------------------
+
+DDPG_SHARDED_FIELDS = ("replay", "env_states", "obs", "ou_noise")
+DDPG_METRIC_KEYS = ("critic_loss", "actor_loss", "reward", "done_frac")
 
 
 def make_distributed_segment(
     mesh: Mesh,
-    local_venv: VectorCartpole,
-    actor: Actor,
-    critic: Critic,
+    local_venv,
+    actor,
+    critic,
     actor_tx,
     critic_tx,
     *,
@@ -77,13 +128,14 @@ def make_distributed_segment(
     ou_sigma: float = 0.2,
     reward_scale: float = 1.0,
 ):
-    """Jitted multi-chip segment: DDPGState (sharded) → (DDPGState, metrics).
+    """Jitted multi-chip DDPG segment: sharded state → (state, metrics).
 
     ``local_venv`` is sized for ONE chip's env shard (global_envs / n_chips);
     ``batch_size`` is the per-chip replay batch (global batch = B × chips).
-    Returns (segment_fn, state_sharding_fn) — the latter maps a host-built
-    global DDPGState to its mesh sharding.
+    Returns (build, shard_state): ``build(st_example)`` → jitted segment.
     """
+    from cartpoleplusplus_tpu.agents import ddpg as ddpg_mod
+
     axis = mesh.axis_names[0]
     per_chip_segment = ddpg_mod.make_segment(
         local_venv, actor, critic, actor_tx, critic_tx,
@@ -93,24 +145,15 @@ def make_distributed_segment(
         axis_name=axis,
     )
 
-    def specs_for(st: DDPGState) -> DDPGState:
-        return _state_specs(st, axis)
-
-    def build(st_example: DDPGState):
-        specs = specs_for(st_example)
-        metric_keys = ("critic_loss", "actor_loss", "reward", "done_frac")
-        out_specs = (specs, {k: P() for k in metric_keys})
-        mapped = jax.shard_map(
-            per_chip_segment,
-            mesh=mesh,
-            in_specs=(specs,),
-            out_specs=out_specs,
-            check_vma=False,
+    def build(st_example):
+        segment, _ = make_distributed(
+            mesh, per_chip_segment, st_example,
+            DDPG_SHARDED_FIELDS, DDPG_METRIC_KEYS,
         )
-        return jax.jit(mapped, donate_argnums=0)
+        return segment
 
-    def shard_state(st: DDPGState) -> DDPGState:
-        specs = specs_for(st)
+    def shard_state(st):
+        specs = state_specs(st, axis, DDPG_SHARDED_FIELDS)
         return jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), st, specs
         )
@@ -121,13 +164,14 @@ def make_distributed_segment(
 def global_ddpg_state(
     config, global_envs: int, replay_capacity: int,
     actor, critic, actor_tx, critic_tx, seed: int = 0,
-) -> DDPGState:
-    """Global state with env/replay sized for the WHOLE mesh.
+):
+    """Global DDPG state with env/replay sized for the WHOLE mesh.
 
     Mirrors agents.ddpg.init_state with explicit sizes; build once, then
     place with ``shard_state``.
     """
     from cartpoleplusplus_tpu.agents import common
+    from cartpoleplusplus_tpu.agents import ddpg as ddpg_mod
 
     opts = type("O", (), {"seed": seed, "replay_capacity": replay_capacity})()
     venv = common.make_venv(config, global_envs)

@@ -86,6 +86,90 @@ def _ray_obb(origin, direction, center, quat, half_extents):
     return t, normal_w, hit
 
 
+def _ray_obb_ratio(origin, direction, center, quat, half_extents, light=None):
+    """Division-free ray vs oriented box → (num, den, shade_or_normal, hit).
+
+    Same geometry as :func:`_ray_obb` but the hit depth is returned as a
+    RATIO ``num/den`` with ``den > 0`` and no division is performed: slab
+    entry/exit times are fractions ``n_k / p_k`` with ``p_k = |dir_l_k| > 0``,
+    and max/min over slabs + the hit test are evaluated by cross-multiplying.
+    Rationale: the renderer is VPU-compute-bound (BASELINE.md) and divisions
+    are multi-op sequences on the VPU — 6 divides + a normalize (rsqrt+mul)
+    per ray/box dominated the per-pixel cost.  Depth comparisons across
+    objects stay division-free too: ``n1/d1 < n2/d2 ⟺ n1·d2 < n2·d1``.
+
+    The world normal comes out of the same slab argmax cascade by selecting
+    the (exactly unit-length) rotation-matrix column of the winning axis —
+    no normalization needed.  Misses return ``(BIG, 1, …, False)``.
+
+    ``light``: optional (3,) static direction.  When given, the third return
+    value is the scalar LAMBERT value n·L instead of the normal tuple: the
+    per-axis candidate is ``∓(L · R_col_k)`` — a per-env SCALAR times the
+    per-pixel sign — so the cascade carries one plane instead of three and
+    the final dot product disappears (the renderer is op-bound; this trims
+    ~25 VPU ops/ray/box).
+    """
+    # Box→world rotation once per env (scalars); per-pixel work is only the
+    # local-frame direction (9 mul + 6 add) and the slab cascade.
+    r = soa.q_to_mat(quat)
+    rel = (origin[0] - center[0], origin[1] - center[1], origin[2] - center[2])
+    # Rᵀ · rel (per-env scalars) and Rᵀ · d (per-pixel).
+    o_l = tuple(
+        r[0][k] * rel[0] + r[1][k] * rel[1] + r[2][k] * rel[2] for k in range(3)
+    )
+    d_l = tuple(
+        r[0][k] * direction[0] + r[1][k] * direction[1] + r[2][k] * direction[2]
+        for k in range(3)
+    )
+
+    one = jnp.ones_like(d_l[0])
+    # Per-slab positive denominator p_k and entry/exit numerators: with
+    # s = sign(d_k), t_lo = (-he - s·o)/|d|, t_hi = (he - s·o)/|d|.  The
+    # sign is arithmetic (Mosaic-safe) and |d| is clamped so parallel rays
+    # degrade to ±huge slab times exactly like the dividing slab test.
+    s = tuple(2.0 * (d_l[k] >= 0.0).astype(d_l[0].dtype) - 1.0 for k in range(3))
+    p = tuple(jnp.maximum(s[k] * d_l[k], 1e-9) for k in range(3))
+    so = tuple(s[k] * o_l[k] for k in range(3))
+    n_lo = tuple(-float(half_extents[k]) - so[k] for k in range(3))
+    n_hi = tuple(float(half_extents[k]) - so[k] for k in range(3))
+    if light is None:
+        # Candidate world normals per slab axis: ∓R column k (unit length).
+        cand = tuple(tuple(-s[k] * r[i][k] for i in range(3)) for k in range(3))
+    else:
+        # Per-axis Lambert: ∓(L · R column k); the dot is a per-env scalar.
+        ldot = tuple(
+            light[0] * r[0][k] + light[1] * r[1][k] + light[2] * r[2][k]
+            for k in range(3)
+        )
+        cand = tuple((-s[k] * ldot[k],) for k in range(3))
+
+    # tmin = max_k n_lo_k / p_k via cross-multiplied cascade, carrying the
+    # winning axis' shade (or normal components) along.
+    n, pd = n_lo[0], p[0]
+    carry = list(cand[0])
+    for k in (1, 2):
+        take = n_lo[k] * pd > n * p[k]
+        n = jnp.where(take, n_lo[k], n)
+        carry = [jnp.where(take, ck, c) for ck, c in zip(cand[k], carry)]
+        pd = jnp.where(take, p[k], pd)
+
+    # tmax = min_k n_hi_k / p_k.
+    m, q = n_hi[0], p[0]
+    for k in (1, 2):
+        take = n_hi[k] * q < m * p[k]
+        m = jnp.where(take, n_hi[k], m)
+        q = jnp.where(take, p[k], q)
+
+    hit = (m * pd >= n * q) & (m > 0.0)
+    # Depth ratio: tmin when the origin is outside (tmin > 0 ⟺ n > 0),
+    # else tmax (matches _ray_box's inside-the-box behavior).
+    inside = n <= 0.0
+    num = jnp.where(hit, jnp.where(inside, m, n), _BIG)
+    den = jnp.where(hit, jnp.where(inside, q, pd), one)
+    out = carry[0] if light is not None else tuple(carry)
+    return num, den, out, hit
+
+
 def render_planes(
     scene: SceneParams,
     rigid: RigidState,
@@ -103,57 +187,62 @@ def render_planes(
     mantissa is ~0.4% relative error — sub-pixel at 50×50 and far below the
     uint8 quantization the replay buffer applies anyway.
     """
+    # --- Static background, computed host-side in numpy at trace time. ---
+    # Ground-plane depth, checker, and Lambert shade depend only on the
+    # static rays/eye, so the whole ground∪sky background collapses to one
+    # constant plane per channel; the compiled per-step work touches only
+    # the two dynamic boxes.
+    ndx, ndy, ndz = (np.asarray(d, np.float32) for d in dirs)
+    e = (float(eye[0]), float(eye[1]), float(eye[2]))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_g = np.where(np.abs(ndz) > 1e-9, -e[2] / ndz, _BIG)
+    t_g = np.where(t_g > 0.0, t_g, _BIG).astype(np.float32)
+    gx = e[0] + t_g * ndx
+    gy = e[1] + t_g * ndy
+    checker = np.mod(np.floor(gx) + np.floor(gy), 2.0) > 0.5
+    gvalid = t_g < _BIG * 0.5
+    shade_g = _AMBIENT + (1.0 - _AMBIENT) * max(LIGHT_DIR[2], 0.0)
+    bg = tuple(
+        jnp.asarray(
+            np.where(
+                gvalid,
+                np.where(checker, GROUND_B[k], GROUND_A[k]) * shade_g,
+                SKY_COLOR[k],
+            ).astype(np.float32),
+            dtype,
+        )
+        for k in range(3)
+    )
+    t_g = jnp.asarray(t_g, dtype)
+
     dx, dy, dz = (jnp.asarray(d, dtype) for d in dirs)
     d = (dx, dy, dz)
-    e = (float(eye[0]), float(eye[1]), float(eye[2]))
 
-    # Ground plane z=0 with checkerboard.
-    t_ground = jnp.where(jnp.abs(dz) > 1e-9, -e[2] / dz, _BIG)
-    t_ground = jnp.where(t_ground > 0.0, t_ground, _BIG)
-    gx = e[0] + t_ground * dx
-    gy = e[1] + t_ground * dy
-    checker = jnp.mod(jnp.floor(gx) + jnp.floor(gy), 2.0) > 0.5
-
-    # Cart and pole boxes (per-env scalars from the rigid state).
+    # Cart and pole boxes (per-env scalars from the rigid state), depths as
+    # division-free ratios with positive denominators.
     cart_c = tuple(rigid.pos[CART, k].astype(dtype) for k in range(3))
     pole_c = tuple(rigid.pos[POLE, k].astype(dtype) for k in range(3))
     cart_q = tuple(rigid.quat[CART, k].astype(dtype) for k in range(4))
     pole_q = tuple(rigid.quat[POLE, k].astype(dtype) for k in range(4))
-    t_cart, n_cart, _ = _ray_obb(e, d, cart_c, cart_q, scene.cart_half_extents)
-    t_pole, n_pole, _ = _ray_obb(e, d, pole_c, pole_q, scene.pole_half_extents)
-
-    t_near = jnp.minimum(t_ground, jnp.minimum(t_cart, t_pole))
-    sel_g = t_near == t_ground
-    sel_c = (t_near == t_cart) & ~sel_g
-    sel_p = (t_near == t_pole) & ~sel_g & ~sel_c
-    miss = t_near >= _BIG * 0.5
-
-    # Lambert on the selected normal.
-    def sel3(gv, cv, pv):
-        return (
-            jnp.where(sel_g, gv[0], 0.0) + jnp.where(sel_c, cv[0], 0.0) + jnp.where(sel_p, pv[0], 0.0),
-            jnp.where(sel_g, gv[1], 0.0) + jnp.where(sel_c, cv[1], 0.0) + jnp.where(sel_p, pv[1], 0.0),
-            jnp.where(sel_g, gv[2], 0.0) + jnp.where(sel_c, cv[2], 0.0) + jnp.where(sel_p, pv[2], 0.0),
-        )
-
-    zero = jnp.zeros_like(dx)
-    one = jnp.ones_like(dx)
-    normal = sel3((zero, zero, one), n_cart, n_pole)
-    lambert = jnp.maximum(
-        normal[0] * LIGHT_DIR[0] + normal[1] * LIGHT_DIR[1] + normal[2] * LIGHT_DIR[2],
-        0.0,
+    nc, dc, lam_c, hit_c = _ray_obb_ratio(
+        e, d, cart_c, cart_q, scene.cart_half_extents, light=LIGHT_DIR
     )
+    np_, dp, lam_p, hit_p = _ray_obb_ratio(
+        e, d, pole_c, pole_q, scene.pole_half_extents, light=LIGHT_DIR
+    )
+
+    # Depth ordering by cross-multiplication (ties → ground, then cart).
+    sel_c = hit_c & (nc < t_g * dc) & (nc * dp <= np_ * dc)
+    sel_p = hit_p & (np_ < t_g * dp) & ~sel_c
+
+    # Lambert shade on the winning box (unused for background pixels).
+    lambert = jnp.maximum(jnp.where(sel_c, lam_c, lam_p), 0.0)
     shade = _AMBIENT + (1.0 - _AMBIENT) * lambert
 
     planes = []
     for k in range(3):
-        ground_k = jnp.where(checker, GROUND_B[k], GROUND_A[k])
-        albedo = (
-            jnp.where(sel_g, ground_k, 0.0)
-            + jnp.where(sel_c, CART_COLOR[k], 0.0)
-            + jnp.where(sel_p, POLE_COLOR[k], 0.0)
-        )
-        planes.append(jnp.where(miss, SKY_COLOR[k], albedo * shade))
+        box_k = jnp.where(sel_c, CART_COLOR[k], POLE_COLOR[k]) * shade
+        planes.append(jnp.where(sel_c | sel_p, box_k, bg[k]))
     return tuple(planes)
 
 
@@ -185,6 +274,11 @@ def make_observe_pixels(
     bullet_cartpole.py:~L120-150).  Frame layout is plane-major per camera:
     [cam0 R | cam0 G | cam0 B | cam1 R | …], row-major pixels within a plane
     (see module docstring for why).
+
+    ``dtype=jnp.uint8`` renders in bfloat16 and quantizes ×255 on the way
+    out — the fused-loop fast path: frames land replay-ready (uint8 is what
+    the buffer stores anyway) and every obs hop moves 4× fewer bytes.  The
+    policy-side decode lives in models.trunks.ObsEncoder.
     """
     cams = (cameras or DEFAULT_CAMERAS)[: config.num_cameras]
     h, w = config.render_height, config.render_width
@@ -192,11 +286,23 @@ def make_observe_pixels(
     for c in cams:
         dirs, eye = ray_grid(c, h, w)
         grids.append(((dirs[:, 0], dirs[:, 1], dirs[:, 2]), tuple(eye)))
+    quantize = dtype == jnp.uint8
+    shade_dtype = jnp.bfloat16 if quantize else dtype
 
     def observe(scene: SceneParams, rigid: RigidState) -> jnp.ndarray:
         planes = []
         for dirs, eye in grids:
-            planes.extend(render_planes(scene, rigid, dirs, eye, dtype=dtype))
+            planes.extend(
+                render_planes(scene, rigid, dirs, eye, dtype=shade_dtype)
+            )
+        if quantize:
+            # Colors are already in [0, 1]; the +0.5 rounds. XLA fuses this
+            # into the shading epilogue — quantization is free.
+            planes = [
+                jnp.clip(p.astype(jnp.float32) * 255.0 + 0.5, 0.0, 255.0)
+                .astype(jnp.uint8)
+                for p in planes
+            ]
         return jnp.concatenate(planes) if len(planes) > 1 else planes[0]
 
     return observe

@@ -125,6 +125,8 @@ def encode_obs(obs: jnp.ndarray, storage_dtype) -> jnp.ndarray:
     on-device analogue is uint8 quantization.
     """
     if storage_dtype == jnp.uint8:
+        if obs.dtype == jnp.uint8:
+            return obs  # renderer already quantized (uint8 end-to-end path)
         return jnp.clip(obs * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
     return obs.astype(storage_dtype)
 

@@ -76,6 +76,127 @@ def test_distributed_segment_runs_and_keeps_params_replicated(nets):
     assert int(st.replay.cursor) == (GLOBAL_ENVS // N_DEV) * 12 % (CAPACITY // N_DEV)
 
 
+def test_distributed_is_noop_at_one_device(nets):
+    """SURVEY §4: single-chip vs multi-chip equivalence on the same seed.
+
+    The distributed machinery on a 1-device mesh must reproduce the plain
+    jitted segment exactly (the per-device rng fold-in is axis_index=0, so
+    pre-folding the plain path's key with 0 aligns the streams).  This pins
+    that shard_map + specs + pmean change NOTHING about the math — scaling
+    out is a pure sharding annotation.
+    """
+    actor, critic, atx, ctx = nets
+    kw = dict(batch_size=8, warmup_steps=2, steps_per_segment=4)
+    st0 = global_ddpg_state(CFG, 4, 32, actor, critic, atx, ctx)
+
+    venv = VectorCartpole(CFG, num_envs=4)
+    # Plain path FIRST: shard_state may alias st0's buffers on this backend
+    # and the distributed segment donates them.
+    seg_p = jax.jit(
+        ddpg_mod.make_segment(
+            venv, actor, critic, atx, ctx,
+            gamma=0.99, tau=0.005, ou_theta=0.15, ou_sigma=0.2, **kw
+        )
+    )
+    st_p = st0.replace(rng=jax.random.fold_in(st0.rng, 0))
+    st_p, m_p = seg_p(st_p)
+
+    mesh = make_mesh(1)
+    build, shard_state = make_distributed_segment(
+        mesh, venv, actor, critic, atx, ctx, **kw
+    )
+    st_d = shard_state(st0)
+    st_d, m_d = build(st_d)(st_d)
+
+    for a, b in zip(
+        jax.tree.leaves(st_d.actor_params), jax.tree.leaves(st_p.actor_params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st_d.env_states.rigid.pos),
+        np.asarray(st_p.env_states.rigid.pos),
+        atol=1e-6,
+    )
+    for k in m_p:
+        np.testing.assert_allclose(float(m_d[k]), float(m_p[k]), atol=1e-5)
+
+
+def test_sharded_sim_matches_global():
+    """Physics/env sharding equivalence: envs are truly independent.
+
+    Stepping 16 envs in one batch must equal stepping the same envs as 8
+    separate 2-env shards — i.e. the batched SoA physics has no hidden
+    cross-env coupling, which is what makes env-dim sharding exact.
+    """
+    from cartpoleplusplus_tpu.env import cartpole as cartpole_mod
+
+    venv = VectorCartpole(CFG, num_envs=16)
+    states, obs = venv.reset(jax.random.PRNGKey(3))
+    action = jax.random.uniform(jax.random.PRNGKey(4), (16, 2), minval=-1, maxval=1)
+
+    g_states, g_obs, g_rew, g_done = cartpole_mod.step_batched(
+        CFG, venv.scene, states, action, None
+    )
+    for s in range(8):
+        sl = slice(2 * s, 2 * s + 2)
+        shard_states = jax.tree.map(lambda x: x[sl], states)
+        s_states, s_obs, s_rew, s_done = cartpole_mod.step_batched(
+            CFG, venv.scene, shard_states, action[sl], None
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_states.rigid.pos),
+            np.asarray(g_states.rigid.pos[sl]),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_rew), np.asarray(g_rew[sl]), atol=1e-6
+        )
+
+
+def _agent_cli_multidevice(module, extra=()):
+    """Drive an agent's train() end-to-end with --num-devices 8."""
+    from cartpoleplusplus_tpu.agents import common as common_mod
+
+    parser = common_mod.make_parser("t")
+    for name in ("add_dqn_opts", "add_naf_opts", "add_ddpg_opts", "add_lrpg_opts"):
+        if hasattr(module, name):
+            getattr(module, name)(parser)
+    argv = [
+        "--num-devices", "8", "--num-train-batches", "2", "--num-envs", "16",
+        "--num-eval", "4", "--action-repeats", "2", "--steps-per-repeat", "2",
+        "--max-episode-len", "10", "--eval-freq", "1",
+    ] + list(extra)
+    opts = parser.parse_args(argv)
+    final = module.train(opts)
+    assert np.isfinite(final) and final > 0.0
+
+
+def test_dqn_multidevice_cli():
+    from cartpoleplusplus_tpu.agents import dqn
+
+    _agent_cli_multidevice(
+        dqn,
+        ["--steps-per-segment", "3", "--batch-size", "16",
+         "--replay-capacity", "128", "--warmup-steps", "1"],
+    )
+
+
+def test_naf_multidevice_cli():
+    from cartpoleplusplus_tpu.agents import naf
+
+    _agent_cli_multidevice(
+        naf,
+        ["--steps-per-segment", "3", "--batch-size", "16",
+         "--replay-capacity", "128", "--warmup-steps", "1"],
+    )
+
+
+def test_lrpg_multidevice_cli():
+    from cartpoleplusplus_tpu.agents import lrpg
+
+    _agent_cli_multidevice(lrpg)
+
+
 def test_distributed_env_shards_differ(nets):
     # Each device's env shard must follow its own trajectory (decorrelated
     # RNG streams), otherwise the parallelism is fake.
