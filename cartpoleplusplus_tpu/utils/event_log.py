@@ -111,14 +111,128 @@ def episode_poses(ep: event_pb2.Episode) -> np.ndarray:
     return out
 
 
+def episode_frames(
+    ep: event_pb2.Episode,
+    width: int = 120,
+    height: int = 120,
+    num_cameras: int = 1,
+) -> Iterator[np.ndarray]:
+    """Yield one (H, W·cams, 3) uint8 image per event of an episode.
+
+    Stored renders (PNG bytes in ``Event.render``) are decoded directly;
+    episodes recorded WITHOUT renders (low-dim runs) are re-rendered from the
+    logged poses through the ray caster — the same visual-inspection loop the
+    reference got from Bullet's ``--gui`` window (SURVEY.md §4 row 1), but
+    reproducible offline from any event log.
+    """
+    import io
+
+    from PIL import Image  # host tool; PIL off the hot path
+
+    renderer = None
+    for ev in ep.event:
+        if ev.render:
+            imgs = [
+                np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
+                for png in ev.render
+            ]
+        else:
+            if renderer is None:
+                renderer = _pose_renderer(width, height, num_cameras)
+            imgs = renderer(
+                list(ev.cart.position) + list(ev.cart.orientation),
+                list(ev.pole.position) + list(ev.pole.orientation),
+            )
+        yield np.concatenate(imgs, axis=1) if len(imgs) > 1 else imgs[0]
+
+
+def _pose_renderer(width: int, height: int, num_cameras: int):
+    """(cart_pose7, pole_pose7) → [per-camera (H, W, 3) uint8] via raycast."""
+    import jax.numpy as jnp
+
+    from cartpoleplusplus_tpu.physics.bodies import RigidState, make_scene
+    from cartpoleplusplus_tpu.render.camera import DEFAULT_CAMERAS, ray_grid
+    from cartpoleplusplus_tpu.render.raycast import render_rays
+
+    scene = make_scene()
+    grids = [
+        ray_grid(cam, height, width)
+        for cam in DEFAULT_CAMERAS[: max(num_cameras, 1)]
+    ]
+
+    def render(cart_pose, pole_pose):
+        cart = np.asarray(cart_pose, np.float32)
+        pole = np.asarray(pole_pose, np.float32)
+        rigid = RigidState(
+            pos=jnp.asarray(np.stack([cart[:3], pole[:3]])),
+            quat=jnp.asarray(np.stack([cart[3:7], pole[3:7]])),
+            vel=jnp.zeros((2, 3), jnp.float32),
+            ang=jnp.zeros((2, 3), jnp.float32),
+        )
+        out = []
+        for dirs, eye in grids:
+            rgb = np.asarray(render_rays(scene, rigid, eye, dirs))
+            img = (np.clip(rgb, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+            out.append(img.reshape(height, width, 3))
+        return out
+
+    return render
+
+
+def write_episode_gif(
+    ep: event_pb2.Episode,
+    path: str,
+    fps: int = 10,
+    scale: int = 4,
+    width: int = 120,
+    height: int = 120,
+    num_cameras: int = 1,
+) -> int:
+    """Render an episode to an animated GIF; returns the frame count."""
+    from PIL import Image
+
+    frames = []
+    for img in episode_frames(ep, width, height, num_cameras):
+        pil = Image.fromarray(img)
+        if scale > 1:
+            pil = pil.resize(
+                (pil.width * scale, pil.height * scale), Image.NEAREST
+            )
+        frames.append(pil)
+    if not frames:
+        return 0
+    frames[0].save(
+        path,
+        save_all=True,
+        append_images=frames[1:],
+        duration=max(int(1000 / max(fps, 1)), 1),
+        loop=0,
+    )
+    return len(frames)
+
+
 def main(argv=None):
-    """CLI parity with the reference: --echo and --img-output-dir."""
+    """CLI parity with the reference: --echo / --img-output-dir, plus
+    --gif-out for one-command visual inspection (episode → animated GIF)."""
     parser = argparse.ArgumentParser(description="inspect cartpole++ event logs")
     parser.add_argument("--log-file", required=True)
     parser.add_argument("--echo", action="store_true",
                         help="print per-episode summaries")
     parser.add_argument("--img-output-dir", type=str, default=None,
                         help="decode renders to PNGs under this dir")
+    parser.add_argument("--gif-out", type=str, default=None,
+                        help="write one animated GIF per episode under this "
+                             "dir (re-renders from poses when the log has no "
+                             "stored frames)")
+    parser.add_argument("--gif-fps", type=int, default=10)
+    parser.add_argument("--gif-scale", type=int, default=4,
+                        help="nearest-neighbor upscale factor")
+    parser.add_argument("--gif-size", type=int, default=120,
+                        help="re-render resolution (square) for logs without "
+                             "stored frames")
+    parser.add_argument("--gif-cameras", type=int, default=1,
+                        help="cameras for re-rendered GIFs (stored-frame "
+                             "GIFs show every logged camera)")
     opts = parser.parse_args(argv)
 
     for i, ep in enumerate(read_event_log(opts.log_file)):
@@ -140,8 +254,18 @@ def main(argv=None):
                     )
                     with open(path, "wb") as f:
                         f.write(png)
-    if not opts.echo and not opts.img_output_dir:
-        print("nothing to do: pass --echo and/or --img-output-dir", file=sys.stderr)
+        if opts.gif_out:
+            os.makedirs(opts.gif_out, exist_ok=True)
+            path = os.path.join(opts.gif_out, f"ep{i:05d}.gif")
+            n = write_episode_gif(
+                ep, path, fps=opts.gif_fps, scale=opts.gif_scale,
+                width=opts.gif_size, height=opts.gif_size,
+                num_cameras=opts.gif_cameras,
+            )
+            print(f"wrote {path} ({n} frames)", file=sys.stderr)
+    if not (opts.echo or opts.img_output_dir or opts.gif_out):
+        print("nothing to do: pass --echo, --img-output-dir and/or --gif-out",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,27 @@ def test_event_log_roundtrip(tmp_path):
     assert len(ep.event[0].cart.linear_velocity) == 3
 
 
+def test_gif_out_from_pose_only_log(tmp_path):
+    """--gif-out re-renders pose-only episodes into an animated GIF."""
+    cfg = CartpoleConfig(action_repeats=2, steps_per_repeat=2, initial_force_steps=4)
+    scene = cartpole_mod.scene_for(cfg)
+    path = _record_episode(tmp_path, cfg, scene)
+    gif_dir = os.path.join(str(tmp_path), "gifs")
+    el.main([
+        "--log-file", path, "--gif-out", gif_dir,
+        "--gif-size", "24", "--gif-scale", "2",
+    ])
+    gif = os.path.join(gif_dir, "ep00000.gif")
+    assert os.path.exists(gif)
+    from PIL import Image
+
+    with Image.open(gif) as im:
+        assert im.size == (48, 48)
+        # PIL merges identical consecutive frames; the cart moves under the
+        # reset push so at least some of the 6 events must survive.
+        assert im.n_frames >= 2
+
+
 def test_fidelity_resim_is_exact(tmp_path):
     cfg = CartpoleConfig(action_repeats=2, steps_per_repeat=2, initial_force_steps=4)
     scene = cartpole_mod.scene_for(cfg)

@@ -1,0 +1,197 @@
+"""External physics fidelity: cross-check the engine against MuJoCo.
+
+SURVEY.md §7 hard-part 5 and the BASELINE.json north star ask for
+"Bullet-level physics fidelity" — but pybullet is not installed in this
+sandbox and the reference mount is empty, so self-consistency (AoS ≈ SoA ≈
+Pallas, tests/test_soa.py) was round 1's only evidence.  This module ties the
+engine's ABSOLUTE behavior to an independent simulator: the same scene
+(ground plane + free boxes, identical masses/frictions/dt, semi-implicit
+Euler) built in MuJoCo, plus analytic closed forms where they exist.
+
+Measured divergences this suite pins (see BASELINE.md fidelity table):
+  * ballistic free flight, 0.25 s: max |Δpos| ≈ 4e-6 m, |Δquat| ≈ 8e-8
+  * friction slide (µ=0.05): matches v0 − µ·g·t to 5 decimals; MuJoCo ~0.4%
+  * forced cart (50 N, 1 s): |Δv| vs MuJoCo ≈ 0.2%
+  * free-standing pole topple from 0.2 rad: time-to-45° 0.700 s vs MuJoCo
+    0.683 s (2.4%)
+
+Angular velocities in the ballistic test stay in the pole's x–y plane on
+purpose: the box is axisymmetric there (Ix = Iy), so ω × (Iω) = 0 and the
+missing-gyroscopic-term difference between the engines (ours and Bullet skip
+it; MuJoCo integrates full Newton–Euler) is zero by construction.  Tumbling
+fidelity off principal axes is NOT claimed.
+"""
+
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from cartpoleplusplus_tpu.physics import engine  # noqa: E402
+from cartpoleplusplus_tpu.physics.bodies import (  # noqa: E402
+    CART,
+    POLE,
+    make_scene,
+    rest_state,
+)
+
+DT = 1.0 / 240.0
+
+_MJCF = """
+<mujoco>
+  <option timestep="{dt}" gravity="0 0 -9.81" integrator="Euler"/>
+  <worldbody>
+    <geom name="ground" type="plane" size="50 50 1" friction="{fg} 0 0"
+          solref="0.002 1"/>
+    <body name="cart" pos="{cart_pos}">
+      <freejoint/>
+      <geom type="box" size="0.25 0.25 0.1" mass="10" friction="0.05 0 0"
+            solref="0.002 1"/>
+    </body>
+    <body name="pole" pos="{pole_pos}" quat="{pole_quat}">
+      <freejoint/>
+      <geom type="box" size="0.05 0.05 0.5" mass="0.1" friction="{fp} 0 0"
+            solref="0.002 1"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _mj(cart_pos, pole_pos, pole_quat=(1, 0, 0, 0), fg=0.05, fp=0.6):
+    """MuJoCo twin of physics.bodies.make_scene() geometry/materials."""
+    xml = _MJCF.format(
+        dt=DT, fg=fg, fp=fp,
+        cart_pos=" ".join(map(str, cart_pos)),
+        pole_pos=" ".join(map(str, pole_pos)),
+        pole_quat=" ".join(map(str, pole_quat)),
+    )
+    m = mujoco.MjModel.from_xml_string(xml)
+    return m, mujoco.MjData(m)
+
+
+def _mj_run(m, d, n, cart_force=(0.0, 0.0, 0.0)):
+    cart_id = m.body("cart").id
+    for _ in range(n):
+        d.xfrc_applied[cart_id, :3] = cart_force
+        mujoco.mj_step(m, d)
+    return d.qpos.copy(), d.qvel.copy()
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene()
+
+
+def _ours(scene, rigid, n, force=(0.0, 0.0, 0.0)):
+    f = jnp.asarray(force, jnp.float32)
+    out = jax.jit(
+        lambda r: engine.step_substeps(scene, r, f, n)
+    )(rigid)
+    return jax.tree.map(np.asarray, out)
+
+
+def _tilt(quat_wxyz):
+    w, x, y, z = quat_wxyz
+    return np.arccos(np.clip(1.0 - 2.0 * (x * x + y * y), -1.0, 1.0))
+
+
+def test_ballistic_free_flight_matches_mujoco(scene):
+    """Contact-free pole flight: both engines integrate semi-implicit Euler
+    at the same dt, so trajectories should agree to float32 noise."""
+    pole_pos0 = np.array([3.0, -1.0, 5.0])
+    v0 = np.array([1.0, 0.5, 2.0])
+    w0 = np.array([0.6, -0.4, 0.0])  # planar spin: gyroscopic-free (Ix = Iy)
+
+    r = rest_state(scene)
+    r = r.replace(
+        pos=r.pos.at[POLE].set(jnp.asarray(pole_pos0, jnp.float32)),
+        vel=r.vel.at[POLE].set(jnp.asarray(v0, jnp.float32)),
+        ang=r.ang.at[POLE].set(jnp.asarray(w0, jnp.float32)),
+    )
+    n = 60  # 0.25 s — pole falls ~0.3 m from z=5: no contact
+    ours = _ours(scene, r, n)
+
+    m, d = _mj((0, 0, 0.1), tuple(pole_pos0))
+    d.qvel[6:9] = v0
+    d.qvel[9:12] = w0
+    qpos, qvel = _mj_run(m, d, n)
+
+    assert np.abs(ours.pos[POLE] - qpos[7:10]).max() < 1e-4
+    assert np.abs(ours.quat[POLE] - qpos[10:14]).max() < 1e-5
+    assert np.abs(ours.vel[POLE] - qvel[6:9]).max() < 1e-4
+
+
+def test_cart_friction_slide_matches_analytic_and_mujoco(scene):
+    """Sliding cart under µ=0.05 Coulomb friction: v(t) = v0 − µ·g·t."""
+    r = rest_state(scene)
+    r = r.replace(
+        pos=r.pos.at[POLE].set(jnp.asarray([5.0, 5.0, 0.5], jnp.float32)),
+        vel=r.vel.at[CART].set(jnp.asarray([2.0, 0.0, 0.0], jnp.float32)),
+    )
+    n = 120  # 0.5 s
+    ours = _ours(scene, r, n)
+
+    m, d = _mj((0, 0, 0.1), (5, 5, 0.5))
+    d.qvel[0] = 2.0
+    qpos, qvel = _mj_run(m, d, n)
+
+    analytic_v = 2.0 - 0.05 * 9.81 * n * DT
+    assert abs(ours.vel[CART, 0] - analytic_v) < 1e-3          # measured 1e-5
+    assert abs(ours.vel[CART, 0] - qvel[0]) < 0.02             # measured 0.006
+    assert abs(ours.pos[CART, 0] - qpos[0]) < 0.005            # measured 1e-5
+
+
+def test_forced_cart_matches_mujoco(scene):
+    """50 N planar push (the env's action force) for 1 s on the sliding cart."""
+    r = rest_state(scene)
+    r = r.replace(
+        pos=r.pos.at[POLE].set(jnp.asarray([5.0, 5.0, 0.5], jnp.float32)),
+    )
+    n = 240
+    ours = _ours(scene, r, n, force=(50.0, 0.0, 0.0))
+
+    m, d = _mj((0, 0, 0.1), (5, 5, 0.5))
+    qpos, qvel = _mj_run(m, d, n, cart_force=(50.0, 0.0, 0.0))
+
+    analytic_v = (50.0 / 10.0 - 0.05 * 9.81) * n * DT
+    assert abs(ours.vel[CART, 0] - analytic_v) < 0.005         # measured 2e-5
+    assert abs(ours.vel[CART, 0] - qvel[0]) < 0.05             # measured 0.010
+    assert abs(ours.pos[CART, 0] - qpos[0]) < 0.02             # measured 1e-4
+
+
+def test_pole_topple_time_matches_mujoco(scene):
+    """Free-standing pole toppling from a 0.2 rad tilt: the contact-model
+    behavior the whole env hinges on.  Time to 45° within 10% of MuJoCo
+    (measured: 0.700 s vs 0.683 s = 2.4%)."""
+    ang0 = 0.2
+    q0 = np.array([np.cos(ang0 / 2), 0.0, np.sin(ang0 / 2), 0.0])
+
+    r = rest_state(scene)
+    r = r.replace(
+        pos=r.pos.at[POLE].set(jnp.asarray([5.0, 0.0, 0.5], jnp.float32)),
+        quat=r.quat.at[POLE].set(jnp.asarray(q0, jnp.float32)),
+    )
+    chunk = jax.jit(
+        lambda rr: engine.step_substeps(scene, rr, jnp.zeros(3, jnp.float32), 6)
+    )
+    t_ours = None
+    for i in range(1, 600):
+        r = chunk(r)
+        if _tilt(np.asarray(r.quat[POLE])) > np.pi / 4:
+            t_ours = i * 6 * DT
+            break
+
+    m, d = _mj((0, 0, 0.1), (5, 0, 0.5), pole_quat=tuple(q0))
+    t_mj = None
+    for i in range(1, 3600):
+        mujoco.mj_step(m, d)
+        if _tilt(d.qpos[10:14]) > np.pi / 4:
+            t_mj = i * DT
+            break
+
+    assert t_ours is not None and t_mj is not None
+    assert abs(t_ours - t_mj) / t_mj < 0.10, (t_ours, t_mj)

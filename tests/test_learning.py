@@ -8,7 +8,52 @@ broken masking, and dead gradients.
 
 import jax
 
-from cartpoleplusplus_tpu.agents import common, ddpg, lrpg
+from cartpoleplusplus_tpu.agents import common, ddpg, dqn, lrpg, naf
+
+# Shared tiny-budget flags for the off-policy smoke runs: 32 envs, short
+# 60-step episodes, ~50k env transitions.  An untrained/random policy
+# evals at ~7-8 steps on this horizon (BASELINE.md nop baseline), so the
+# thresholds below assert a ~2× improvement with margin under the
+# calibrated results (DDPG 22.4, NAF 23.3, DQN 34.4 on seed 0).
+_SMOKE = [
+    "--num-envs", "32", "--num-eval", "32",
+    "--action-repeats", "2", "--steps-per-repeat", "3",
+    "--max-episode-len", "60", "--eval-freq", "20",
+    "--steps-per-segment", "25", "--batch-size", "64",
+    "--replay-capacity", "4096", "--warmup-steps", "10", "--seed", "0",
+]
+
+
+def test_ddpg_improves():
+    parser = common.make_parser("t")
+    ddpg.add_ddpg_opts(parser)
+    opts = parser.parse_args(
+        ["--num-train-batches", "60", "--reward-scale", "0.1",
+         "--grad-clip", "10.0", *_SMOKE]
+    )
+    final_eval = ddpg.train(opts)
+    assert final_eval > 12.0, f"DDPG did not learn: eval len {final_eval}"
+
+
+def test_naf_improves():
+    parser = common.make_parser("t")
+    naf.add_naf_opts(parser)
+    opts = parser.parse_args(
+        ["--num-train-batches", "60", "--reward-scale", "0.1",
+         "--grad-clip", "10.0", *_SMOKE]
+    )
+    final_eval = naf.train(opts)
+    assert final_eval > 12.0, f"NAF did not learn: eval len {final_eval}"
+
+
+def test_dqn_improves():
+    parser = common.make_parser("t")
+    dqn.add_dqn_opts(parser)
+    opts = parser.parse_args(
+        ["--num-train-batches", "80", "--eps-decay-steps", "1000", *_SMOKE]
+    )
+    final_eval = dqn.train(opts)
+    assert final_eval > 15.0, f"DQN did not learn: eval len {final_eval}"
 
 
 def test_lrpg_improves(tmp_path):
