@@ -89,6 +89,22 @@ def make_venv(
     )
 
 
+def replay_block(opts, num_envs: int) -> int:
+    """Insertion-block size for the s2-free replay fast path.
+
+    The fused loops write exactly one all-envs batch per step, so the replay
+    buffer can store s1 only and derive s2 from the next block
+    (replay/buffer.py module docstring) — halving replay HBM and write
+    traffic.  One block = one vectorized step's transitions per device
+    shard.  Falls back to explicit-s2 storage (0) when a shard's capacity
+    can't hold at least two blocks.
+    """
+    devices = max(getattr(opts, "num_devices", 1), 1)
+    local_envs = num_envs // devices
+    local_cap = opts.replay_capacity // devices
+    return local_envs if 0 < local_envs < local_cap else 0
+
+
 def eval_rollout(
     venv: VectorCartpole,
     act_fn: Callable,  # (params, obs[E, ...]) -> greedy action[E, ...]

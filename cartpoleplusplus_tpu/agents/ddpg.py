@@ -199,12 +199,15 @@ def make_segment(
                 st.env_states, action, k_step, reset_pool=reset_pool
             )
             store = st.replay.s1.dtype
+            # s2-free mode (block > 0): the next step's s1 write doubles as
+            # this transition's s2 — skip the 2nd full-obs encode+write.
+            s2 = None if st.replay.block else replay_mod.encode_obs(obs2, store)
             replay = replay_mod.add_batch(
                 st.replay,
                 replay_mod.encode_obs(st.obs, store),
                 action,
                 reward,
-                replay_mod.encode_obs(obs2, store),
+                s2,
                 done,
             )
             # OU noise resets with the episode.
@@ -275,7 +278,8 @@ def init_state(opts, config, venv, actor, critic, actor_tx, critic_tx) -> DDPGSt
     # and capacity on the hot path.
     obs_dtype = jnp.uint8 if config.use_raw_pixels else jnp.float32
     replay = replay_mod.create(
-        opts.replay_capacity, config.obs_shape, (2,), obs_dtype=obs_dtype
+        opts.replay_capacity, config.obs_shape, (2,), obs_dtype=obs_dtype,
+        block=common.replay_block(opts, venv.num_envs),
     )
     return DDPGState(
         actor_params=actor_params,

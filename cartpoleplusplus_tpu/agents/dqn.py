@@ -132,12 +132,15 @@ def make_segment(
                 st.env_states, action, k_step, reset_pool=reset_pool
             )
             store = st.replay.s1.dtype
+            # s2-free mode (block > 0): the next step's s1 write doubles as
+            # this transition's s2 — skip the 2nd full-obs encode+write.
+            s2 = None if st.replay.block else replay_mod.encode_obs(obs2, store)
             replay = replay_mod.add_batch(
                 st.replay,
                 replay_mod.encode_obs(st.obs, store),
                 action,
                 reward,
-                replay_mod.encode_obs(obs2, store),
+                s2,
                 done,
             )
             # Carry obs_next (reset obs for done envs), not the terminal obs2.
@@ -205,6 +208,7 @@ def train(opts) -> float:
         replay=replay_mod.create(
             opts.replay_capacity, config.obs_shape, (), action_dtype=jnp.int32,
             obs_dtype=jnp.uint8 if config.use_raw_pixels else jnp.float32,
+            block=common.replay_block(opts, venv.num_envs),
         ),
         env_states=env_states,
         obs=obs,

@@ -140,12 +140,15 @@ def make_segment(
                 st.env_states, action, k_step, reset_pool=reset_pool
             )
             store = st.replay.s1.dtype
+            # s2-free mode (block > 0): the next step's s1 write doubles as
+            # this transition's s2 — skip the 2nd full-obs encode+write.
+            s2 = None if st.replay.block else replay_mod.encode_obs(obs2, store)
             replay = replay_mod.add_batch(
                 st.replay,
                 replay_mod.encode_obs(st.obs, store),
                 action,
                 reward,
-                replay_mod.encode_obs(obs2, store),
+                s2,
                 done,
             )
             ou = jnp.where(done[:, None], 0.0, ou)
@@ -225,6 +228,7 @@ def train(opts) -> float:
         replay=replay_mod.create(
             opts.replay_capacity, config.obs_shape, (2,),
             obs_dtype=jnp.uint8 if config.use_raw_pixels else jnp.float32,
+            block=common.replay_block(opts, venv.num_envs),
         ),
         env_states=env_states,
         obs=obs,

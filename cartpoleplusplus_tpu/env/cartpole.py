@@ -298,14 +298,19 @@ def step_batched(
     physics = physics_fn or soa.step_substeps_batched
     force = jax.vmap(lambda a: action_to_force(config, a))(action)
 
-    def repeat_body(rigid, _):
+    # Statically unrolled repeats (2-4), stacking frames straight into the
+    # (E, repeats, …) obs layout.  A lax.scan would emit frames as
+    # (repeats, E, …) and need a moveaxis afterwards — at 4096 pixel envs
+    # that transpose alone moves 184 MB of HBM per step (measured: the
+    # single biggest "env bookkeeping" cost in scripts/bench_stages.py);
+    # with the unroll, XLA fuses each render epilogue into its slice of the
+    # obs slab and the transpose disappears.
+    rigid = state.rigid
+    frames = []
+    for _ in range(config.action_repeats):
         rigid = physics(scene, rigid, force, config.steps_per_repeat)
-        return rigid, observe_b(scene, rigid)
-
-    rigid, frames = jax.lax.scan(
-        repeat_body, state.rigid, None, length=config.action_repeats
-    )
-    obs = jnp.moveaxis(frames, 0, 1)  # (E, repeats, …)
+        frames.append(observe_b(scene, rigid))
+    obs = jnp.stack(frames, axis=1)  # (E, repeats, …)
 
     steps = state.steps + 1
     violated = _violation(config, rigid)

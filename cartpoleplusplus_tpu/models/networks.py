@@ -156,8 +156,23 @@ class NAFNetwork(nn.Module):
             )(h)
         )
         n = self.action_dim
-        l_flat = nn.Dense(n * (n + 1) // 2, name="l_entries")(h)
+        # Small init so L starts ≈ I (diag exp(0)=1, off-diag ≈ 0): the
+        # advantage begins as a gentle -½‖a-µ‖² bowl instead of a random
+        # quadratic, which round-1 sweeps showed was the difference between
+        # NAF learning and its TD loss exploding (runs/sweep_naf_s*.jsonl).
+        l_flat = nn.Dense(
+            n * (n + 1) // 2, name="l_entries",
+            kernel_init=final_layer_init(), bias_init=final_layer_init(),
+        )(h)
         return v, mu, l_flat
+
+    # Bound on the log-diagonal of L: |exp(d)| ∈ [e⁻⁵, e²].  Unbounded, the
+    # curvature P = L Lᵀ can blow up quadratically in the TD loss — the
+    # runaway mode seen in round 1 (loss 2.8 → 17 across seeds).  A clamp
+    # preserves the NAF parameterization (P stays PD) while capping the
+    # advantage's sharpness; gradients still flow inside the bounds.
+    LOG_DIAG_MIN: float = -5.0
+    LOG_DIAG_MAX: float = 2.0
 
     @staticmethod
     def lower_triangular(l_flat: jnp.ndarray, action_dim: int) -> jnp.ndarray:
@@ -166,9 +181,13 @@ class NAFNetwork(nn.Module):
         rows, cols = jnp.tril_indices(action_dim)
         L = jnp.zeros(b + (action_dim, action_dim), l_flat.dtype)
         L = L.at[..., rows, cols].set(l_flat)
-        d = jnp.diagonal(L, axis1=-2, axis2=-1)
+        d = jnp.clip(
+            jnp.diagonal(L, axis1=-2, axis2=-1),
+            NAFNetwork.LOG_DIAG_MIN, NAFNetwork.LOG_DIAG_MAX,
+        )
         eye = jnp.eye(action_dim, dtype=l_flat.dtype)
-        return L + eye * (jnp.exp(d) - d)[..., None, :]
+        off_diag = L - eye * jnp.diagonal(L, axis1=-2, axis2=-1)[..., None, :]
+        return off_diag + eye * jnp.exp(d)[..., None, :]
 
     @staticmethod
     def advantage(

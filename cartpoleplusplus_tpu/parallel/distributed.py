@@ -51,7 +51,9 @@ def state_specs(st, axis: str, sharded_fields: tuple[str, ...]):
     def shard_tree(v):
         if isinstance(v, ReplayState):
             return v.replace(
-                s1=P(axis), action=P(axis), reward=P(axis), s2=P(axis),
+                s1=P(axis), action=P(axis), reward=P(axis),
+                # s2 is a (0,) placeholder in s2-free mode — replicate it.
+                s2=P(axis) if v.s2.size else P(),
                 terminal=P(axis), cursor=P(), size=P(),
             )
         return jax.tree.map(
@@ -163,16 +165,21 @@ def make_distributed_segment(
 
 def global_ddpg_state(
     config, global_envs: int, replay_capacity: int,
-    actor, critic, actor_tx, critic_tx, seed: int = 0,
+    actor, critic, actor_tx, critic_tx, seed: int = 0, num_devices: int = 1,
 ):
     """Global DDPG state with env/replay sized for the WHOLE mesh.
 
     Mirrors agents.ddpg.init_state with explicit sizes; build once, then
-    place with ``shard_state``.
+    place with ``shard_state``.  ``num_devices`` sizes the s2-free replay
+    block for the per-chip shard (see agents.common.replay_block).
     """
     from cartpoleplusplus_tpu.agents import common
     from cartpoleplusplus_tpu.agents import ddpg as ddpg_mod
 
-    opts = type("O", (), {"seed": seed, "replay_capacity": replay_capacity})()
+    opts = type("O", (), {
+        "seed": seed,
+        "replay_capacity": replay_capacity,
+        "num_devices": num_devices,
+    })()
     venv = common.make_venv(config, global_envs)
     return ddpg_mod.init_state(opts, config, venv, actor, critic, actor_tx, critic_tx)

@@ -9,11 +9,24 @@ functional ``add``/``sample`` so the whole step→add→sample→train cycle fus
 under one jit (buffers are donated across steps, so updates are in-place at
 the XLA level — no reallocation).
 
-Memory-saving trick from the reference (storing each state once, s2 = next
-slot's s1) is NOT replicated: HBM is plentiful for low-dim state, and for
-pixels the fused loop trains on-policy batches straight from the env where
-possible.  A 4096-env × 50×50×3 pixel replay at 100k capacity would not fit
-anyway; capacity bounds are the caller's concern as upstream.
+Two storage modes:
+
+* ``store_s2=True`` (general): both observations of every transition are
+  stored — works for arbitrary insertion orders (the reference semantics).
+* ``store_s2=False`` (the fused-loop fast path): only s1 is stored and
+  ``s2(i) = s1 row (i + block) % capacity`` — the next vectorized step's
+  observation for the same env slot, because the fused loops write exactly
+  one ``block``-sized batch (all envs) per step.  This is the reference's
+  own memory-saving trick (replay_memory.py stores each state once and
+  reuses index+1 as s2 — SURVEY.md §2.1), generalized to block writes.  It
+  halves replay HBM capacity AND halves the per-step write traffic (the
+  92 MB/step s2 write at 4096 pixel envs disappears; see BASELINE.md stage
+  table).  Correctness notes:
+    - for terminal transitions the "next" row is the *reset* observation,
+      not the terminal frame, but TD targets mask bootstrap with
+      ``(1 - terminal)`` so that row is never read into a value;
+    - the newest block has no next row yet, so ``sample`` draws only from
+      the ``size - block`` older entries.
 """
 
 from __future__ import annotations
@@ -27,15 +40,20 @@ from flax import struct
 
 @struct.dataclass
 class ReplayState:
-    """Circular buffer contents + cursor (all device-resident)."""
+    """Circular buffer contents + cursor (all device-resident).
+
+    ``block`` is static: 0 = s2 stored explicitly; >0 = s2-free mode with
+    that insertion-batch size.
+    """
 
     s1: jnp.ndarray  # (capacity, *obs_shape)
     action: jnp.ndarray  # (capacity, *action_shape)
     reward: jnp.ndarray  # (capacity,)
-    s2: jnp.ndarray  # (capacity, *obs_shape)
+    s2: jnp.ndarray  # (capacity, *obs_shape) — or (0,) in s2-free mode
     terminal: jnp.ndarray  # (capacity,) bool
     cursor: jnp.ndarray  # () int32 — next write slot
     size: jnp.ndarray  # () int32 — valid entries
+    block: int = struct.field(pytree_node=False, default=0)
 
     @property
     def capacity(self) -> int:
@@ -48,16 +66,25 @@ def create(
     action_shape: Tuple[int, ...],
     obs_dtype=jnp.float32,
     action_dtype=jnp.float32,
+    block: int = 0,
 ) -> ReplayState:
-    """Preallocate the buffer (reference ReplayMemory.__init__)."""
+    """Preallocate the buffer (reference ReplayMemory.__init__).
+
+    ``block > 0`` selects s2-free storage (see module docstring); it must
+    equal the batch size of every subsequent ``add_batch`` and be < capacity.
+    """
+    if block < 0 or block >= capacity:
+        raise ValueError(f"block {block} must be in [0, capacity={capacity})")
+    s2_shape = (0,) if block else (capacity,) + obs_shape
     return ReplayState(
         s1=jnp.zeros((capacity,) + obs_shape, obs_dtype),
         action=jnp.zeros((capacity,) + action_shape, action_dtype),
         reward=jnp.zeros((capacity,), jnp.float32),
-        s2=jnp.zeros((capacity,) + obs_shape, obs_dtype),
+        s2=jnp.zeros(s2_shape, obs_dtype),
         terminal=jnp.zeros((capacity,), jnp.bool_),
         cursor=jnp.zeros((), jnp.int32),
         size=jnp.zeros((), jnp.int32),
+        block=block,
     )
 
 
@@ -66,17 +93,24 @@ def add_batch(
     s1: jnp.ndarray,
     action: jnp.ndarray,
     reward: jnp.ndarray,
-    s2: jnp.ndarray,
+    s2: jnp.ndarray | None,
     terminal: jnp.ndarray,
 ) -> ReplayState:
     """Write a batch of B transitions at the cursor with wraparound.
 
     Generalises the reference's one-at-a-time ``add`` (replay_memory.py) to
     the vectorized-env case: all B env transitions land in consecutive slots
-    modulo capacity.  B is a static shape so this stays jit-friendly.
+    modulo capacity.  B is a static shape so this stays jit-friendly.  In
+    s2-free mode (``replay.block > 0``) the ``s2`` argument is ignored.
     """
     b = s1.shape[0]
+    if replay.block and b != replay.block:
+        raise ValueError(
+            f"s2-free replay requires fixed batch {replay.block}, got {b}"
+        )
     cap = replay.capacity
+    updates = {"cursor": (replay.cursor + b) % cap,
+               "size": jnp.minimum(replay.size + b, cap)}
     if cap % b == 0:
         # Aligned fast path: the cursor starts at 0 and advances by b, so a
         # batch never wraps mid-write — one contiguous dynamic_update_slice
@@ -88,24 +122,24 @@ def add_batch(
             start = (replay.cursor,) + (jnp.zeros((), jnp.int32),) * (buf.ndim - 1)
             return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype), start)
 
+        if not replay.block:
+            updates["s2"] = upd(replay.s2, s2)
         return replay.replace(
             s1=upd(replay.s1, s1),
             action=upd(replay.action, action),
             reward=upd(replay.reward, reward),
-            s2=upd(replay.s2, s2),
             terminal=upd(replay.terminal, terminal),
-            cursor=(replay.cursor + b) % cap,
-            size=jnp.minimum(replay.size + b, cap),
+            **updates,
         )
     idx = (replay.cursor + jnp.arange(b, dtype=jnp.int32)) % cap
+    if not replay.block:
+        updates["s2"] = replay.s2.at[idx].set(s2.astype(replay.s2.dtype))
     return replay.replace(
         s1=replay.s1.at[idx].set(s1.astype(replay.s1.dtype)),
         action=replay.action.at[idx].set(action.astype(replay.action.dtype)),
         reward=replay.reward.at[idx].set(reward.astype(jnp.float32)),
-        s2=replay.s2.at[idx].set(s2.astype(replay.s2.dtype)),
         terminal=replay.terminal.at[idx].set(terminal),
-        cursor=(replay.cursor + b) % cap,
-        size=jnp.minimum(replay.size + b, cap),
+        **updates,
     )
 
 
@@ -113,7 +147,8 @@ def add(replay: ReplayState, s1, action, reward, s2, terminal) -> ReplayState:
     """Single-transition add (reference ReplayMemory.add signature)."""
     one = lambda x: jnp.asarray(x)[None]
     return add_batch(
-        replay, one(s1), one(action), one(reward), one(s2), one(terminal)
+        replay, one(s1), one(action), one(reward),
+        None if replay.block else one(s2), one(terminal),
     )
 
 
@@ -143,17 +178,30 @@ def sample(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Uniform random batch (reference ReplayMemory.batch).
 
-    Indices are drawn over [0, size); sampling before the buffer holds
-    ``batch_size`` entries returns repeated early entries (the reference
-    simply does not train until the buffer has warmed up — callers gate the
-    train step the same way on ``replay.size``).
+    Indices are drawn over the valid region; sampling before the buffer has
+    warmed up returns repeated early entries (the reference simply does not
+    train until warm — callers gate the train step the same way).  In
+    s2-free mode the newest block is excluded (its next row doesn't exist
+    yet) and s2 is gathered from ``(idx + block) % capacity``.
     """
-    hi = jnp.maximum(replay.size, 1)
-    idx = jax.random.randint(rng, (batch_size,), 0, hi)
+    if replay.block:
+        valid = jnp.maximum(replay.size - replay.block, 1)
+        start = jnp.where(
+            replay.size < replay.capacity,
+            jnp.zeros((), jnp.int32),
+            replay.cursor,  # full ring: oldest entry sits at the cursor
+        )
+        off = jax.random.randint(rng, (batch_size,), 0, valid)
+        idx = (start + off) % replay.capacity
+        s2 = replay.s1[(idx + replay.block) % replay.capacity]
+    else:
+        hi = jnp.maximum(replay.size, 1)
+        idx = jax.random.randint(rng, (batch_size,), 0, hi)
+        s2 = replay.s2[idx]
     return (
         replay.s1[idx],
         replay.action[idx],
         replay.reward[idx],
-        replay.s2[idx],
+        s2,
         replay.terminal[idx],
     )

@@ -33,7 +33,9 @@ def add_bench_opts(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--steps-per-repeat", type=int, default=5)
     parser.add_argument("--steps-per-segment", type=int, default=20)
     parser.add_argument("--batch-size", type=int, default=128)
-    parser.add_argument("--replay-capacity", type=int, default=4096)
+    parser.add_argument("--replay-capacity", type=int, default=8192,
+                        help="must exceed --num-envs for the s2-free replay "
+                             "fast path (replay/buffer.py) to engage")
     parser.add_argument("--segments", type=int, default=5)
     parser.add_argument("--lowdim", action="store_true",
                         help="benchmark low-dim obs instead of pixels")

@@ -116,7 +116,7 @@ def main():
         o.steps_per_repeat = cfg.steps_per_repeat
         o.steps_per_segment = opts.iters
         o.batch_size = 128
-        o.replay_capacity = max(4096, num_envs)
+        o.replay_capacity = max(8192, 2 * num_envs)
         o.segments = 1
         o.lowdim = False
         o.pallas_render = False

@@ -111,3 +111,48 @@ def test_add_batch_respects_storage_dtype():
     )
     assert replay.s1.dtype == jnp.uint8
     assert int(replay.s1[0, 0]) == 128
+
+
+def test_s2_free_mode_links_consecutive_blocks():
+    """block > 0: s2(i) = s1 row (i + block) % capacity — the next step's
+    observation for the same env slot (replay/buffer.py module docstring)."""
+    B, CAP = 4, 16
+    replay = create(capacity=CAP, obs_shape=(2,), action_shape=(), block=B)
+    assert replay.s2.size == 0  # no s2 storage at all
+    # Write 4 steps: s1 of step t for env e = [t, e].
+    for t in range(4):
+        s1 = jnp.stack([jnp.full((B,), t, jnp.float32),
+                        jnp.arange(B, dtype=jnp.float32)], axis=1)
+        replay = add_batch(replay, s1, jnp.zeros(B), jnp.full((B,), t),
+                           None, jnp.zeros(B, bool))
+    # Sample many times: every s2 must be its s1's next step, same env.
+    for seed in range(5):
+        s1, a, r, s2, term = sample(replay, jax.random.PRNGKey(seed), 32)
+        np.testing.assert_array_equal(np.asarray(s2[:, 0]), np.asarray(s1[:, 0]) + 1)
+        np.testing.assert_array_equal(np.asarray(s2[:, 1]), np.asarray(s1[:, 1]))
+        # Newest block (t=3) excluded: its next row doesn't exist yet.
+        assert np.asarray(s1[:, 0]).max() <= 2.0
+
+
+def test_s2_free_mode_wraparound():
+    """With a full ring the oldest entries sit at the cursor; s2 links stay
+    chronological across the wrap."""
+    B, CAP = 2, 8
+    replay = create(capacity=CAP, obs_shape=(1,), action_shape=(), block=B)
+    for t in range(10):  # 10 steps > capacity/B = 4: ring wraps twice
+        s1 = jnp.full((B, 1), t, jnp.float32)
+        replay = add_batch(replay, s1, jnp.zeros(B), jnp.zeros(B),
+                           None, jnp.zeros(B, bool))
+    s1, _, _, s2, _ = sample(replay, jax.random.PRNGKey(0), 64)
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(s1) + 1)
+    # Ring holds steps 6..9; newest (9) excluded from s1 draws.
+    assert set(np.asarray(s1).ravel().tolist()) <= {6.0, 7.0, 8.0}
+
+
+def test_s2_free_block_mismatch_raises():
+    replay = create(capacity=8, obs_shape=(1,), action_shape=(), block=4)
+    import pytest
+
+    with pytest.raises(ValueError):
+        add_batch(replay, jnp.zeros((2, 1)), jnp.zeros(2), jnp.zeros(2),
+                  None, jnp.zeros(2, bool))
