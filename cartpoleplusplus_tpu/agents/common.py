@@ -45,6 +45,11 @@ def add_agent_opts(parser: argparse.ArgumentParser) -> None:
                         choices=["dense", "conv"],
                         help="pixel trunk: dense MXU embedding (fast) or the "
                              "reference-style conv stack")
+    parser.add_argument("--pixel-pool", type=int, default=1,
+                        help="k×k average-pool frames before the dense pixel "
+                             "embed: k=2 shrinks the 22500-wide contraction "
+                             "(the hottest learner+acting op at scale) 4× "
+                             "for sub-pixel information loss")
 
 
 def make_parser(description: str) -> argparse.ArgumentParser:
@@ -87,6 +92,25 @@ def make_venv(
         config, num_envs=num_envs, observe_fn=observe_fn,
         observe_batched_fn=observe_batched_fn, physics_fn=physics_fn,
     )
+
+
+def add_lr_schedule_opt(parser) -> None:
+    parser.add_argument("--lr-schedule", type=str, default="const",
+                        choices=["const", "cosine"],
+                        help="cosine: decay the learning rate to ~0 over the "
+                             "run — freezes late training and stops the "
+                             "policy-churn oscillation seen in long NAF/DDPG "
+                             "runs (eval peaks then degrades)")
+
+
+def make_lr(opts, lr: float):
+    """Learning-rate (or schedule) for optax.adam per --lr-schedule."""
+    import optax
+
+    if getattr(opts, "lr_schedule", "const") == "cosine":
+        total_updates = opts.num_train_batches * opts.steps_per_segment
+        return optax.cosine_decay_schedule(lr, max(total_updates, 1), alpha=0.02)
+    return lr
 
 
 def replay_block(opts, num_envs: int) -> int:

@@ -92,11 +92,45 @@ def add_ddpg_opts(parser):
                              "critic when returns approach 1/(1-gamma))")
     parser.add_argument("--grad-clip", type=float, default=0.0,
                         help="global-norm gradient clip (0 = off)")
+    common.add_lr_schedule_opt(parser)
+    parser.add_argument("--aug-shift", type=int, default=0,
+                        help="pixel-only: DrQ-style random-shift data "
+                             "augmentation — edge-pad frames by N px and "
+                             "crop at a random offset per replay sample "
+                             "(same shift across a sample's stacked frames). "
+                             "The standard fix for DDPG-from-pixels "
+                             "overfitting/plateaus; try 4.")
     parser.add_argument("--num-devices", type=int, default=1,
                         help="shard envs+replay over this many devices "
                              "(shard_map data parallelism; params replicate, "
                              "grads pmean over ICI). num-envs, replay "
                              "capacity, and num-eval must divide evenly.")
+
+
+def aug_random_shift(
+    obs: jnp.ndarray, rng: jax.Array, pad: int, height: int, width: int
+) -> jnp.ndarray:
+    """DrQ-style random-shift augmentation for pixel replay batches.
+
+    Edge-pad each frame by ``pad`` px and crop back at a per-sample random
+    offset (the same shift applies to every stacked repeat/camera/channel
+    plane of a sample, as in DrQ).  Runs on the (batch, repeats, planes·H·W)
+    training batch only — tiny next to the env step — and regularizes the
+    conv/dense encoder against pixel-exact overfitting, the standard remedy
+    for DDPG-from-pixels plateaus.
+    """
+    b, r, f = obs.shape
+    planes = f // (height * width)
+    x = obs.reshape(b, r * planes, height, width)
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+    off = jax.random.randint(rng, (b, 2), 0, 2 * pad + 1)
+
+    def crop(img, o):
+        return jax.lax.dynamic_slice(
+            img, (0, o[0], o[1]), (r * planes, height, width)
+        )
+
+    return jax.vmap(crop)(x, off).reshape(b, r, f)
 
 
 def make_segment(
@@ -114,6 +148,7 @@ def make_segment(
     ou_theta: float,
     ou_sigma: float,
     reward_scale: float = 1.0,
+    aug_shift: int = 0,
     axis_name: str | None = None,
 ):
     """Build the jitted K-step fused train segment.
@@ -140,10 +175,16 @@ def make_segment(
     # conditionals select over every carried leaf, so routing the whole
     # DDPGState through the cond would copy hundreds of MB of replay/obs per
     # step on the pixel path.
-    def train_once(bundle, batch):
+    def train_once(bundle, batch, k_aug):
         (actor_vars, critic_vars, target_a, target_c, aopt, copt) = bundle
         s1, a, r, s2, term = batch
         s1, s2 = replay_mod.decode_obs(s1), replay_mod.decode_obs(s2)
+        if aug_shift > 0 and venv.config.use_raw_pixels:
+            # Augment at the dims the pipeline carries (post obs_pool).
+            h, w = venv.config.obs_height, venv.config.obs_width
+            k1, k2 = jax.random.split(k_aug)
+            s1 = aug_random_shift(s1, k1, aug_shift, h, w)
+            s2 = aug_random_shift(s2, k2, aug_shift, h, w)
         # TD target from target nets (reference ddpg ~L150-280).
         a2 = actor.apply(target_a, s2)
         q2 = critic.apply(target_c, s2, a2)
@@ -191,7 +232,7 @@ def make_segment(
         reset_pool = venv.reset(k_pool)
 
         def body(st: DDPGState, _):
-            rng, k_ou, k_step, k_sample = jax.random.split(st.rng, 4)
+            rng, k_ou, k_step, k_sample, k_aug = jax.random.split(st.rng, 5)
             # Explore: µ(s) + OU noise (reference adds OU to actor output).
             ou = ou_step(st.ou_noise, k_ou, theta=ou_theta, sigma=ou_sigma)
             action = jnp.clip(actor.apply(st.actor_params, st.obs) + ou, -1.0, 1.0)
@@ -233,7 +274,7 @@ def make_segment(
             )
             bundle, losses = jax.lax.cond(
                 st.env_steps > warmup_steps,
-                lambda b: train_once(b, batch),
+                lambda b: train_once(b, batch, k_aug),
                 lambda b: (b, {"critic_loss": jnp.zeros(()), "actor_loss": jnp.zeros(())}),
                 bundle,
             )
@@ -302,13 +343,16 @@ def train(opts) -> float:
     venv = common.make_venv(config, opts.num_envs)
     eval_venv = common.make_venv(config, opts.num_eval)
     actor = Actor(action_dim=2, use_raw_pixels=config.use_raw_pixels,
-                  pixel_encoder=opts.pixel_encoder, hidden=tuple(opts.hidden),
+                  pixel_encoder=opts.pixel_encoder,
+                  pixel_pool=opts.pixel_pool, hidden=tuple(opts.hidden),
                   use_batch_norm=opts.use_batch_norm)
     critic = Critic(use_raw_pixels=config.use_raw_pixels,
-                    pixel_encoder=opts.pixel_encoder, hidden=tuple(opts.hidden),
+                    pixel_encoder=opts.pixel_encoder,
+                    pixel_pool=opts.pixel_pool, hidden=tuple(opts.hidden),
                     use_batch_norm=opts.use_batch_norm)
 
-    def tx(lr):
+    def tx(base_lr):
+        lr = common.make_lr(opts, base_lr)
         if opts.grad_clip > 0:
             return optax.chain(
                 optax.clip_by_global_norm(opts.grad_clip), optax.adam(lr)
@@ -357,6 +401,7 @@ def train(opts) -> float:
             steps_per_segment=opts.steps_per_segment,
             ou_theta=opts.ou_theta, ou_sigma=opts.ou_sigma,
             reward_scale=opts.reward_scale,
+            aug_shift=opts.aug_shift,
         )
         st = shard_state(st)
         segment = build(st)
@@ -369,6 +414,7 @@ def train(opts) -> float:
                 steps_per_segment=opts.steps_per_segment,
                 ou_theta=opts.ou_theta, ou_sigma=opts.ou_sigma,
                 reward_scale=opts.reward_scale,
+                aug_shift=opts.aug_shift,
             ),
             donate_argnums=0,
         )

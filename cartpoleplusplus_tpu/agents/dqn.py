@@ -191,6 +191,7 @@ def train(opts) -> float:
         num_actions=NUM_DISCRETE_ACTIONS,
         use_raw_pixels=config.use_raw_pixels,
         pixel_encoder=opts.pixel_encoder,
+        pixel_pool=opts.pixel_pool,
         hidden=tuple(opts.hidden),
     )
     tx = optax.adam(opts.learning_rate)

@@ -164,6 +164,7 @@ def train(opts) -> float:
         num_actions=NUM_DISCRETE_ACTIONS,
         use_raw_pixels=config.use_raw_pixels,
         pixel_encoder=opts.pixel_encoder,
+        pixel_pool=opts.pixel_pool,
         hidden=tuple(opts.hidden),
     )
     logger = MetricsLogger(opts.metrics_jsonl)

@@ -60,6 +60,7 @@ def add_naf_opts(parser):
                              "when returns approach 1/(1-gamma))")
     parser.add_argument("--grad-clip", type=float, default=0.0,
                         help="global-norm gradient clip (0 = off)")
+    common.add_lr_schedule_opt(parser)
     parser.add_argument("--num-devices", type=int, default=1,
                         help="shard envs+replay over this many devices "
                              "(shard_map data parallelism; params replicate, "
@@ -203,16 +204,18 @@ def train(opts) -> float:
         action_dim=2,
         use_raw_pixels=config.use_raw_pixels,
         pixel_encoder=opts.pixel_encoder,
+        pixel_pool=opts.pixel_pool,
         hidden=tuple(opts.hidden),
         use_batch_norm=opts.use_batch_norm,
     )
+    lr = common.make_lr(opts, opts.learning_rate)
     if opts.grad_clip > 0:
         tx = optax.chain(
             optax.clip_by_global_norm(opts.grad_clip),
-            optax.adam(opts.learning_rate),
+            optax.adam(lr),
         )
     else:
-        tx = optax.adam(opts.learning_rate)
+        tx = optax.adam(lr)
     logger = MetricsLogger(opts.metrics_jsonl)
 
     rng = jax.random.PRNGKey(opts.seed)

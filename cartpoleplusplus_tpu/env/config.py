@@ -65,6 +65,14 @@ class CartpoleConfig:
     render_width: int = 50
     render_height: int = 50
     num_cameras: int = 1
+    # k×k average-pool of each rendered frame INSIDE the render epilogue
+    # (render/raycast.py).  The full render still happens at
+    # render_height×render_width; pooling shrinks only the observation the
+    # rest of the pipeline carries — obs selects, replay writes, policy
+    # decode all move k²× fewer bytes, which is where the fused pixel loop's
+    # time goes at 4096 envs (BASELINE.md stage table).  1 = reference
+    # layout (50×50 frames verbatim).
+    obs_pool: int = 1
     # Physics cadence (Bullet default 1/240 s substeps).
     dt: float = 1.0 / 240.0
 
@@ -75,6 +83,14 @@ class CartpoleConfig:
             )
         if self.num_cameras not in (1, 2):
             raise ValueError("num_cameras must be 1 or 2")
+        if self.obs_pool < 1 or (
+            self.render_height % self.obs_pool
+            or self.render_width % self.obs_pool
+        ):
+            raise ValueError(
+                f"obs_pool {self.obs_pool} must divide "
+                f"{self.render_height}x{self.render_width}"
+            )
 
     # -- observation/action metadata ---------------------------------------
     @property
@@ -83,8 +99,17 @@ class CartpoleConfig:
         return (self.action_repeats, 2, 7)
 
     @property
+    def obs_height(self) -> int:
+        """Height of the frames the pipeline carries (post obs_pool)."""
+        return self.render_height // self.obs_pool
+
+    @property
+    def obs_width(self) -> int:
+        return self.render_width // self.obs_pool
+
+    @property
     def pixel_obs_shape(self) -> tuple[int, int]:
-        """(repeats, cameras·H·W·3) flat RGB float in [0,1].
+        """(repeats, cameras·H'·W'·3) flat RGB, H'/W' = render dims ÷ obs_pool.
 
         Flat per-frame layout (pixel-major per camera, cameras concatenated)
         — image-shaped observations would be lane-padded 3→128 by TPU tiling
@@ -93,7 +118,7 @@ class CartpoleConfig:
         """
         return (
             self.action_repeats,
-            self.num_cameras * self.render_height * self.render_width * 3,
+            self.num_cameras * self.obs_height * self.obs_width * 3,
         )
 
     @property
@@ -124,6 +149,11 @@ def add_opts(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--render-width", type=int, default=50)
     parser.add_argument("--render-height", type=int, default=50)
     parser.add_argument("--num-cameras", type=int, default=1, choices=[1, 2])
+    parser.add_argument("--obs-pool", type=int, default=1,
+                        help="k×k average-pool rendered frames in the render "
+                             "epilogue; the observation (and replay/policy "
+                             "input) carries the pooled frames — k² less HBM "
+                             "traffic on every obs hop of the fused loop")
     parser.add_argument("--pos-threshold", type=float, default=2.0)
     parser.add_argument("--angle-threshold", type=float, default=0.3)
 
@@ -142,6 +172,7 @@ def config_from_opts(opts: argparse.Namespace, discrete_actions: bool) -> Cartpo
         render_width=opts.render_width,
         render_height=opts.render_height,
         num_cameras=opts.num_cameras,
+        obs_pool=getattr(opts, "obs_pool", 1),
         pos_threshold=opts.pos_threshold,
         angle_threshold=opts.angle_threshold,
     )

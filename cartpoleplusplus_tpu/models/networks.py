@@ -43,11 +43,12 @@ class DiscretePolicy(nn.Module):
     num_actions: int = 5
     use_raw_pixels: bool = False
     pixel_encoder: str = "dense"
+    pixel_pool: int = 1
     hidden: Sequence[int] = DEFAULT_HIDDEN
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        h = ObsEncoder(self.use_raw_pixels, self.hidden, pixel_encoder=self.pixel_encoder)(obs, train)
+        h = ObsEncoder(self.use_raw_pixels, self.hidden, pixel_encoder=self.pixel_encoder, pixel_pool=self.pixel_pool)(obs, train)
         return nn.Dense(self.num_actions, name="logits")(h)
 
 
@@ -57,11 +58,12 @@ class QNetwork(nn.Module):
     num_actions: int = 5
     use_raw_pixels: bool = False
     pixel_encoder: str = "dense"
+    pixel_pool: int = 1
     hidden: Sequence[int] = DEFAULT_HIDDEN
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        h = ObsEncoder(self.use_raw_pixels, self.hidden, pixel_encoder=self.pixel_encoder)(obs, train)
+        h = ObsEncoder(self.use_raw_pixels, self.hidden, pixel_encoder=self.pixel_encoder, pixel_pool=self.pixel_pool)(obs, train)
         return nn.Dense(self.num_actions, name="q")(h)
 
 
@@ -75,6 +77,7 @@ class Actor(nn.Module):
     action_dim: int = 2
     use_raw_pixels: bool = False
     pixel_encoder: str = "dense"
+    pixel_pool: int = 1
     hidden: Sequence[int] = DEFAULT_HIDDEN
     use_batch_norm: bool = False
 
@@ -83,6 +86,7 @@ class Actor(nn.Module):
         h = ObsEncoder(
             self.use_raw_pixels, self.hidden,
             pixel_encoder=self.pixel_encoder,
+            pixel_pool=self.pixel_pool,
             use_batch_norm=self.use_batch_norm,
         )(obs, train)
         return nn.tanh(
@@ -103,6 +107,7 @@ class Critic(nn.Module):
 
     use_raw_pixels: bool = False
     pixel_encoder: str = "dense"
+    pixel_pool: int = 1
     hidden: Sequence[int] = DEFAULT_HIDDEN
     use_batch_norm: bool = False
 
@@ -113,6 +118,7 @@ class Critic(nn.Module):
         h = ObsEncoder(
             self.use_raw_pixels, self.hidden,
             pixel_encoder=self.pixel_encoder,
+            pixel_pool=self.pixel_pool,
             use_batch_norm=self.use_batch_norm,
         )(obs, train)
         h = jnp.concatenate([h, action.astype(h.dtype)], axis=-1)
@@ -135,6 +141,7 @@ class NAFNetwork(nn.Module):
     action_dim: int = 2
     use_raw_pixels: bool = False
     pixel_encoder: str = "dense"
+    pixel_pool: int = 1
     hidden: Sequence[int] = DEFAULT_HIDDEN
     use_batch_norm: bool = False
 
@@ -143,6 +150,7 @@ class NAFNetwork(nn.Module):
         h = ObsEncoder(
             self.use_raw_pixels, self.hidden,
             pixel_encoder=self.pixel_encoder,
+            pixel_pool=self.pixel_pool,
             use_batch_norm=self.use_batch_norm,
         )(obs, train)
         v = nn.Dense(

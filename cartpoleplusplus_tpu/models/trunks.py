@@ -111,9 +111,39 @@ class ObsEncoder(nn.Module):
     hidden: Sequence[int] = DEFAULT_HIDDEN
     pixel_encoder: str = "dense"  # 'dense' | 'conv'
     pixel_embed: int = 256
+    pixel_pool: int = 1  # k×k average-pool before the dense embed
     conv_features: Sequence[int] = (16, 32, 32)
     use_batch_norm: bool = False
+    height: int = 50
+    width: int = 50
     dtype: jnp.dtype = jnp.bfloat16
+
+    def _pool(self, obs: jnp.ndarray) -> jnp.ndarray:
+        """k×k average-pool each plane of the flat frame stack.
+
+        The dense embed's 22500-wide contraction dominates BOTH the live
+        actor forward (a full-layout relayout of (envs, 22500) activations —
+        measured 1.1 ms/step at 4096 envs, BASELINE.md trace table) and the
+        train step (22500×embed f32 params × ~16 HBM passes through
+        fwd/bwd/adam/targets).  A 2×2 mean pool shrinks all of it 4× for
+        sub-pixel information loss at 50×50 (the pole is ~3 px wide; its
+        average survives).  Fuses into the uint8-decode chain — the pool
+        itself is ~free.
+        """
+        k = self.pixel_pool
+        h, w = self.height, self.width
+        if h % k or w % k:
+            raise ValueError(f"pixel_pool {k} must divide {h}x{w}")
+        lead = obs.shape[:-1]
+        if obs.shape[-1] % (h * w):
+            raise ValueError(
+                f"pixel_pool expects flat {h}x{w} planes, got frame width "
+                f"{obs.shape[-1]} (env-side config.obs_pool already applied? "
+                f"use one pooling stage, not both)"
+            )
+        planes = obs.shape[-1] // (h * w)
+        x = obs.reshape(lead + (planes, h // k, k, w // k, k))
+        return jnp.mean(x, axis=(-3, -1)).reshape(lead + (-1,))
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -128,6 +158,8 @@ class ObsEncoder(nn.Module):
                 x = pixels_to_nhwc(obs, batched=True)
                 x = ConvTrunk(self.conv_features, dtype=self.dtype)(x)
             else:
+                if self.pixel_pool > 1:
+                    obs = self._pool(obs.astype(self.dtype))
                 x = flatten_obs(obs, batched=True).astype(self.dtype)
                 x = nn.Dense(self.pixel_embed, dtype=self.dtype, name="pixel_embed")(x)
                 x = nn.relu(x).astype(jnp.float32)

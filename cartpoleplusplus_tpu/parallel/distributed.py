@@ -129,6 +129,7 @@ def make_distributed_segment(
     ou_theta: float = 0.15,
     ou_sigma: float = 0.2,
     reward_scale: float = 1.0,
+    aug_shift: int = 0,
 ):
     """Jitted multi-chip DDPG segment: sharded state → (state, metrics).
 
@@ -144,7 +145,7 @@ def make_distributed_segment(
         gamma=gamma, tau=tau, batch_size=batch_size,
         warmup_steps=warmup_steps, steps_per_segment=steps_per_segment,
         ou_theta=ou_theta, ou_sigma=ou_sigma, reward_scale=reward_scale,
-        axis_name=axis,
+        aug_shift=aug_shift, axis_name=axis,
     )
 
     def build(st_example):

@@ -213,6 +213,14 @@ def make_render_batched(
         planes = out.reshape(e, 3, p_pad)[:, :, :p_total]  # (E, 3, C·H·W)
         planes = planes.reshape(e, 3, len(cams), p_cam)
         frames = jnp.swapaxes(planes, 1, 2)  # (E, C, 3, P)
+        pool = getattr(config, "obs_pool", 1)
+        if pool > 1:
+            # Match raycast.make_observe_pixels' config.obs_pool epilogue so
+            # the two render paths stay interchangeable (XLA-side pool; the
+            # kernel itself still shades full-res).
+            x = frames.reshape(e, len(cams), 3, h // pool, pool, w // pool, pool)
+            frames = jnp.mean(x, axis=(4, 6))
+            return frames.reshape(e, -1)
         return frames.reshape(e, len(cams) * 3 * p_cam)
 
     return render

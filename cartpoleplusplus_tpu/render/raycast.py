@@ -177,7 +177,7 @@ def render_planes(
     eye: tuple[float, float, float],
     dtype=jnp.float32,
 ):
-    """Shade P rays → (r, g, b) component planes, each (P,) of ``dtype``.
+    """Shade P rays → stacked (3, P) RGB planes of ``dtype``.
 
     Unbatched over envs (vmap at the env layer keeps the pixel axis
     trailing).  ``dirs`` are static numpy component arrays; ``eye`` static
@@ -239,11 +239,16 @@ def render_planes(
     lambert = jnp.maximum(jnp.where(sel_c, lam_c, lam_p), 0.0)
     shade = _AMBIENT + (1.0 - _AMBIENT) * lambert
 
-    planes = []
-    for k in range(3):
-        box_k = jnp.where(sel_c, CART_COLOR[k], POLE_COLOR[k]) * shade
-        planes.append(jnp.where(sel_c | sel_p, box_k, bg[k]))
-    return tuple(planes)
+    # All three channels in ONE broadcasted expression over a leading (3,)
+    # color axis.  Emitting the channels as separate arrays made XLA clone
+    # the entire ray-cast cascade into each channel's consumer fusion — the
+    # round-2 trace showed 9 equal-cost render fusions per step (3 channels
+    # × 3 repeats), i.e. the box tests ran 3× over.  Stacked, the cascade
+    # runs once and the per-channel work is one select + multiply.
+    cart_rgb = jnp.asarray(CART_COLOR, shade.dtype).reshape(3, 1)
+    pole_rgb = jnp.asarray(POLE_COLOR, shade.dtype).reshape(3, 1)
+    box_rgb = jnp.where(sel_c[None, :], cart_rgb, pole_rgb) * shade[None, :]
+    return jnp.where((sel_c | sel_p)[None, :], box_rgb, jnp.stack(bg))
 
 
 def render_rays(
@@ -256,10 +261,10 @@ def render_rays(
     """
     o = np.asarray(origin, np.float32)
     d = np.asarray(dirs, np.float32)
-    r, g, b = render_planes(
+    planes = render_planes(
         scene, rigid, (d[:, 0], d[:, 1], d[:, 2]), (o[0], o[1], o[2])
     )
-    return jnp.stack([r, g, b], axis=-1)
+    return jnp.moveaxis(planes, 0, -1)
 
 
 def make_observe_pixels(
@@ -282,6 +287,7 @@ def make_observe_pixels(
     """
     cams = (cameras or DEFAULT_CAMERAS)[: config.num_cameras]
     h, w = config.render_height, config.render_width
+    pool = getattr(config, "obs_pool", 1)
     grids = []
     for c in cams:
         dirs, eye = ray_grid(c, h, w)
@@ -290,27 +296,33 @@ def make_observe_pixels(
     shade_dtype = jnp.bfloat16 if quantize else dtype
 
     def observe(scene: SceneParams, rigid: RigidState) -> jnp.ndarray:
-        planes = []
+        frames = []
         for dirs, eye in grids:
-            planes.extend(
-                render_planes(scene, rigid, dirs, eye, dtype=shade_dtype)
-            )
-        if quantize:
-            # Colors are already in [0, 1]; the +0.5 rounds. XLA fuses this
-            # into the shading epilogue — quantization is free.
-            planes = [
-                jnp.clip(p.astype(jnp.float32) * 255.0 + 0.5, 0.0, 255.0)
-                .astype(jnp.uint8)
-                for p in planes
-            ]
-        return jnp.concatenate(planes) if len(planes) > 1 else planes[0]
+            planes = render_planes(scene, rigid, dirs, eye, dtype=shade_dtype)
+            if pool > 1:
+                # config.obs_pool: average-pool in the shading epilogue —
+                # the full h×w render happens, but everything downstream
+                # (obs carry, replay, policy) moves pool²× fewer bytes.
+                x = planes.reshape(3, h // pool, pool, w // pool, pool)
+                planes = jnp.mean(x, axis=(2, 4)).reshape(3, -1)
+            if quantize:
+                # Colors are already in [0, 1]; the +0.5 rounds. XLA fuses
+                # this into the shading epilogue — quantization is free.
+                planes = jnp.clip(
+                    planes.astype(jnp.float32) * 255.0 + 0.5, 0.0, 255.0
+                ).astype(jnp.uint8)
+            frames.append(planes.reshape(-1))  # (3·P,): [R | G | B]
+        return jnp.concatenate(frames) if len(frames) > 1 else frames[0]
 
     return observe
 
 
 def frame_to_images(config, frame) -> np.ndarray:
-    """Host-side: flat plane-major frame(s) (…, C·3·H·W) → (…, C, H, W, 3)."""
-    h, w, c = config.render_height, config.render_width, config.num_cameras
+    """Host-side: flat plane-major frame(s) (…, C·3·H·W) → (…, C, H, W, 3).
+
+    H/W are the dims the pipeline carries — post ``config.obs_pool``.
+    """
+    h, w, c = config.obs_height, config.obs_width, config.num_cameras
     arr = np.asarray(frame)
     planes = arr.reshape(arr.shape[:-1] + (c, 3, h, w))
     return np.moveaxis(planes, -3, -1)

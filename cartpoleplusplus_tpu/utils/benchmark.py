@@ -50,6 +50,14 @@ def add_bench_opts(parser: argparse.ArgumentParser) -> None:
                         action="store_false")
     parser.add_argument("--sim-only", action="store_true",
                         help="benchmark sim+render only (no learner)")
+    parser.add_argument("--obs-pool", type=int, default=2,
+                        help="k×k average-pool in the render epilogue "
+                             "(env/config.py obs_pool): the full 50×50 "
+                             "render happens, but every downstream obs hop "
+                             "(carry, replay, policy) moves k²× fewer bytes")
+    parser.add_argument("--pixel-pool", type=int, default=1,
+                        help="encoder-side pool (agents' --pixel-pool); "
+                             "superseded by --obs-pool for the bench path")
     parser.add_argument("--trace-dir", type=str, default=None,
                         help="capture a jax.profiler trace to this dir")
 
@@ -67,6 +75,7 @@ def build(opts):
         render_height=50,
         action_repeats=opts.action_repeats,
         steps_per_repeat=opts.steps_per_repeat,
+        obs_pool=getattr(opts, "obs_pool", 1) if not opts.lowdim else 1,
     )
     pallas_physics = getattr(opts, "pallas_physics", None)
     if pallas_physics is None:  # auto: kernel needs 1024-env tiles
@@ -101,8 +110,10 @@ def build(opts):
 
     from cartpoleplusplus_tpu.models import Actor, Critic
 
-    actor = Actor(action_dim=2, use_raw_pixels=config.use_raw_pixels)
-    critic = Critic(use_raw_pixels=config.use_raw_pixels)
+    pool = getattr(opts, "pixel_pool", 1)
+    actor = Actor(action_dim=2, use_raw_pixels=config.use_raw_pixels,
+                  pixel_pool=pool)
+    critic = Critic(use_raw_pixels=config.use_raw_pixels, pixel_pool=pool)
     atx, ctx = optax.adam(1e-4), optax.adam(1e-3)
     o = type("O", (), {"seed": 0, "replay_capacity": opts.replay_capacity})()
     st = ddpg_mod.init_state(o, config, venv, actor, critic, atx, ctx)

@@ -52,6 +52,9 @@ def main():
     p.add_argument("--cams", type=int, default=1)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--no-pallas-physics", action="store_true")
+    p.add_argument("--obs-pool", type=int, default=2,
+                   help="render-epilogue pool for the sim/full stages "
+                        "(matches bench.py's default)")
     opts = p.parse_args()
 
     from cartpoleplusplus_tpu.env import cartpole as cm
@@ -62,7 +65,7 @@ def main():
 
     cfg = CartpoleConfig(
         discrete_actions=False, use_raw_pixels=True, num_cameras=opts.cams,
-        render_width=50, render_height=50,
+        render_width=50, render_height=50, obs_pool=opts.obs_pool,
     )
     scene = cm.scene_for(cfg)
     substeps_per_step = cfg.action_repeats * cfg.steps_per_repeat
@@ -121,6 +124,8 @@ def main():
         o.lowdim = False
         o.pallas_render = False
         o.pallas_physics = use_pallas
+        o.obs_pool = opts.obs_pool
+        o.pixel_pool = 1
         o.trace_dir = None
 
         o.sim_only = True

@@ -108,3 +108,39 @@ def test_soft_target_update_polyak():
     # τ=1 → hard copy.
     out = soft_target_update(target, online, tau=1.0)
     np.testing.assert_allclose(out["w"], 1.0)
+
+
+def test_pixel_pool_shrinks_embed_and_preserves_output_shape():
+    """--pixel-pool k: the dense embed contracts (22500/k²)-wide input and
+    the encoder output/head shapes are unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from cartpoleplusplus_tpu.models import Actor
+
+    obs = jnp.zeros((4, 3, 7500), jnp.uint8)  # (B, repeats, cam·3·50·50)
+    a1 = Actor(action_dim=2, use_raw_pixels=True, pixel_pool=1)
+    a2 = Actor(action_dim=2, use_raw_pixels=True, pixel_pool=2)
+    p1 = a1.init(jax.random.PRNGKey(0), obs)
+    p2 = a2.init(jax.random.PRNGKey(0), obs)
+    w1 = p1["params"]["ObsEncoder_0"]["pixel_embed"]["kernel"]
+    w2 = p2["params"]["ObsEncoder_0"]["pixel_embed"]["kernel"]
+    assert w1.shape[0] == 22500 and w2.shape[0] == 22500 // 4
+    assert a2.apply(p2, obs).shape == (4, 2)
+    # Pooling averages each 2x2 block: rows alternating (100, 156) pool to
+    # the same planes as a constant 128 image, so the encodings must match
+    # up to bf16 rounding of the decoded pixels (pool runs in the encoder's
+    # bf16 compute dtype; outputs are tanh-bounded so atol=0.05 is tight).
+    import numpy as np
+
+    const = jnp.full_like(obs, 128)
+    board = np.full((50, 50), 100, np.uint8)
+    board[::2, :] = 156
+    striped = jnp.asarray(
+        np.broadcast_to(board.reshape(-1), (4, 3, 3, 2500)).reshape(4, 3, 7500)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a2.apply(p2, const)),
+        np.asarray(a2.apply(p2, striped)),
+        atol=0.05,
+    )

@@ -139,3 +139,41 @@ def test_render_vmap_batch():
     )(batch)
     assert out.shape == (3, 256, 3)
     np.testing.assert_allclose(out[0], out[2], atol=1e-6)
+
+
+def test_obs_pool_epilogue_matches_manual_pooling():
+    """config.obs_pool: the pooled frame equals a block-mean of the full-res
+    frame (modulo uint8 rounding of each path), and shapes shrink k^2x."""
+    import dataclasses
+
+    cfg1 = CartpoleConfig(
+        use_raw_pixels=True, num_cameras=1, render_width=50, render_height=50,
+    )
+    cfg2 = dataclasses.replace(cfg1, obs_pool=2)
+    scene = cartpole_mod.scene_for(cfg1)
+    rigid = rest_state(scene)
+
+    full = jax.jit(lambda r: make_observe_pixels(cfg1, dtype=jnp.uint8)(scene, r))(rigid)
+    pooled = jax.jit(lambda r: make_observe_pixels(cfg2, dtype=jnp.uint8)(scene, r))(rigid)
+    assert full.shape == (3 * 50 * 50,)
+    assert pooled.shape == (3 * 25 * 25,)
+    assert cfg2.pixel_obs_shape == (cfg2.action_repeats, 3 * 25 * 25)
+
+    manual = (
+        np.asarray(full, np.float32).reshape(3, 25, 2, 25, 2).mean(axis=(2, 4))
+    )
+    # full was quantized before manual pooling, pooled after — allow 2 counts.
+    np.testing.assert_allclose(
+        np.asarray(pooled, np.float32).reshape(3, 25, 25), manual, atol=2.0
+    )
+    # Host-side viewing follows the carried dims.
+    from cartpoleplusplus_tpu.render.raycast import frame_to_images
+
+    assert frame_to_images(cfg2, pooled).shape == (1, 25, 25, 3)
+
+
+def test_obs_pool_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        CartpoleConfig(use_raw_pixels=True, obs_pool=3)  # 3 doesn't divide 50
