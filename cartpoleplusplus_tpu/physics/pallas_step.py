@@ -74,24 +74,18 @@ def step_substeps_pallas(
     state: RigidState,
     cart_force: jnp.ndarray,
     num_substeps: int,
-    l_tile: int | None = None,
+    l_tile: int = 128,
     interpret: bool = False,
 ) -> RigidState:
     """Drop-in for soa.step_substeps_batched via the Mosaic kernel.
 
-    E must be a multiple of 8·l_tile (1024 at the minimum tile of 128).
-    ``l_tile`` defaults to the largest tile ≤ 512 lanes that divides the
-    batch: Mosaic grid cells run SEQUENTIALLY on the one TensorCore, and the
-    kernel is dependency-depth-bound (~2k serial VPU ops per substep), so
-    fewer/wider cells directly shorten the critical path — the whole 4096-env
-    state is only 425 KB, far under VMEM either way.
+    E must be a multiple of 8·l_tile (1024 at the default tile).  Wider
+    tiles (fewer grid cells) were raced at 4096 envs and measured SLOWER
+    (512 lanes: 1.94 ms/step vs 1.71 at 128) — the per-cell VPU ops grow
+    with tile width faster than the saved grid overhead.
     """
     e = state.pos.shape[0]
     lanes = e // SUBLANES
-    if l_tile is None:
-        l_tile = next(
-            (t for t in (512, 256, 128) if lanes % t == 0), 128
-        )
     if e % (SUBLANES * l_tile) != 0:
         raise ValueError(f"num envs {e} must be a multiple of {SUBLANES * l_tile}")
 

@@ -22,6 +22,7 @@ albedo per body (ground checker, blue cart, red pole), sky background.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -170,28 +171,64 @@ def _ray_obb_ratio(origin, direction, center, quat, half_extents, light=None):
     return num, den, out, hit
 
 
-def render_planes(
+def pool_ray_layout(pool: int, height: int, width: int):
+    """Static ray permutation that makes epilogue pooling layout-free.
+
+    Returns ``(sel, (p2, n, stride))``: ``sel`` reorders a row-major H·W ray
+    grid into ``p2 = pool²`` blocks — block ``s`` holds, in pooled-row-major
+    order, every pixel at intra-pool-window offset ``s`` — each tail-padded
+    to a 128-lane-aligned ``stride``.  Average-pooling a field in this
+    layout is ``p2`` ALIGNED lane slices summed elementwise, which XLA fuses
+    into the cascade epilogue for free.  (The naive reshape-based pool on
+    flat row-major frames measured ~1 ms/frame at 4096 envs — MORE than the
+    ray cascade itself — because (…, h/k, k, w/k, k) reduces force tiled
+    relayouts; this permutation is the same arithmetic with zero relayout,
+    for ~2.4% padded-ray overhead.)
+    """
+    n = (height // pool) * (width // pool)
+    stride = -(-n // 128) * 128
+    idx = np.arange(height * width).reshape(height, width)
+    blocks = [
+        idx[r::pool, c::pool].reshape(-1)
+        for r in range(pool)
+        for c in range(pool)
+    ]
+    sel = np.concatenate(
+        [np.pad(b, (0, stride - n), mode="edge") for b in blocks]
+    )
+    return sel, (pool * pool, n, stride)
+
+
+def _render_fields(
     scene: SceneParams,
     rigid: RigidState,
     dirs: tuple[np.ndarray, np.ndarray, np.ndarray],
     eye: tuple[float, float, float],
     dtype=jnp.float32,
+    pool_layout: tuple[int, int, int] | None = None,
 ):
-    """Shade P rays → stacked (3, P) RGB planes of ``dtype``.
+    """Cast P rays ONCE → 4 scalar fields that linearly determine every
+    channel: (cart_weight, pole_weight, ground_value, sky_mask), each
+    average-pooled to (n,) when ``pool_layout`` (from :func:`pool_ray_layout`,
+    with rays pre-permuted accordingly) is given.
 
-    Unbatched over envs (vmap at the env layer keeps the pixel axis
-    trailing).  ``dirs`` are static numpy component arrays; ``eye`` static
-    floats — both bake into the compiled program.
-
-    ``dtype=jnp.bfloat16`` halves the renderer's HBM traffic; an 8-bit
-    mantissa is ~0.4% relative error — sub-pixel at 50×50 and far below the
-    uint8 quantization the replay buffer applies anyway.
+    The image decomposes as
+      ``out_k = CART_k·A + POLE_k·B + D + SKY_k·E``
+    with A = shade·[cart visible], B = shade·[pole visible], D = the static
+    gray ground value masked to background pixels, E = the sky mask on
+    background pixels.  Channels differ only by the scalar constants, so the
+    whole ray-cast cascade runs once per frame; per-channel work is a 4-term
+    affine combination on (pooled) planes.  Two earlier layouts measured
+    worse on-chip: per-channel planes made XLA clone the cascade into each
+    channel's consumer fusion (3× the box tests), and a stacked (3, P) color
+    axis forced sublane-padded relayouts.  An optimization_barrier pins the
+    shared fields so consumer fusions cannot re-duplicate the cascade.
     """
     # --- Static background, computed host-side in numpy at trace time. ---
     # Ground-plane depth, checker, and Lambert shade depend only on the
-    # static rays/eye, so the whole ground∪sky background collapses to one
-    # constant plane per channel; the compiled per-step work touches only
-    # the two dynamic boxes.
+    # static rays/eye, so the background collapses to two constant planes
+    # (gray ground value + sky indicator); the compiled per-step work
+    # touches only the two dynamic boxes.
     ndx, ndy, ndz = (np.asarray(d, np.float32) for d in dirs)
     e = (float(eye[0]), float(eye[1]), float(eye[2]))
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -202,17 +239,15 @@ def render_planes(
     checker = np.mod(np.floor(gx) + np.floor(gy), 2.0) > 0.5
     gvalid = t_g < _BIG * 0.5
     shade_g = _AMBIENT + (1.0 - _AMBIENT) * max(LIGHT_DIR[2], 0.0)
-    bg = tuple(
-        jnp.asarray(
-            np.where(
-                gvalid,
-                np.where(checker, GROUND_B[k], GROUND_A[k]) * shade_g,
-                SKY_COLOR[k],
-            ).astype(np.float32),
-            dtype,
-        )
-        for k in range(3)
+    # Ground albedo is gray (equal channels), so one static value plane
+    # covers all three channels; sky contributes SKY_k · sky-mask.
+    ground_val = jnp.asarray(
+        np.where(
+            gvalid, np.where(checker, GROUND_B[0], GROUND_A[0]) * shade_g, 0.0
+        ).astype(np.float32),
+        dtype,
     )
+    sky_mask = jnp.asarray((~gvalid).astype(np.float32), dtype)
     t_g = jnp.asarray(t_g, dtype)
 
     dx, dy, dz = (jnp.asarray(d, dtype) for d in dirs)
@@ -239,16 +274,49 @@ def render_planes(
     lambert = jnp.maximum(jnp.where(sel_c, lam_c, lam_p), 0.0)
     shade = _AMBIENT + (1.0 - _AMBIENT) * lambert
 
-    # All three channels in ONE broadcasted expression over a leading (3,)
-    # color axis.  Emitting the channels as separate arrays made XLA clone
-    # the entire ray-cast cascade into each channel's consumer fusion — the
-    # round-2 trace showed 9 equal-cost render fusions per step (3 channels
-    # × 3 repeats), i.e. the box tests ran 3× over.  Stacked, the cascade
-    # runs once and the per-channel work is one select + multiply.
-    cart_rgb = jnp.asarray(CART_COLOR, shade.dtype).reshape(3, 1)
-    pole_rgb = jnp.asarray(POLE_COLOR, shade.dtype).reshape(3, 1)
-    box_rgb = jnp.where(sel_c[None, :], cart_rgb, pole_rgb) * shade[None, :]
-    return jnp.where((sel_c | sel_p)[None, :], box_rgb, jnp.stack(bg))
+    zero = jnp.zeros((), dtype)
+    bgm = ~(sel_c | sel_p)
+    fields = (
+        jnp.where(sel_c, shade, zero),
+        jnp.where(sel_p, shade, zero),
+        jnp.where(bgm, ground_val, zero),
+        jnp.where(bgm, sky_mask, zero),
+    )
+    if pool_layout is not None:
+        p2, n, stride = pool_layout
+        inv = jnp.asarray(1.0 / p2, dtype)
+        fields = tuple(
+            sum(f[i * stride : i * stride + n] for i in range(p2)) * inv
+            for f in fields
+        )
+    return jax.lax.optimization_barrier(fields)
+
+
+def render_planes(
+    scene: SceneParams,
+    rigid: RigidState,
+    dirs: tuple[np.ndarray, np.ndarray, np.ndarray],
+    eye: tuple[float, float, float],
+    dtype=jnp.float32,
+    pool_layout: tuple[int, int, int] | None = None,
+):
+    """Shade P rays → (r, g, b) component planes, each (P,) of ``dtype``
+    (or (n,) pooled planes when ``pool_layout`` is given — see
+    :func:`pool_ray_layout`; rays must be pre-permuted with its ``sel``).
+
+    Unbatched over envs (vmap at the env layer keeps the pixel axis
+    trailing).  ``dirs`` are static numpy component arrays; ``eye`` static
+    floats — both bake into the compiled program.
+
+    ``dtype=jnp.bfloat16`` halves the renderer's HBM traffic; an 8-bit
+    mantissa is ~0.4% relative error — sub-pixel at 50×50 and far below the
+    uint8 quantization the replay buffer applies anyway.
+    """
+    a, b, g, s = _render_fields(scene, rigid, dirs, eye, dtype, pool_layout)
+    return tuple(
+        CART_COLOR[k] * a + POLE_COLOR[k] * b + g + SKY_COLOR[k] * s
+        for k in range(3)
+    )
 
 
 def render_rays(
@@ -261,10 +329,10 @@ def render_rays(
     """
     o = np.asarray(origin, np.float32)
     d = np.asarray(dirs, np.float32)
-    planes = render_planes(
+    r, g, b = render_planes(
         scene, rigid, (d[:, 0], d[:, 1], d[:, 2]), (o[0], o[1], o[2])
     )
-    return jnp.moveaxis(planes, 0, -1)
+    return jnp.stack([r, g, b], axis=-1)
 
 
 def make_observe_pixels(
@@ -288,31 +356,37 @@ def make_observe_pixels(
     cams = (cameras or DEFAULT_CAMERAS)[: config.num_cameras]
     h, w = config.render_height, config.render_width
     pool = getattr(config, "obs_pool", 1)
+    pool_layout = None
+    sel = None
+    if pool > 1:
+        sel, pool_layout = pool_ray_layout(pool, h, w)
     grids = []
     for c in cams:
         dirs, eye = ray_grid(c, h, w)
+        if sel is not None:
+            dirs = dirs[sel]  # offset-major pooled layout (see pool_ray_layout)
         grids.append(((dirs[:, 0], dirs[:, 1], dirs[:, 2]), tuple(eye)))
     quantize = dtype == jnp.uint8
     shade_dtype = jnp.bfloat16 if quantize else dtype
 
     def observe(scene: SceneParams, rigid: RigidState) -> jnp.ndarray:
-        frames = []
+        planes = []
         for dirs, eye in grids:
-            planes = render_planes(scene, rigid, dirs, eye, dtype=shade_dtype)
-            if pool > 1:
-                # config.obs_pool: average-pool in the shading epilogue —
-                # the full h×w render happens, but everything downstream
-                # (obs carry, replay, policy) moves pool²× fewer bytes.
-                x = planes.reshape(3, h // pool, pool, w // pool, pool)
-                planes = jnp.mean(x, axis=(2, 4)).reshape(3, -1)
-            if quantize:
-                # Colors are already in [0, 1]; the +0.5 rounds. XLA fuses
-                # this into the shading epilogue — quantization is free.
-                planes = jnp.clip(
-                    planes.astype(jnp.float32) * 255.0 + 0.5, 0.0, 255.0
-                ).astype(jnp.uint8)
-            frames.append(planes.reshape(-1))  # (3·P,): [R | G | B]
-        return jnp.concatenate(frames) if len(frames) > 1 else frames[0]
+            # config.obs_pool pools INSIDE render_planes (on the shared
+            # scalar fields — 4 pooled reduces instead of 3 channels' worth).
+            chans = render_planes(
+                scene, rigid, dirs, eye, dtype=shade_dtype,
+                pool_layout=pool_layout,
+            )
+            for p in chans:  # (P',): [R | G | B] per camera
+                if quantize:
+                    # Colors are already in [0, 1]; the +0.5 rounds. XLA
+                    # fuses this into the per-channel epilogue.
+                    p = jnp.clip(
+                        p.astype(jnp.float32) * 255.0 + 0.5, 0.0, 255.0
+                    ).astype(jnp.uint8)
+                planes.append(p)
+        return jnp.concatenate(planes) if len(planes) > 1 else planes[0]
 
     return observe
 
