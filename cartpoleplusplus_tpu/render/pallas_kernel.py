@@ -3,21 +3,29 @@
 The hand-tiled version of render/raycast.py — replaces Bullet's TinyRenderer
 (`p.getCameraImage`, reference bullet_cartpole.py:~L120-150) on the TPU hot
 path.  One `pallas_call` renders every camera for a tile of envs entirely in
-VMEM:
+VMEM.
 
-  * grid over env tiles; per step, a (TILE_E, 16) pose block (cart/pole
-    pos+quat) and the static (8, P_pad) ray-direction/origin planes sit in
-    VMEM;
-  * per-env pose scalars are (TILE_E, 1) columns broadcasting against
-    (1, P_pad) ray components → every op is a full-width (TILE_E, P_pad) VPU
-    op in bfloat16;
-  * the full shading pipeline (ground checker, two OBB slab tests, nearest
-    hit, Lambert) runs with zero HBM round-trips; only the final RGB planes
-    (TILE_E, 3·P_pad) leave the kernel.
+Why a kernel at all: the XLA ray caster compiles into ~4 HBM-bounded fusions
+per frame (two box cascades, field assembly, pooling/epilogue) whose
+intermediates — num/den/shade/select planes at (envs, rays) — round-trip
+through HBM between fusions; at 4096 envs that traffic rivals the cascade
+compute itself (round-2 trace: or_select/broadcast_select fusions ≈
+1.2 ms/frame).  In the kernel the whole pipeline — div-free slab cascades for
+both boxes, depth ordering against the precomputed ground plane, Lambert
+shading, the 4-field color decomposition, and obs_pool average-pooling —
+runs on VMEM-resident tiles with zero HBM round-trips; only the pooled
+(TILE_E, cams·3·stride) planes leave.
 
-The math reuses physics/soa.py's component-tuple algebra — the same
-functions trace both XLA and Mosaic.  Equivalence with the XLA renderer is
-pinned by tests/test_pallas_render.py (interpret mode on CPU).
+Layout contract (shared with raycast.pool_ray_layout): rays arrive permuted
+into pool-offset-major, 128-lane-aligned blocks, so pooling inside the
+kernel is ``pool²`` aligned lane-slice adds.  The static ray block also
+carries the precomputed background (gray ground value + sky mask) and the
+ground depth used for occlusion — rows [dx dy dz ox oy oz gval smask tg].
+
+The cascade math is literally raycast._ray_obb_ratio — the same
+rank-polymorphic component-tuple function traces both XLA and Mosaic.
+Equivalence with the XLA renderer is pinned by tests/test_pallas_render.py
+(interpret mode on CPU).
 """
 
 from __future__ import annotations
@@ -30,7 +38,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cartpoleplusplus_tpu.physics import soa
 from cartpoleplusplus_tpu.physics.bodies import RigidState, SceneParams
 from cartpoleplusplus_tpu.render.camera import DEFAULT_CAMERAS, Camera, ray_grid
 from cartpoleplusplus_tpu.render.raycast import (
@@ -42,145 +49,167 @@ from cartpoleplusplus_tpu.render.raycast import (
     SKY_COLOR,
     _AMBIENT,
     _BIG,
+    _ray_obb_ratio,
+    pool_ray_layout,
 )
 
 LANE = 128
+_ROWS = 16  # static per-ray rows, padded to a full sublane tile
 
 
-def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
-    return np.pad(x, (0, n - x.shape[0]))
+def _build_ray_planes(cameras, h, w, pool: int = 1):
+    """Static (16, cams·stride·p2) f32 block of per-ray constants.
 
+    Rows: [dx dy dz ox oy oz ground_val sky_mask t_ground 0…].  Rays are in
+    :func:`raycast.pool_ray_layout` order (pool-offset-major, tail-padded to
+    128-aligned ``stride`` blocks) so in-kernel pooling is aligned slice
+    adds; ``pool=1`` degenerates to one padded block per camera.  The
+    background (checker ground × static Lambert, sky mask) and the ground
+    depth depend only on the static rays, so they are baked here instead of
+    recomputed per env tile.
 
-def _build_ray_planes(cameras, h, w):
-    """Static (8, P_pad) f32 array: rows = [dx dy dz ox oy oz pad pad].
-
-    All cameras' rays are concatenated along the pixel axis; per-pixel
-    origins make multi-camera a pure data change.  P_pad is 128-aligned.
+    Returns (block, (p2, n, stride)) with n = pooled pixels per camera.
     """
-    dirs_list, origin_list = [], []
+    if pool > 1:
+        sel, (p2, n, stride) = pool_ray_layout(pool, h, w)
+    else:
+        n = h * w
+        stride = -(-n // LANE) * LANE
+        sel = np.concatenate([np.arange(n), np.full(stride - n, n - 1)])
+        p2 = 1
+    width = p2 * stride
+    shade_g = _AMBIENT + (1.0 - _AMBIENT) * max(LIGHT_DIR[2], 0.0)
+
+    cols = []
     for cam in cameras:
         dirs, eye = ray_grid(cam, h, w)
-        dirs_list.append(dirs)
-        origin_list.append(np.broadcast_to(eye, dirs.shape))
-    dirs = np.concatenate(dirs_list)  # (P, 3)
-    orig = np.concatenate(origin_list)
-    p = dirs.shape[0]
-    p_pad = ((p + LANE - 1) // LANE) * LANE
-    rows = [
-        _pad_to(dirs[:, 0], p_pad), _pad_to(dirs[:, 1], p_pad),
-        _pad_to(dirs[:, 2], p_pad),
-        _pad_to(orig[:, 0], p_pad), _pad_to(orig[:, 1], p_pad),
-        _pad_to(orig[:, 2], p_pad),
-        np.zeros(p_pad, np.float32), np.zeros(p_pad, np.float32),
-    ]
-    return np.stack(rows).astype(np.float32), p, p_pad
+        d = dirs[sel]  # (width, 3)
+        o = np.broadcast_to(eye, d.shape)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_g = np.where(np.abs(d[:, 2]) > 1e-9, -eye[2] / d[:, 2], _BIG)
+        t_g = np.where(t_g > 0.0, t_g, _BIG).astype(np.float32)
+        gx = eye[0] + t_g * d[:, 0]
+        gy = eye[1] + t_g * d[:, 1]
+        checker = np.mod(np.floor(gx) + np.floor(gy), 2.0) > 0.5
+        gvalid = t_g < _BIG * 0.5
+        gval = np.where(
+            gvalid, np.where(checker, GROUND_B[0], GROUND_A[0]) * shade_g, 0.0
+        )
+        smask = (~gvalid).astype(np.float32)
+        rows = np.zeros((_ROWS, width), np.float32)
+        rows[0:3] = d.T
+        rows[3:6] = o.T
+        rows[6] = gval
+        rows[7] = smask
+        rows[8] = t_g
+        cols.append(rows)
+    return np.concatenate(cols, axis=1), (p2, n, stride)
 
 
-def _ray_box_soa(origin_l, dir_l, he):
-    """Slab test in component form (same math as raycast._ray_box)."""
-    t_lo, t_hi = [], []
-    for k in range(3):
-        inv = jnp.where(jnp.abs(dir_l[k]) > 1e-6, 1.0 / dir_l[k], _BIG)
-        a = (-float(he[k]) - origin_l[k]) * inv
-        b = (float(he[k]) - origin_l[k]) * inv
-        t_lo.append(jnp.minimum(a, b))
-        t_hi.append(jnp.maximum(a, b))
-    tmin = jnp.maximum(jnp.maximum(t_lo[0], t_lo[1]), t_lo[2])
-    tmax = jnp.minimum(jnp.minimum(t_hi[0], t_hi[1]), t_hi[2])
-    hit = (tmax >= tmin) & (tmax > 0.0)
-    t_hit = jnp.where(hit & (tmin > 0.0), tmin, jnp.where(hit, tmax, _BIG))
-    n = tuple(jnp.where(t_lo[k] == tmin, -jnp.sign(dir_l[k]), 0.0) for k in range(3))
-    norm = jnp.sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
-    inv = 1.0 / jnp.maximum(norm, 1e-6)
-    return t_hit, (n[0] * inv, n[1] * inv, n[2] * inv), hit
+def _render_kernel(
+    scene: SceneParams,
+    num_cams: int,
+    p2: int,
+    stride: int,
+    poses_ref,
+    rays_ref,
+    out_ref,
+):
+    """One env tile: cast + shade + pool all cameras' rays for TILE_E envs.
 
-
-def _render_kernel(scene: SceneParams, p_pad: int, poses_ref, rays_ref, out_ref):
-    """One env tile: shade all cameras' rays for TILE_E envs.
-
-    Geometry runs in float32 (the VPU has no bf16 comparisons — Mosaic
-    rejects them with "Target does not support this comparison"); only the
-    final color write narrows to the output dtype.
+    Geometry runs in float32 (Mosaic rejects bf16 comparisons).  Color is
+    produced through the 4-field decomposition of raycast._render_fields —
+    cart/pole shade weights, background ground value, sky mask — as float
+    MASK ARITHMETIC (Mosaic rejects selects whose operands are both scalar
+    splats, so no jnp.where against constants).  Output: per camera, 3
+    pooled color planes of ``stride`` lanes, quantized [0,255] but kept in
+    the output dtype (uint8 stores are not universally supported).
     """
     dtype = jnp.float32
-    # Ray planes, broadcast to the full (TILE_E, P) tile up front.  The
-    # broadcast multiplies by a data-dependent 1.0 (from the zero pad column
-    # of the pose block): Mosaic tracks env-invariant values as sublane-
-    # replicated layouts and then fails to relayout the boolean masks they
-    # produce ("Invalid relayout … replicated in destination but not in
-    # source"), so every plane must look env-dependent to the compiler.
+    width = p2 * stride
+    # Every static plane is multiplied by a data-dependent 1.0 column so
+    # Mosaic sees env-dependent (non-replicated) layouts throughout — its
+    # replicated→tiled boolean relayouts are buggy (see round-1 notes).
     one_col = (poses_ref[:, 14:15] * 0.0 + 1.0).astype(dtype)  # (TILE_E, 1)
-    d = tuple(rays_ref[k : k + 1, :].astype(dtype) * one_col for k in range(3))
-    o = tuple(rays_ref[k : k + 1, :].astype(dtype) * one_col for k in range(3, 6))
-
-    # Per-env pose columns: (TILE_E, 1).
     col = lambda j: poses_ref[:, j : j + 1].astype(dtype)
     cart_c = (col(0), col(1), col(2))
     cart_q = (col(3), col(4), col(5), col(6))
     pole_c = (col(7), col(8), col(9))
     pole_q = (col(10), col(11), col(12), col(13))
 
-    dz = d[2]
-    t_ground = jnp.where(jnp.abs(dz) > 1e-6, -o[2] / dz, _BIG)
-    t_ground = jnp.where(t_ground > 0.0, t_ground, _BIG)
-    gx = o[0] + t_ground * d[0]
-    gy = o[1] + t_ground * d[1]
-    # 0/1 float checker — Mosaic rejects selects whose operands are both
-    # scalar splats (the predicate would need a fully-replicated layout), so
-    # color mixing below is mask *arithmetic*, not jnp.where.
-    checker = jnp.mod(jnp.floor(gx) + jnp.floor(gy), 2.0)
+    inv_p2 = 1.0 / p2
+    for c in range(num_cams):
+        base = c * width
+        row = lambda k: rays_ref[k : k + 1, base : base + width].astype(dtype) * one_col
+        d = (row(0), row(1), row(2))
+        o = (row(3), row(4), row(5))
+        gval, smask, t_g = row(6), row(7), row(8)
 
-    def obb(center, quat, he):
-        rel = (o[0] - center[0], o[1] - center[1], o[2] - center[2])
-        origin_l = soa.q_rotate_inv(quat, rel)
-        dir_l = soa.q_rotate_inv(quat, d)
-        t, n_l, hit = _ray_box_soa(origin_l, dir_l, he)
-        return t, soa.q_rotate(quat, n_l), hit
+        # Division-free ratio cascades (shared with the XLA path).
+        nc, dc, lam_c, hit_c = _ray_obb_ratio(
+            o, d, cart_c, cart_q, scene.cart_half_extents, light=LIGHT_DIR
+        )
+        np_, dp, lam_p, hit_p = _ray_obb_ratio(
+            o, d, pole_c, pole_q, scene.pole_half_extents, light=LIGHT_DIR
+        )
 
-    t_cart, n_cart, _ = obb(cart_c, cart_q, scene.cart_half_extents)
-    t_pole, n_pole, _ = obb(pole_c, pole_q, scene.pole_half_extents)
+        # Depth ordering vs ground/each other — float mask arithmetic.
+        f_c = hit_c.astype(dtype) * (nc < t_g * dc).astype(dtype) * (
+            nc * dp <= np_ * dc
+        ).astype(dtype)
+        f_p = (
+            hit_p.astype(dtype)
+            * (np_ < t_g * dp).astype(dtype)
+            * (1.0 - f_c)
+        )
+        lambert = jnp.maximum(f_c * lam_c + (1.0 - f_c) * lam_p, 0.0)
+        shade = _AMBIENT + (1.0 - _AMBIENT) * lambert
+        bgm = 1.0 - f_c - f_p  # masks are exclusive by construction
 
-    t_near = jnp.minimum(t_ground, jnp.minimum(t_cart, t_pole))
-    # 0/1 float masks, mutually exclusive by construction.
-    sel_g = (t_near == t_ground).astype(dtype)
-    sel_c = (t_near == t_cart).astype(dtype) * (1.0 - sel_g)
-    sel_p = (t_near == t_pole).astype(dtype) * (1.0 - sel_g) * (1.0 - sel_c)
-    miss = (t_near >= _BIG * 0.5).astype(dtype)
+        a = f_c * shade
+        b = f_p * shade
+        g = bgm * gval
+        s = bgm * smask
 
-    normal = tuple(
-        sel_g * gk + sel_c * ck + sel_p * pk
-        for gk, ck, pk in zip((0.0, 0.0, 1.0), n_cart, n_pole)
-    )
-    lambert = jnp.maximum(
-        normal[0] * LIGHT_DIR[0] + normal[1] * LIGHT_DIR[1] + normal[2] * LIGHT_DIR[2],
-        0.0,
-    )
-    shade = _AMBIENT + (1.0 - _AMBIENT) * lambert
+        if p2 > 1:
+            def pool(f):
+                acc = f[:, 0:stride]
+                for i in range(1, p2):
+                    acc = acc + f[:, i * stride : (i + 1) * stride]
+                return acc * inv_p2
 
-    for k in range(3):
-        ground_k = GROUND_A[k] + checker * (GROUND_B[k] - GROUND_A[k])
-        albedo = sel_g * ground_k + sel_c * CART_COLOR[k] + sel_p * POLE_COLOR[k]
-        color = albedo * shade * (1.0 - miss) + miss * SKY_COLOR[k]
-        out_ref[:, k * p_pad : (k + 1) * p_pad] = color.astype(out_ref.dtype)
+            a, b, g, s = pool(a), pool(b), pool(g), pool(s)
+
+        for k in range(3):
+            color = CART_COLOR[k] * a + POLE_COLOR[k] * b + g + SKY_COLOR[k] * s
+            # Quantize IN f32 and floor to an exact integer — integers ≤256
+            # are exact in bf16, so the uint8 narrowing outside the kernel
+            # matches the XLA path's truncating cast bit-for-bit.
+            color = jnp.floor(jnp.clip(color * 255.0 + 0.5, 0.0, 255.0))
+            off = (c * 3 + k) * stride
+            out_ref[:, off : off + stride] = color.astype(out_ref.dtype)
 
 
 def make_render_batched(
     config,
     cameras: tuple[Camera, ...] | None = None,
-    dtype=jnp.bfloat16,
+    dtype=jnp.uint8,
     tile_e: int = 32,
     interpret: bool = False,
 ):
-    """Batched pallas renderer: (scene, rigid[E]) → flat frames (E, C·3·H·W).
+    """Batched pallas renderer: (scene, rigid[E]) → flat frames
+    (E, C·3·n) with n = pooled pixels per camera (config.obs_pool applied).
 
-    Output layout matches raycast.make_observe_pixels (plane-major per
-    camera) so the two paths are interchangeable.  E must be a multiple of
-    ``tile_e``.
+    Output layout and quantization match raycast.make_observe_pixels with
+    ``dtype=jnp.uint8`` (plane-major per camera) so the two paths are
+    interchangeable.  E must be a multiple of ``tile_e``.
     """
     cams = (cameras or DEFAULT_CAMERAS)[: config.num_cameras]
     h, w = config.render_height, config.render_width
-    rays, p_total, p_pad = _build_ray_planes(cams, h, w)
-    p_cam = h * w  # pixels per camera
+    pool = getattr(config, "obs_pool", 1)
+    rays, (p2, n, stride) = _build_ray_planes(cams, h, w, pool)
+    quantize = dtype == jnp.uint8
+    kernel_dtype = jnp.bfloat16 if quantize else dtype
 
     def render(scene: SceneParams, rigid: RigidState) -> jnp.ndarray:
         e = rigid.pos.shape[0]
@@ -194,33 +223,33 @@ def make_render_batched(
             ],
             axis=-1,
         )  # (E, 16)
-        kernel = functools.partial(_render_kernel, scene, p_pad)
+        kernel = functools.partial(
+            _render_kernel, scene, len(cams), p2, stride
+        )
         out = pl.pallas_call(
             kernel,
             grid=(e // tile_e,),
             in_specs=[
                 pl.BlockSpec((tile_e, 16), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, p_pad), lambda i: (0, 0),
+                pl.BlockSpec((_ROWS, rays.shape[1]), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((tile_e, 3 * p_pad), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((e, 3 * p_pad), dtype),
+            out_specs=pl.BlockSpec(
+                (tile_e, len(cams) * 3 * stride), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (e, len(cams) * 3 * stride), kernel_dtype
+            ),
             interpret=interpret,
         )(poses, jnp.asarray(rays))
-        # (E, 3·P_pad) → plane-major flat frames (E, C·3·H·W), dropping pad.
-        planes = out.reshape(e, 3, p_pad)[:, :, :p_total]  # (E, 3, C·H·W)
-        planes = planes.reshape(e, 3, len(cams), p_cam)
-        frames = jnp.swapaxes(planes, 1, 2)  # (E, C, 3, P)
-        pool = getattr(config, "obs_pool", 1)
-        if pool > 1:
-            # Match raycast.make_observe_pixels' config.obs_pool epilogue so
-            # the two render paths stay interchangeable (XLA-side pool; the
-            # kernel itself still shades full-res).
-            x = frames.reshape(e, len(cams), 3, h // pool, pool, w // pool, pool)
-            frames = jnp.mean(x, axis=(4, 6))
-            return frames.reshape(e, -1)
-        return frames.reshape(e, len(cams) * 3 * p_cam)
+        # Drop the per-plane lane padding → flat (E, C·3·n) frames.
+        planes = out.reshape(e, len(cams) * 3, stride)[:, :, :n]
+        frames = planes.reshape(e, len(cams) * 3 * n)
+        if quantize:
+            # Kernel already scaled+rounded to [0,255]; just narrow.
+            return frames.astype(jnp.uint8)
+        return frames
 
     return render
