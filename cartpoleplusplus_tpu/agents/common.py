@@ -94,6 +94,30 @@ def make_venv(
     )
 
 
+def add_ou_anneal_opts(parser) -> None:
+    parser.add_argument("--ou-sigma-min", type=float, default=None,
+                        help="anneal OU sigma linearly down to this value "
+                             "over --ou-decay-steps vectorized env steps "
+                             "(default: no annealing)")
+    parser.add_argument("--ou-decay-steps", type=int, default=0,
+                        help="vectorized steps over which --ou-sigma anneals "
+                             "to --ou-sigma-min (0 = constant sigma)")
+
+
+def ou_sigma_at(env_steps, sigma: float, sigma_min, decay_steps: int):
+    """Annealed OU sigma at vectorized step ``env_steps`` (traced scalar).
+
+    Linear ramp sigma → sigma_min over ``decay_steps``; identity when
+    annealing is off so the constant-sigma fast path stays fusion-friendly.
+    """
+    if not decay_steps or sigma_min is None or sigma_min == sigma:
+        return sigma
+    import jax.numpy as jnp
+
+    frac = jnp.clip(env_steps.astype(jnp.float32) / decay_steps, 0.0, 1.0)
+    return sigma + (sigma_min - sigma) * frac
+
+
 def add_lr_schedule_opt(parser) -> None:
     parser.add_argument("--lr-schedule", type=str, default="const",
                         choices=["const", "cosine"],

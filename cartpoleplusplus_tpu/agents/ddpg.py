@@ -86,6 +86,7 @@ def add_ddpg_opts(parser):
                         help="env steps fused into one jit call")
     parser.add_argument("--ou-theta", type=float, default=0.15)
     parser.add_argument("--ou-sigma", type=float, default=0.2)
+    common.add_ou_anneal_opts(parser)
     parser.add_argument("--use-batch-norm", action="store_true")
     parser.add_argument("--reward-scale", type=float, default=1.0,
                         help="scale rewards in the TD target (stabilizes the "
@@ -147,6 +148,8 @@ def make_segment(
     steps_per_segment: int,
     ou_theta: float,
     ou_sigma: float,
+    ou_sigma_min: float | None = None,
+    ou_decay_steps: int = 0,
     reward_scale: float = 1.0,
     aug_shift: int = 0,
     axis_name: str | None = None,
@@ -234,7 +237,10 @@ def make_segment(
         def body(st: DDPGState, _):
             rng, k_ou, k_step, k_sample, k_aug = jax.random.split(st.rng, 5)
             # Explore: µ(s) + OU noise (reference adds OU to actor output).
-            ou = ou_step(st.ou_noise, k_ou, theta=ou_theta, sigma=ou_sigma)
+            sigma = common.ou_sigma_at(
+                st.env_steps, ou_sigma, ou_sigma_min, ou_decay_steps
+            )
+            ou = ou_step(st.ou_noise, k_ou, theta=ou_theta, sigma=sigma)
             action = jnp.clip(actor.apply(st.actor_params, st.obs) + ou, -1.0, 1.0)
             env_states, obs2, reward, done, obs_next = venv.step(
                 st.env_states, action, k_step, reset_pool=reset_pool
@@ -400,6 +406,8 @@ def train(opts) -> float:
             warmup_steps=opts.warmup_steps,
             steps_per_segment=opts.steps_per_segment,
             ou_theta=opts.ou_theta, ou_sigma=opts.ou_sigma,
+            ou_sigma_min=opts.ou_sigma_min,
+            ou_decay_steps=opts.ou_decay_steps,
             reward_scale=opts.reward_scale,
             aug_shift=opts.aug_shift,
         )
@@ -413,6 +421,8 @@ def train(opts) -> float:
                 warmup_steps=opts.warmup_steps,
                 steps_per_segment=opts.steps_per_segment,
                 ou_theta=opts.ou_theta, ou_sigma=opts.ou_sigma,
+                ou_sigma_min=opts.ou_sigma_min,
+                ou_decay_steps=opts.ou_decay_steps,
                 reward_scale=opts.reward_scale,
                 aug_shift=opts.aug_shift,
             ),

@@ -54,6 +54,7 @@ def add_naf_opts(parser):
     parser.add_argument("--steps-per-segment", type=int, default=25)
     parser.add_argument("--ou-theta", type=float, default=0.15)
     parser.add_argument("--ou-sigma", type=float, default=0.2)
+    common.add_ou_anneal_opts(parser)
     parser.add_argument("--use-batch-norm", action="store_true")
     parser.add_argument("--reward-scale", type=float, default=1.0,
                         help="scale rewards in the TD target (stabilizes V "
@@ -88,6 +89,8 @@ def make_segment(
     steps_per_segment: int,
     ou_theta: float,
     ou_sigma: float,
+    ou_sigma_min: float | None = None,
+    ou_decay_steps: int = 0,
     reward_scale: float = 1.0,
     axis_name: str | None = None,
 ):
@@ -135,7 +138,10 @@ def make_segment(
         def body(st: NAFState, _):
             rng, k_ou, k_step, k_sample = jax.random.split(st.rng, 4)
             (_, mu, _), _ = _apply(net, st.variables, st.obs, train=False)
-            ou = ou_step(st.ou_noise, k_ou, theta=ou_theta, sigma=ou_sigma)
+            sigma = common.ou_sigma_at(
+                st.env_steps, ou_sigma, ou_sigma_min, ou_decay_steps
+            )
+            ou = ou_step(st.ou_noise, k_ou, theta=ou_theta, sigma=sigma)
             action = jnp.clip(mu + ou, -1.0, 1.0)
             env_states, obs2, reward, done, obs_next = venv.step(
                 st.env_states, action, k_step, reset_pool=reset_pool
@@ -267,6 +273,8 @@ def train(opts) -> float:
             warmup_steps=opts.warmup_steps,
             steps_per_segment=opts.steps_per_segment,
             ou_theta=opts.ou_theta, ou_sigma=opts.ou_sigma,
+            ou_sigma_min=opts.ou_sigma_min,
+            ou_decay_steps=opts.ou_decay_steps,
             reward_scale=opts.reward_scale,
             axis_name=mesh.axis_names[0],
         )
@@ -282,6 +290,8 @@ def train(opts) -> float:
                 warmup_steps=opts.warmup_steps,
                 steps_per_segment=opts.steps_per_segment,
                 ou_theta=opts.ou_theta, ou_sigma=opts.ou_sigma,
+                ou_sigma_min=opts.ou_sigma_min,
+                ou_decay_steps=opts.ou_decay_steps,
                 reward_scale=opts.reward_scale,
             ),
             donate_argnums=0,

@@ -128,6 +128,8 @@ def make_distributed_segment(
     steps_per_segment: int = 25,
     ou_theta: float = 0.15,
     ou_sigma: float = 0.2,
+    ou_sigma_min: float | None = None,
+    ou_decay_steps: int = 0,
     reward_scale: float = 1.0,
     aug_shift: int = 0,
 ):
@@ -144,7 +146,9 @@ def make_distributed_segment(
         local_venv, actor, critic, actor_tx, critic_tx,
         gamma=gamma, tau=tau, batch_size=batch_size,
         warmup_steps=warmup_steps, steps_per_segment=steps_per_segment,
-        ou_theta=ou_theta, ou_sigma=ou_sigma, reward_scale=reward_scale,
+        ou_theta=ou_theta, ou_sigma=ou_sigma,
+        ou_sigma_min=ou_sigma_min, ou_decay_steps=ou_decay_steps,
+        reward_scale=reward_scale,
         aug_shift=aug_shift, axis_name=axis,
     )
 

@@ -52,6 +52,7 @@ def main():
     p.add_argument("--cams", type=int, default=1)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--no-pallas-physics", action="store_true")
+    p.add_argument("--no-pallas-render", action="store_true")
     p.add_argument("--obs-pool", type=int, default=2,
                    help="render-epilogue pool for the sim/full stages "
                         "(matches bench.py's default)")
@@ -78,6 +79,18 @@ def main():
             )
         else:
             physics = soa.step_substeps_batched
+        use_pallas_render = (not opts.no_pallas_render) and num_envs % 32 == 0
+        if use_pallas_render:
+            from cartpoleplusplus_tpu.render.pallas_kernel import (
+                make_render_batched,
+            )
+
+            observe_b = make_render_batched(cfg)
+        else:
+            _obs = make_observe_pixels(cfg, dtype=jnp.uint8)
+            observe_b = lambda scene, r2: jax.vmap(
+                lambda r: _obs(scene, r)
+            )(r2)
         observe = make_observe_pixels(cfg, dtype=jnp.uint8)
 
         states, _ = cm.reset_batched(
@@ -99,7 +112,7 @@ def main():
             def body(carry, _):
                 rigid, acc = carry
                 def rep(r2, _):
-                    frame = jax.vmap(lambda r: observe(scene, r))(r2)
+                    frame = observe_b(scene, r2)
                     return r2, jnp.sum(frame[:, :8].astype(jnp.float32))
                 _, accs = jax.lax.scan(rep, rigid, None,
                                        length=cfg.action_repeats)
@@ -122,7 +135,7 @@ def main():
         o.replay_capacity = max(8192, 2 * num_envs)
         o.segments = 1
         o.lowdim = False
-        o.pallas_render = False
+        o.pallas_render = use_pallas_render
         o.pallas_physics = use_pallas
         o.obs_pool = opts.obs_pool
         o.pixel_pool = 1
@@ -151,7 +164,9 @@ def main():
             print(f"  {name:<22} {t * 1e3:8.3f} ms/step   "
                   f"{num_envs / t / 1e6:8.3f} M env steps/s")
         print(f"num_envs={num_envs} cams={opts.cams} "
-              f"pallas_physics={use_pallas} backend={jax.default_backend()}")
+              f"pallas_physics={use_pallas} "
+              f"pallas_render={use_pallas_render} "
+              f"backend={jax.default_backend()}")
         row(f"physics ({substeps_per_step} substeps)", t_phys)
         row(f"render ({cfg.action_repeats} frames)", t_rend)
         row("sim (phys+render+env)", t_sim)
