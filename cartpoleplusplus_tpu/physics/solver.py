@@ -14,9 +14,16 @@ for TPU:
   virtual sub-body of mass m/n; merging sub-bodies averages velocities).
   Accuracy per iteration is lower than Gauss-Seidel, so more iterations are
   needed per unit of accuracy; the validated default is
-  ``bodies.SceneParams.solver_iterations = 10`` (pinned by the analytic tests
-  in tests/test_physics.py) — still ~10× shallower end-to-end than a
-  16-slot sequential sweep.
+  ``bodies.SceneParams.solver_iterations = 5`` (pinned by the analytic tests
+  in tests/test_physics.py and the MuJoCo cross-checks in
+  tests/test_fidelity_external.py; a cold 5-iteration solve tracks a
+  30-iteration reference to ~2 mm over a 1 s topple+push trajectory) —
+  still ~10× shallower end-to-end than a 16-slot sequential sweep.
+  Bullet-style impulse warm starting across substeps was implemented and
+  MEASURED WORSE: cold solves already converge in ~4 iterations on this
+  2-body manifold, and carrying impulses shifted the transient (warm@4
+  deviated 30× further from the converged reference than cold@4), so the
+  extra state and per-substep apply cost bought nothing.
 * All per-slot math is vectorized over the static 16-slot manifold
   (contacts.py); impulses scatter back to the 2 bodies through constant
   (2, 16) incidence matrices — a tiny matmul instead of 16 ``.at[].add``s.

@@ -20,9 +20,14 @@ for seed in 0 1 2; do
 done
 
 for seed in 0 1 2; do
+  # Validated NAF recipe (runs/naf_anneal_s*.jsonl: all seeds >=196/200):
+  # cosine lr decay + OU sigma annealing stop the late-training policy
+  # churn that capped round-1 NAF at ~130.
   python -m cartpoleplusplus_tpu.agents.naf $COMMON \
-    --num-train-batches "${BATCHES:-1500}" \
+    --num-train-batches "${BATCHES:-5000}" \
+    --learning-rate 3e-4 --lr-schedule cosine \
     --reward-scale 0.1 --grad-clip 10 \
+    --ou-sigma-min 0.05 --ou-decay-steps 100000 \
     --seed "$seed" --metrics-jsonl "$OUT/sweep_naf_s${seed}.jsonl" &
   wait $!
 done
