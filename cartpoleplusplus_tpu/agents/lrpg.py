@@ -165,6 +165,7 @@ def train(opts) -> float:
         use_raw_pixels=config.use_raw_pixels,
         pixel_encoder=opts.pixel_encoder,
         pixel_pool=opts.pixel_pool,
+        height=config.obs_height, width=config.obs_width,
         hidden=tuple(opts.hidden),
     )
     logger = MetricsLogger(opts.metrics_jsonl)

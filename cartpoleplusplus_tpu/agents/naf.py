@@ -211,6 +211,7 @@ def train(opts) -> float:
         use_raw_pixels=config.use_raw_pixels,
         pixel_encoder=opts.pixel_encoder,
         pixel_pool=opts.pixel_pool,
+        height=config.obs_height, width=config.obs_width,
         hidden=tuple(opts.hidden),
         use_batch_norm=opts.use_batch_norm,
     )

@@ -44,11 +44,13 @@ class DiscretePolicy(nn.Module):
     use_raw_pixels: bool = False
     pixel_encoder: str = "dense"
     pixel_pool: int = 1
+    height: int = 50  # obs frame dims as carried (post config.obs_pool)
+    width: int = 50
     hidden: Sequence[int] = DEFAULT_HIDDEN
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        h = ObsEncoder(self.use_raw_pixels, self.hidden, pixel_encoder=self.pixel_encoder, pixel_pool=self.pixel_pool)(obs, train)
+        h = ObsEncoder(self.use_raw_pixels, self.hidden, pixel_encoder=self.pixel_encoder, pixel_pool=self.pixel_pool, height=self.height, width=self.width)(obs, train)
         return nn.Dense(self.num_actions, name="logits")(h)
 
 
@@ -59,11 +61,13 @@ class QNetwork(nn.Module):
     use_raw_pixels: bool = False
     pixel_encoder: str = "dense"
     pixel_pool: int = 1
+    height: int = 50  # obs frame dims as carried (post config.obs_pool)
+    width: int = 50
     hidden: Sequence[int] = DEFAULT_HIDDEN
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        h = ObsEncoder(self.use_raw_pixels, self.hidden, pixel_encoder=self.pixel_encoder, pixel_pool=self.pixel_pool)(obs, train)
+        h = ObsEncoder(self.use_raw_pixels, self.hidden, pixel_encoder=self.pixel_encoder, pixel_pool=self.pixel_pool, height=self.height, width=self.width)(obs, train)
         return nn.Dense(self.num_actions, name="q")(h)
 
 
@@ -78,6 +82,8 @@ class Actor(nn.Module):
     use_raw_pixels: bool = False
     pixel_encoder: str = "dense"
     pixel_pool: int = 1
+    height: int = 50  # obs frame dims as carried (post config.obs_pool)
+    width: int = 50
     hidden: Sequence[int] = DEFAULT_HIDDEN
     use_batch_norm: bool = False
 
@@ -87,6 +93,7 @@ class Actor(nn.Module):
             self.use_raw_pixels, self.hidden,
             pixel_encoder=self.pixel_encoder,
             pixel_pool=self.pixel_pool,
+            height=self.height, width=self.width,
             use_batch_norm=self.use_batch_norm,
         )(obs, train)
         return nn.tanh(
@@ -108,6 +115,8 @@ class Critic(nn.Module):
     use_raw_pixels: bool = False
     pixel_encoder: str = "dense"
     pixel_pool: int = 1
+    height: int = 50  # obs frame dims as carried (post config.obs_pool)
+    width: int = 50
     hidden: Sequence[int] = DEFAULT_HIDDEN
     use_batch_norm: bool = False
 
@@ -119,6 +128,7 @@ class Critic(nn.Module):
             self.use_raw_pixels, self.hidden,
             pixel_encoder=self.pixel_encoder,
             pixel_pool=self.pixel_pool,
+            height=self.height, width=self.width,
             use_batch_norm=self.use_batch_norm,
         )(obs, train)
         h = jnp.concatenate([h, action.astype(h.dtype)], axis=-1)
@@ -142,6 +152,8 @@ class NAFNetwork(nn.Module):
     use_raw_pixels: bool = False
     pixel_encoder: str = "dense"
     pixel_pool: int = 1
+    height: int = 50  # obs frame dims as carried (post config.obs_pool)
+    width: int = 50
     hidden: Sequence[int] = DEFAULT_HIDDEN
     use_batch_norm: bool = False
 
@@ -151,6 +163,7 @@ class NAFNetwork(nn.Module):
             self.use_raw_pixels, self.hidden,
             pixel_encoder=self.pixel_encoder,
             pixel_pool=self.pixel_pool,
+            height=self.height, width=self.width,
             use_batch_norm=self.use_batch_norm,
         )(obs, train)
         v = nn.Dense(

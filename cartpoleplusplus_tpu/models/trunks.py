@@ -155,7 +155,11 @@ class ObsEncoder(nn.Module):
             obs = obs.astype(self.dtype) * (1.0 / 255.0)
         if self.use_raw_pixels:
             if self.pixel_encoder == "conv":
-                x = pixels_to_nhwc(obs, batched=True)
+                # height/width are the dims the obs pipeline carries — after
+                # env-side config.obs_pool (thread config.obs_height/width).
+                x = pixels_to_nhwc(
+                    obs, batched=True, height=self.height, width=self.width
+                )
                 x = ConvTrunk(self.conv_features, dtype=self.dtype)(x)
             else:
                 if self.pixel_pool > 1:

@@ -110,7 +110,9 @@ def make_distributed(
 # ---------------------------------------------------------------------------
 
 DDPG_SHARDED_FIELDS = ("replay", "env_states", "obs", "ou_noise")
-DDPG_METRIC_KEYS = ("critic_loss", "actor_loss", "reward", "done_frac")
+DDPG_METRIC_KEYS = (
+    "critic_loss", "actor_loss", "reward", "done_frac", "double_reset_frac"
+)
 
 
 def make_distributed_segment(

@@ -120,8 +120,10 @@ def build(opts):
 
     pool = getattr(opts, "pixel_pool", 1)
     actor = Actor(action_dim=2, use_raw_pixels=config.use_raw_pixels,
-                  pixel_pool=pool)
-    critic = Critic(use_raw_pixels=config.use_raw_pixels, pixel_pool=pool)
+                  pixel_pool=pool,
+                  height=config.obs_height, width=config.obs_width)
+    critic = Critic(use_raw_pixels=config.use_raw_pixels, pixel_pool=pool,
+                    height=config.obs_height, width=config.obs_width)
     atx, ctx = optax.adam(1e-4), optax.adam(1e-3)
     o = type("O", (), {"seed": 0, "replay_capacity": opts.replay_capacity})()
     st = ddpg_mod.init_state(o, config, venv, actor, critic, atx, ctx)

@@ -73,6 +73,22 @@ def test_pixel_trunk_shapes():
         assert actor.apply(params, obs).shape == (2, 2)
 
 
+def test_pixel_trunk_pooled_obs_dims():
+    """Networks must honor non-default obs dims (config.obs_pool shrinks the
+    frames the pipeline carries — regression: the conv path hardcoded 50×50
+    and crashed on 2-camera obs_pool=2 runs)."""
+    h = w = 25
+    for cams in (1, 2):
+        obs = jnp.zeros((2, 3, cams * 3 * h * w), jnp.uint8)
+        for enc in ("dense", "conv"):
+            actor = Actor(
+                action_dim=2, use_raw_pixels=True, pixel_encoder=enc,
+                height=h, width=w,
+            )
+            params = actor.init(jax.random.PRNGKey(0), obs)
+            assert actor.apply(params, obs).shape == (2, 2)
+
+
 def test_naf_advantage_is_nonpositive_and_zero_at_mu():
     obs = _batch(LOWDIM)
     net = NAFNetwork(action_dim=2)
