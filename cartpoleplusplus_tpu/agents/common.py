@@ -50,6 +50,17 @@ def add_agent_opts(parser: argparse.ArgumentParser) -> None:
                              "embed: k=2 shrinks the 22500-wide contraction "
                              "(the hottest learner+acting op at scale) 4× "
                              "for sub-pixel information loss")
+    parser.add_argument("--pallas-physics", action="store_true",
+                        help="run training-env physics through the fused "
+                             "Mosaic kernel (physics/pallas_step.py); "
+                             "requires num-envs (per device) to be a "
+                             "multiple of 1024")
+    parser.add_argument("--pallas-render", action="store_true",
+                        help="render training-env pixels with the Mosaic "
+                             "camera kernel (render/pallas_kernel.py); "
+                             "requires num-envs (per device) to be a "
+                             "multiple of 32.  With both kernels on, the "
+                             "fully-fused one-launch step path engages")
 
 
 def make_parser(description: str) -> argparse.ArgumentParser:
@@ -88,9 +99,28 @@ def make_venv(
             from cartpoleplusplus_tpu.render.pallas_kernel import make_render_batched
 
             observe_batched_fn = make_render_batched(config)
+    sim_fn = None
+    if pallas_physics and pallas_render and config.use_raw_pixels:
+        # Fully-fused step path: ONE physics launch covering every substep
+        # of the step (state never leaves VMEM between repeats, pose
+        # snapshots per repeat) + ONE render launch shading every repeat's
+        # frame straight into the (E, repeats, …) obs slab.
+        from cartpoleplusplus_tpu.physics.pallas_step import step_repeats_pallas
+        from cartpoleplusplus_tpu.render.pallas_kernel import make_render_repeats
+
+        render_rep = make_render_repeats(config)
+
+        def sim_fn(scene, rigid, force):
+            rigid, poses = step_repeats_pallas(
+                scene, rigid, force,
+                config.steps_per_repeat, config.action_repeats,
+            )
+            return rigid, render_rep(scene, poses)
+
     return VectorCartpole(
         config, num_envs=num_envs, observe_fn=observe_fn,
         observe_batched_fn=observe_batched_fn, physics_fn=physics_fn,
+        sim_fn=sim_fn,
     )
 
 
@@ -173,7 +203,7 @@ def eval_rollout(
         action = act_fn(params, obs)
         states, obs, reward, done = cartpole_mod.step_batched(
             venv.config, venv.scene, states, action, venv.observe_fn,
-            venv.observe_batched_fn, venv.physics_fn,
+            venv.observe_batched_fn, venv.physics_fn, venv.sim_fn,
         )
         ep_len = ep_len + alive.astype(jnp.int32)
         ep_rew = ep_rew + reward * alive

@@ -356,7 +356,11 @@ def init_state(opts, config, venv, actor, critic, actor_tx, critic_tx) -> DDPGSt
 
 def train(opts) -> float:
     config = config_from_opts(opts, discrete_actions=False)
-    venv = common.make_venv(config, opts.num_envs)
+    venv = common.make_venv(
+        config, opts.num_envs,
+        pallas_render=getattr(opts, "pallas_render", False),
+        pallas_physics=getattr(opts, "pallas_physics", False),
+    )
     eval_venv = common.make_venv(config, opts.num_eval)
     actor = Actor(action_dim=2, use_raw_pixels=config.use_raw_pixels,
                   pixel_encoder=opts.pixel_encoder,

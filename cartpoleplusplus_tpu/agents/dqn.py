@@ -185,7 +185,11 @@ def greedy_act(qnet: QNetwork):
 
 def train(opts) -> float:
     config = config_from_opts(opts, discrete_actions=True)
-    venv = common.make_venv(config, opts.num_envs)
+    venv = common.make_venv(
+        config, opts.num_envs,
+        pallas_render=getattr(opts, "pallas_render", False),
+        pallas_physics=getattr(opts, "pallas_physics", False),
+    )
     eval_venv = common.make_venv(config, opts.num_eval)
     qnet = QNetwork(
         num_actions=NUM_DISCRETE_ACTIONS,
@@ -237,7 +241,11 @@ def train(opts) -> float:
                 "--num-devices"
             )
         mesh = make_mesh(opts.num_devices)
-        local_venv = common.make_venv(config, opts.num_envs // opts.num_devices)
+        local_venv = common.make_venv(
+            config, opts.num_envs // opts.num_devices,
+            pallas_render=getattr(opts, "pallas_render", False),
+            pallas_physics=getattr(opts, "pallas_physics", False),
+        )
         per_chip = make_segment(
             local_venv, qnet, tx,
             gamma=opts.gamma, tau=opts.tau,

@@ -158,7 +158,11 @@ def greedy_act(policy: DiscretePolicy):
 def train(opts) -> float:
     """Full training run; returns final eval mean episode length."""
     config = config_from_opts(opts, discrete_actions=True)
-    venv = common.make_venv(config, opts.num_envs)
+    venv = common.make_venv(
+        config, opts.num_envs,
+        pallas_render=getattr(opts, "pallas_render", False),
+        pallas_physics=getattr(opts, "pallas_physics", False),
+    )
     eval_venv = common.make_venv(config, opts.num_eval)
     policy = DiscretePolicy(
         num_actions=NUM_DISCRETE_ACTIONS,
@@ -195,7 +199,11 @@ def train(opts) -> float:
         if opts.num_envs % opts.num_devices:
             raise SystemExit("--num-envs must be divisible by --num-devices")
         mesh = make_mesh(opts.num_devices)
-        local_venv = common.make_venv(config, opts.num_envs // opts.num_devices)
+        local_venv = common.make_venv(
+            config, opts.num_envs // opts.num_devices,
+            pallas_render=getattr(opts, "pallas_render", False),
+            pallas_physics=getattr(opts, "pallas_physics", False),
+        )
         per_chip = make_train_step(
             local_venv, policy, tx, opts.gamma, axis_name=mesh.axis_names[0]
         )

@@ -204,7 +204,11 @@ def greedy_act(net: NAFNetwork):
 
 def train(opts) -> float:
     config = config_from_opts(opts, discrete_actions=False)
-    venv = common.make_venv(config, opts.num_envs)
+    venv = common.make_venv(
+        config, opts.num_envs,
+        pallas_render=getattr(opts, "pallas_render", False),
+        pallas_physics=getattr(opts, "pallas_physics", False),
+    )
     eval_venv = common.make_venv(config, opts.num_eval)
     net = NAFNetwork(
         action_dim=2,
@@ -266,7 +270,11 @@ def train(opts) -> float:
                 "--num-devices"
             )
         mesh = make_mesh(opts.num_devices)
-        local_venv = common.make_venv(config, opts.num_envs // opts.num_devices)
+        local_venv = common.make_venv(
+            config, opts.num_envs // opts.num_devices,
+            pallas_render=getattr(opts, "pallas_render", False),
+            pallas_physics=getattr(opts, "pallas_physics", False),
+        )
         per_chip = make_segment(
             local_venv, net, tx,
             gamma=opts.gamma, tau=opts.tau,

@@ -292,25 +292,37 @@ def step_batched(
     observe_fn: Optional[ObserveFn] = None,
     observe_batched_fn=None,
     physics_fn=None,
+    sim_fn=None,
 ) -> tuple[EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Batched step → (EnvState[E], obs[E, repeats, …], reward[E], done[E])."""
-    observe_b = _batched_observe(observe_fn, observe_batched_fn)
-    physics = physics_fn or soa.step_substeps_batched
+    """Batched step → (EnvState[E], obs[E, repeats, …], reward[E], done[E]).
+
+    ``sim_fn``: optional fully-fused simulate+observe hook
+    ``(scene, rigid, force) → (rigid, obs[E, repeats, …])`` covering ALL
+    action repeats — one physics launch + one render launch per step
+    (agents/common.make_venv wires the Pallas pair).  Overrides the
+    per-repeat physics/observe composition below.
+    """
     force = jax.vmap(lambda a: action_to_force(config, a))(action)
 
-    # Statically unrolled repeats (2-4), stacking frames straight into the
-    # (E, repeats, …) obs layout.  A lax.scan would emit frames as
-    # (repeats, E, …) and need a moveaxis afterwards — at 4096 pixel envs
-    # that transpose alone moves 184 MB of HBM per step (measured: the
-    # single biggest "env bookkeeping" cost in scripts/bench_stages.py);
-    # with the unroll, XLA fuses each render epilogue into its slice of the
-    # obs slab and the transpose disappears.
-    rigid = state.rigid
-    frames = []
-    for _ in range(config.action_repeats):
-        rigid = physics(scene, rigid, force, config.steps_per_repeat)
-        frames.append(observe_b(scene, rigid))
-    obs = jnp.stack(frames, axis=1)  # (E, repeats, …)
+    if sim_fn is not None:
+        rigid, obs = sim_fn(scene, state.rigid, force)
+    else:
+        observe_b = _batched_observe(observe_fn, observe_batched_fn)
+        physics = physics_fn or soa.step_substeps_batched
+        # Statically unrolled repeats (2-4), stacking frames straight into
+        # the (E, repeats, …) obs layout.  A lax.scan would emit frames as
+        # (repeats, E, …) and need a moveaxis afterwards — at 4096 pixel
+        # envs that transpose alone moves 184 MB of HBM per step (measured:
+        # the single biggest "env bookkeeping" cost in
+        # scripts/bench_stages.py); with the unroll, XLA fuses each render
+        # epilogue into its slice of the obs slab and the transpose
+        # disappears.
+        rigid = state.rigid
+        frames = []
+        for _ in range(config.action_repeats):
+            rigid = physics(scene, rigid, force, config.steps_per_repeat)
+            frames.append(observe_b(scene, rigid))
+        obs = jnp.stack(frames, axis=1)  # (E, repeats, …)
 
     steps = state.steps + 1
     violated = _violation(config, rigid)

@@ -54,6 +54,7 @@ class VectorCartpole:
         observe_fn: Optional[ObserveFn] = None,
         observe_batched_fn=None,
         physics_fn=None,
+        sim_fn=None,
     ):
         self.config = config
         self.num_envs = num_envs
@@ -61,6 +62,9 @@ class VectorCartpole:
         self.observe_fn = observe_fn
         self.observe_batched_fn = observe_batched_fn
         self.physics_fn = physics_fn
+        # Fully-fused simulate+observe for step (one physics + one render
+        # launch per step across all repeats); see cartpole.step_batched.
+        self.sim_fn = sim_fn
 
     def reset(self, rng: jax.Array) -> tuple[EnvState, jnp.ndarray]:
         """Batched reset → (states, obs[num_envs, repeats, ...])."""
@@ -95,7 +99,7 @@ class VectorCartpole:
         """
         next_state, obs, reward, done = cartpole.step_batched(
             self.config, self.scene, state, action, self.observe_fn,
-            self.observe_batched_fn, self.physics_fn,
+            self.observe_batched_fn, self.physics_fn, self.sim_fn,
         )
 
         if reset_pool is None:

@@ -190,6 +190,65 @@ def _render_kernel(
             out_ref[:, off : off + stride] = color.astype(out_ref.dtype)
 
 
+def make_render_repeats(
+    config,
+    cameras: tuple[Camera, ...] | None = None,
+    dtype=jnp.uint8,
+    tile_e: int = 32,
+    interpret: bool = False,
+):
+    """Batched repeat renderer: (scene, poses (R, E, 16)) → obs (E, R, C·3·n).
+
+    Renders every action-repeat's frame for every env in ONE ``pallas_call``
+    (the per-frame variant launches ``action_repeats`` kernels per step and
+    stacks frames XLA-side): grid (tiles_e, R), with repeat r's pooled
+    planes written straight into lane block r of an (E, R·C·3·stride) slab —
+    the obs stacking transpose never materializes.  ``poses`` come from
+    physics.pallas_step.step_repeats_pallas.  Output matches
+    ``jnp.stack([render(poses[r]) for r], axis=1)`` of
+    :func:`make_render_batched` exactly.
+    """
+    cams = (cameras or DEFAULT_CAMERAS)[: config.num_cameras]
+    h, w = config.render_height, config.render_width
+    pool = getattr(config, "obs_pool", 1)
+    rays, (p2, n, stride) = _build_ray_planes(cams, h, w, pool)
+    quantize = dtype == jnp.uint8
+    kernel_dtype = jnp.bfloat16 if quantize else dtype
+    frame_w = len(cams) * 3 * stride
+
+    def render(scene: SceneParams, poses: jnp.ndarray) -> jnp.ndarray:
+        r, e = poses.shape[0], poses.shape[1]
+        if e % tile_e:
+            raise ValueError(f"num envs {e} must be a multiple of {tile_e}")
+        body = functools.partial(_render_kernel, scene, len(cams), p2, stride)
+        out = pl.pallas_call(
+            lambda poses_ref, rays_ref, out_ref: body(
+                poses_ref[0], rays_ref, out_ref
+            ),
+            grid=(e // tile_e, r),
+            in_specs=[
+                pl.BlockSpec((1, tile_e, 16), lambda i, j: (j, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_ROWS, rays.shape[1]), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tile_e, frame_w), lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((e, r * frame_w), kernel_dtype),
+            interpret=interpret,
+        )(poses, jnp.asarray(rays))
+        # Drop per-plane lane padding → (E, R, C·3·n).
+        planes = out.reshape(e, r * len(cams) * 3, stride)[:, :, :n]
+        frames = planes.reshape(e, r, len(cams) * 3 * n)
+        if quantize:
+            return frames.astype(jnp.uint8)
+        return frames
+
+    return render
+
+
 def make_render_batched(
     config,
     cameras: tuple[Camera, ...] | None = None,

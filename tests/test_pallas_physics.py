@@ -55,3 +55,41 @@ def test_pallas_physics_rest_stability():
     )
     np.testing.assert_allclose(np.asarray(out.pos[:, 1, 2]), 0.7, atol=5e-3)
     assert float(jnp.max(jnp.abs(out.vel))) < 0.05
+
+
+def test_pallas_repeats_matches_per_repeat_calls():
+    """step_repeats_pallas ≡ R sequential step_substeps_pallas calls, and its
+    pose snapshots are exactly the per-repeat poses (the batched renderer's
+    input contract)."""
+    from cartpoleplusplus_tpu.physics.pallas_step import step_repeats_pallas
+
+    scene = make_scene()
+    rigid, force = _cases(scene)
+    spr, repeats = 5, 3
+
+    out, poses = step_repeats_pallas(
+        scene, rigid, force, spr, repeats, interpret=True
+    )
+    assert poses.shape == (repeats, E, 16)
+
+    ref = rigid
+    for r in range(repeats):
+        ref = step_substeps_pallas(scene, ref, force, spr, interpret=True)
+        expect = jnp.concatenate(
+            [
+                ref.pos[:, 0], ref.quat[:, 0], ref.pos[:, 1], ref.quat[:, 1],
+                jnp.zeros((E, 2)),
+            ],
+            axis=-1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(poses[r]), np.asarray(expect), atol=1e-5,
+            err_msg=f"repeat {r}",
+        )
+    for field in ("pos", "quat", "vel", "ang"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, field)),
+            np.asarray(getattr(ref, field)),
+            atol=1e-5,
+            err_msg=field,
+        )

@@ -87,3 +87,93 @@ def test_pallas_renderer_in_env_step():
     )
     assert obs.shape == (8, 2, 7500)
     assert int(jnp.max(obs)) <= 255 and int(jnp.max(obs)) > 100
+
+
+def test_render_repeats_matches_per_frame():
+    """make_render_repeats ≡ stack of per-frame make_render_batched calls."""
+    from cartpoleplusplus_tpu.render.pallas_kernel import make_render_repeats
+
+    cfg = CartpoleConfig(
+        use_raw_pixels=True, num_cameras=1,
+        render_width=50, render_height=50, obs_pool=2,
+    )
+    scene = cartpole_mod.scene_for(cfg)
+    rigid = _pose_batch(scene)  # (8, ...)
+
+    # Three distinct "repeat" pose sets from rolled env batches.
+    def pose_mat(r):
+        return jnp.concatenate(
+            [r.pos[:, 0], r.quat[:, 0], r.pos[:, 1], r.quat[:, 1],
+             jnp.zeros((r.pos.shape[0], 2))],
+            axis=-1,
+        )
+
+    rigids = [
+        jax.tree.map(lambda x: jnp.roll(x, k, axis=0), rigid) for k in range(3)
+    ]
+    poses = jnp.stack([pose_mat(r) for r in rigids])  # (3, 8, 16)
+
+    per_frame = make_render_batched(cfg, tile_e=8, interpret=True)
+    expect = jnp.stack([per_frame(scene, r) for r in rigids], axis=1)
+
+    fused = make_render_repeats(cfg, tile_e=8, interpret=True)
+    got = fused(scene, poses)
+
+    assert got.shape == expect.shape == (8, 3, 1875)
+    assert got.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
+
+
+def test_fused_sim_fn_step_matches_unfused():
+    """The sim_fn fast path (one physics + one render launch) must produce
+    the same step outputs as the per-repeat pallas composition."""
+    from cartpoleplusplus_tpu.physics.pallas_step import (
+        step_repeats_pallas, step_substeps_pallas,
+    )
+    from cartpoleplusplus_tpu.render.pallas_kernel import make_render_repeats
+
+    cfg = CartpoleConfig(
+        discrete_actions=False, use_raw_pixels=True, num_cameras=1,
+        render_width=50, render_height=50, obs_pool=2,
+    )
+    scene = cartpole_mod.scene_for(cfg)
+    e = 1024  # physics kernel tile
+
+    render_b = make_render_batched(cfg, interpret=True)
+    phys = lambda sc, r, f, n: step_substeps_pallas(sc, r, f, n, interpret=True)
+    states, obs = cartpole_mod.reset_batched(
+        cfg, scene, jax.random.PRNGKey(0), e,
+        observe_batched_fn=render_b, physics_fn=phys,
+    )
+    action = jnp.tile(jnp.array([[0.3, -0.2]], jnp.float32), (e, 1))
+
+    ref_states, ref_obs, ref_r, ref_d = cartpole_mod.step_batched(
+        cfg, scene, states, action,
+        observe_batched_fn=render_b, physics_fn=phys,
+    )
+
+    render_rep = make_render_repeats(cfg, interpret=True)
+
+    def sim_fn(sc, rigid, force):
+        rigid, poses = step_repeats_pallas(
+            sc, rigid, force, cfg.steps_per_repeat, cfg.action_repeats,
+            interpret=True,
+        )
+        return rigid, render_rep(sc, poses)
+
+    f_states, f_obs, f_r, f_d = cartpole_mod.step_batched(
+        cfg, scene, states, action, sim_fn=sim_fn,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(f_states.rigid.pos), np.asarray(ref_states.rigid.pos),
+        atol=1e-5,
+    )
+    np.testing.assert_array_equal(np.asarray(f_d), np.asarray(ref_d))
+    np.testing.assert_allclose(np.asarray(f_r), np.asarray(ref_r), atol=1e-6)
+    diff = np.abs(
+        np.asarray(f_obs, np.int32) - np.asarray(ref_obs, np.int32)
+    )
+    # Identical math modulo kernel-boundary reassociation; allow ±1 count
+    # on a vanishing fraction of silhouette pixels.
+    assert (diff <= 1).mean() > 0.9999, f"{(diff > 1).mean():.5%} off"

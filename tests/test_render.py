@@ -120,12 +120,17 @@ def test_pixel_env_step_end_to_end():
         jax.random.PRNGKey(0)
     )
     assert obs.shape == (2, 24 * 24 * 3)
-    state, obs, reward, done = jax.jit(
-        lambda s, a: cartpole_mod.step(cfg, scene, s, a, observe)
-    )(state, jnp.int32(1))
+    step = jax.jit(lambda s, a: cartpole_mod.step(cfg, scene, s, a, observe))
+    first = None
+    for _ in range(3):
+        state, obs, reward, done = step(state, jnp.int32(1))
+        if first is None:
+            first = np.asarray(obs[0])
     assert obs.shape == (2, 24 * 24 * 3)
-    # Frames change over time (cart moved under the initial push).
-    assert not np.allclose(np.asarray(obs[0]), np.asarray(obs[1]))
+    # Frames change over time (cart moved under the push): compare frames
+    # several env steps apart — adjacent repeats are only 2 substeps (8 ms)
+    # apart and may quantize identically at 24×24 bf16.
+    assert not np.allclose(first, np.asarray(obs[1]))
 
 
 def test_render_vmap_batch():
