@@ -160,3 +160,31 @@ def test_pixel_pool_shrinks_embed_and_preserves_output_shape():
         np.asarray(a2.apply(p2, striped)),
         atol=0.05,
     )
+
+
+def test_aug_random_shift_matches_crop_reference():
+    """The MXU one-hot-matmul shift must equal a plain pad+crop (it replaced
+    a vmap(dynamic_slice) crop that was 15x the rest of the train step on
+    TPU), and be exact on uint8 frames."""
+    from cartpoleplusplus_tpu.agents.ddpg import aug_random_shift
+
+    b, r, h, w, planes, pad = 5, 3, 8, 8, 6, 2
+    rng = jax.random.PRNGKey(7)
+    obs = jax.random.randint(
+        jax.random.PRNGKey(1), (b, r, planes * h * w), 0, 256, jnp.int32
+    ).astype(jnp.uint8)
+
+    got = aug_random_shift(obs, rng, pad, h, w)
+    assert got.shape == obs.shape and got.dtype == obs.dtype
+
+    # Reference: same RNG -> same offsets, naive pad + per-sample crop.
+    off = jax.random.randint(rng, (b, 2), 0, 2 * pad + 1)
+    x = np.asarray(obs).reshape(b, r * planes, h, w)
+    x = np.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+    ref = np.stack([
+        x[i, :, off[i, 0]:off[i, 0] + h, off[i, 1]:off[i, 1] + w]
+        for i in range(b)
+    ]).reshape(b, r, planes * h * w)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+    # Offsets actually vary across the batch.
+    assert len({(int(a), int(c)) for a, c in np.asarray(off)}) > 1
