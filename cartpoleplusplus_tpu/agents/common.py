@@ -72,7 +72,7 @@ def make_parser(description: str) -> argparse.ArgumentParser:
 
 def make_venv(
     config, num_envs: int, pallas_render: bool = False,
-    pallas_physics: bool = False,
+    pallas_physics: bool = False, fused_step: bool = True,
 ) -> VectorCartpole:
     """Vector env with the right observation fn (pixels iff --use-raw-pixels).
 
@@ -100,7 +100,7 @@ def make_venv(
 
             observe_batched_fn = make_render_batched(config)
     sim_fn = None
-    if pallas_physics and pallas_render and config.use_raw_pixels:
+    if fused_step and pallas_physics and pallas_render and config.use_raw_pixels:
         # Fully-fused step path: ONE physics launch covering every substep
         # of the step (state never leaves VMEM between repeats, pose
         # snapshots per repeat) + ONE render launch shading every repeat's

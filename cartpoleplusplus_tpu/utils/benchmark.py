@@ -55,6 +55,12 @@ def add_bench_opts(parser: argparse.ArgumentParser) -> None:
                         action="store_false")
     parser.add_argument("--sim-only", action="store_true",
                         help="benchmark sim+render only (no learner)")
+    parser.add_argument("--no-fused-step", dest="fused_step",
+                        action="store_false", default=True,
+                        help="disable the one-launch fused physics+render "
+                             "step path (engages when both Pallas kernels "
+                             "are on); useful for racing it against the "
+                             "per-repeat kernel composition")
     parser.add_argument("--obs-pool", type=int, default=2,
                         help="k×k average-pool in the render epilogue "
                              "(env/config.py obs_pool): the full 50×50 "
@@ -92,6 +98,7 @@ def build(opts):
         config, opts.num_envs,
         pallas_render=pallas_render and not opts.lowdim,
         pallas_physics=pallas_physics,
+        fused_step=getattr(opts, "fused_step", True),
     )
 
     if opts.sim_only:
