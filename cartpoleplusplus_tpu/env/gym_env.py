@@ -68,7 +68,7 @@ class Cartpole(_GymBase):
       * ``observation_space`` / ``action_space``
     """
 
-    metadata = {"render.modes": []}
+    metadata = {"render.modes": ["rgb_array", "human"]}
 
     def __init__(
         self,
@@ -82,6 +82,8 @@ class Cartpole(_GymBase):
         self._observe_fn = observe_fn
         self._rng = jax.random.PRNGKey(seed)
         self._state = None
+        self._render_fn = None  # built lazily on first render()
+        self._render_cfg = None
 
         cfg, scn, obs_fn = self.config, self.scene, self._observe_fn
         self._reset_fn = jax.jit(lambda k: cartpole.reset(cfg, scn, k, obs_fn))
@@ -132,10 +134,36 @@ class Cartpole(_GymBase):
             info["done_reason"] = "max_episode_len" if timeout else "out_of_bounds"
         return np.asarray(obs), float(reward), done, info
 
-    def render(self, mode="human"):  # reference GUI mode has no TPU analogue
-        raise NotImplementedError(
-            "use event-log dumps (utils/event_log.py) to inspect trajectories"
+    def render(self, mode="rgb_array"):
+        """Render the current state → (H, W, 3) uint8 from camera 0.
+
+        The reference's ``--gui`` opens Bullet's OpenGL window
+        (bullet_cartpole.py:~L60-75); the TPU analogue is an on-demand
+        raycast of the live state (same renderer as pixel observations, at
+        the configured render resolution regardless of --use-raw-pixels).
+        ``mode="human"`` is accepted and returns the same array (no window
+        in this runtime); for whole-trajectory inspection use the event-log
+        tools (utils/event_log.py --img-output-dir / --gif-out).
+        """
+        if self._state is None:
+            raise RuntimeError("call reset() before render()")
+        import dataclasses
+
+        from cartpoleplusplus_tpu.render.raycast import (
+            frame_to_images, make_observe_pixels,
         )
+
+        if self._render_fn is None:
+            # One full-res camera, no pooling, float path (off the hot loop).
+            cfg = dataclasses.replace(
+                self.config, use_raw_pixels=True, num_cameras=1, obs_pool=1
+            )
+            observe = make_observe_pixels(cfg, dtype=jnp.uint8)
+            scene = self.scene
+            self._render_cfg = cfg
+            self._render_fn = jax.jit(lambda rigid: observe(scene, rigid))
+        frame = self._render_fn(self._state.rigid)
+        return frame_to_images(self._render_cfg, np.asarray(frame))[0]
 
 
 # Alias matching the reference class name so ported scripts read naturally.

@@ -102,6 +102,28 @@ def read_event_log(path: str) -> Iterator[event_pb2.Episode]:
         yield ep
 
 
+def index_event_log(path: str) -> list[int]:
+    """Byte offsets of every episode record (native one-pass header scan).
+
+    Also an integrity check: raises on a truncated tail from a crashed
+    writer.  Feed an offset to :func:`read_episode_at` for O(1) access —
+    pixel logs are multi-MB per episode, so selecting episode N this way
+    skips decoding everything before it.
+    """
+    from cartpoleplusplus_tpu.utils.native import scan_records
+
+    return scan_records(path)
+
+
+def read_episode_at(path: str, offset: int) -> event_pb2.Episode:
+    """Decode the single episode whose record starts at ``offset``."""
+    from cartpoleplusplus_tpu.utils.native import read_record_at
+
+    ep = event_pb2.Episode()
+    ep.ParseFromString(read_record_at(path, offset))
+    return ep
+
+
 def episode_poses(ep: event_pb2.Episode) -> np.ndarray:
     """Episode → (T, 2, 7) pose array for the fidelity harness."""
     out = np.zeros((len(ep.event), 2, 7), np.float32)
@@ -233,9 +255,35 @@ def main(argv=None):
     parser.add_argument("--gif-cameras", type=int, default=1,
                         help="cameras for re-rendered GIFs (stored-frame "
                              "GIFs show every logged camera)")
+    parser.add_argument("--episode", type=int, default=None,
+                        help="operate on this episode only (O(1) seek via "
+                             "the native header scan — no decoding of "
+                             "earlier episodes)")
+    parser.add_argument("--verify", action="store_true",
+                        help="scan the whole log's framing and report the "
+                             "episode count; fails on a truncated tail")
     opts = parser.parse_args(argv)
 
-    for i, ep in enumerate(read_event_log(opts.log_file)):
+    if opts.verify:
+        offsets = index_event_log(opts.log_file)
+        print(f"{opts.log_file}: {len(offsets)} episodes, framing OK")
+        if not (opts.echo or opts.img_output_dir or opts.gif_out):
+            return
+
+    if opts.episode is not None:
+        offsets = index_event_log(opts.log_file)
+        if not 0 <= opts.episode < len(offsets):
+            raise SystemExit(
+                f"--episode {opts.episode} out of range (log has "
+                f"{len(offsets)} episodes)"
+            )
+        episodes = [
+            (opts.episode, read_episode_at(opts.log_file, offsets[opts.episode]))
+        ]
+    else:
+        episodes = enumerate(read_event_log(opts.log_file))
+
+    for i, ep in episodes:
         total_r = sum(ev.reward for ev in ep.event)
         if opts.echo:
             print(f"episode {i}: {len(ep.event)} events, total_reward={total_r}")

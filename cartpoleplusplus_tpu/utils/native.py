@@ -59,6 +59,14 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib.tl_read.restype = ctypes.c_int64
     lib.tl_read.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64]
     lib.tl_reader_close.argtypes = [ctypes.c_void_p]
+    lib.tl_scan.restype = ctypes.c_int64
+    lib.tl_scan.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+    ]
+    lib.tl_read_at.restype = ctypes.c_int64
+    lib.tl_read_at.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64,
+    ]
     _lib = lib
     return _lib
 
@@ -141,3 +149,63 @@ def read_records(path: str, force_python: bool = False) -> Iterator[bytes]:
                 if len(data) < n:
                     raise IOError("truncated record")
                 yield data
+
+
+def scan_records(path: str, force_python: bool = False) -> list[int]:
+    """Index the log in one pass → byte offset of every record header.
+
+    Validates the framing end-to-end: raises IOError on a truncated tail
+    (e.g. a crashed writer mid-record) instead of silently dropping it.
+    Powers O(1) random access (``read_record_at``) for the event-log CLI's
+    --episode selection — the native scan touches only the headers.
+    """
+    lib = None if force_python else _load_lib()
+    if lib is not None:
+        count = lib.tl_scan(path.encode(), None, 0)
+        if count < 0:
+            raise IOError(f"tl_scan rc={count} for {path!r}")
+        arr = (ctypes.c_uint64 * max(int(count), 1))()
+        got = lib.tl_scan(path.encode(), arr, count)
+        if got != count:
+            raise IOError(f"tl_scan changed underfoot: {got} != {count}")
+        return [int(arr[i]) for i in range(int(count))]
+    offsets = []
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if len(magic) < 4 or _U32.unpack(magic)[0] != _MAGIC:
+            raise IOError(f"not a trajlog file: {path!r}")
+        f.seek(0, os.SEEK_END)
+        size = f.tell()
+        off = 4
+        while off < size:
+            if size - off < 4:
+                raise IOError("truncated record header")
+            f.seek(off)
+            (n,) = _U32.unpack(f.read(4))
+            if size - off - 4 < n:
+                raise IOError("truncated record payload")
+            offsets.append(off)
+            off += 4 + n
+    return offsets
+
+
+def read_record_at(path: str, offset: int, force_python: bool = False) -> bytes:
+    """Read the single record whose header starts at ``offset`` (from
+    :func:`scan_records`)."""
+    lib = None if force_python else _load_lib()
+    if lib is not None:
+        n = lib.tl_read_at(path.encode(), offset, None, 0)
+        if n < 0:
+            raise IOError(f"tl_read_at rc={n}")
+        buf = ctypes.create_string_buffer(max(int(n), 1))
+        got = lib.tl_read_at(path.encode(), offset, buf, n)
+        if got != n:
+            raise IOError(f"tl_read_at rc={got}")
+        return buf.raw[: int(n)]
+    with open(path, "rb") as f:
+        f.seek(offset)
+        (n,) = _U32.unpack(f.read(4))
+        data = f.read(n)
+        if len(data) < n:
+            raise IOError("truncated record")
+        return data

@@ -159,4 +159,82 @@ void tl_reader_close(void* handle) {
   delete r;
 }
 
+// ---- index / integrity scan ------------------------------------------
+
+// One buffered pass over the whole file: validates the framing end-to-end
+// and collects the byte offset of every record header.  Returns the record
+// count (>= 0); writes up to `cap` offsets into `offsets`.  Negative on
+// error: -1 open/magic failure, -4 truncated record (the tail after the
+// last whole record is corrupt — e.g. a crashed writer), -3 io error.
+// Two-call pattern from Python: first cap=0 for the count, then sized.
+int64_t tl_scan(const char* path, uint64_t* offsets, int64_t cap) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  uint32_t m = 0;
+  if (fread(&m, 1, sizeof m, f) != sizeof m || m != kMagic) {
+    fclose(f);
+    return -1;
+  }
+  if (fseek(f, 0, SEEK_END) != 0) {
+    fclose(f);
+    return -3;
+  }
+  long end = ftell(f);
+  if (end < 0) {
+    fclose(f);
+    return -3;
+  }
+  const uint64_t size = static_cast<uint64_t>(end);
+  int64_t count = 0;
+  uint64_t off = sizeof m;
+  while (off < size) {
+    if (size - off < sizeof(uint32_t)) {
+      fclose(f);
+      return -4;  // truncated header
+    }
+    if (fseek(f, static_cast<long>(off), SEEK_SET) != 0) {
+      fclose(f);
+      return -3;
+    }
+    uint32_t len = 0;
+    if (fread(&len, 1, sizeof len, f) != sizeof len) {
+      fclose(f);
+      return -4;
+    }
+    if (size - off - sizeof len < len) {
+      fclose(f);
+      return -4;  // truncated payload (crashed writer tail)
+    }
+    if (offsets && count < cap) offsets[count] = off;
+    off += sizeof len + static_cast<uint64_t>(len);
+    ++count;
+  }
+  fclose(f);
+  return count;
+}
+
+// Read the single record whose header starts at `off` (from tl_scan).
+// Returns payload length, or negative on error; copies min(len, cap) bytes.
+int64_t tl_read_at(const char* path, uint64_t off, uint8_t* buf,
+                   uint64_t cap) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  if (fseek(f, static_cast<long>(off), SEEK_SET) != 0) {
+    fclose(f);
+    return -3;
+  }
+  uint32_t len = 0;
+  if (fread(&len, 1, sizeof len, f) != sizeof len) {
+    fclose(f);
+    return -4;
+  }
+  uint64_t want = len < cap ? len : cap;
+  if (fread(buf, 1, want, f) != want) {
+    fclose(f);
+    return -4;
+  }
+  fclose(f);
+  return static_cast<int64_t>(len);
+}
+
 }  // extern "C"

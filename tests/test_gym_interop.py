@@ -43,3 +43,21 @@ def test_gym_spaces_contract():
     obs2, reward, done, info = env.step(env.action_space.sample())
     assert obs2.shape == env.observation_space.shape
     assert isinstance(reward, float) and isinstance(done, bool)
+
+
+def test_gym_render_rgb_array():
+    """env.render() returns an (H, W, 3) uint8 image of the live state
+    (reference --gui analogue; was a NotImplementedError in round 1)."""
+    import numpy as np
+
+    from cartpoleplusplus_tpu.env import Cartpole, CartpoleConfig
+
+    env = Cartpole(CartpoleConfig(render_width=32, render_height=32))
+    env.reset()
+    img = env.render()
+    assert img.shape == (32, 32, 3)
+    assert img.dtype == np.uint8
+    assert img.max() > 100  # scene visible, not a black frame
+    env.step(env.action_space.sample())
+    img2 = env.render(mode="human")
+    assert img2.shape == (32, 32, 3)
