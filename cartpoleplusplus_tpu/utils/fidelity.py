@@ -115,10 +115,22 @@ def main(argv=None):
         max_episode_len=10**9,  # never truncate a replay
     )
 
+    if opts.episode is not None:
+        # O(1) selection via the native header scan — a pixel log's earlier
+        # episodes never get decoded.
+        from cartpoleplusplus_tpu.utils.event_log import (
+            index_event_log, read_episode_at,
+        )
+
+        offsets = index_event_log(opts.log_file)
+        episodes = [
+            (opts.episode, read_episode_at(opts.log_file, offsets[opts.episode]))
+        ]
+    else:
+        episodes = enumerate(read_event_log(opts.log_file))
+
     worst = 0.0
-    for i, ep in enumerate(read_event_log(opts.log_file)):
-        if opts.episode is not None and i != opts.episode:
-            continue
+    for i, ep in episodes:
         if len(ep.event) < 2:
             continue
         recorded, resim = resim_episode(ep, config)
