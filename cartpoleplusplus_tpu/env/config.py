@@ -73,6 +73,11 @@ class CartpoleConfig:
     # time goes at 4096 envs (BASELINE.md stage table).  1 = reference
     # layout (50×50 frames verbatim).
     obs_pool: int = 1
+    # Sub-pixel samples actually shaded per pooled obs pixel (0 = all
+    # obs_pool², the exact average of the full-res render).  2 = quincunx
+    # antialiasing, 1 = point sampling — the renderer's ray count (its
+    # dominant cost) scales linearly with this, at an obs-quality cost.
+    obs_samples: int = 0
     # Physics cadence (Bullet default 1/240 s substeps).
     dt: float = 1.0 / 240.0
 
@@ -90,6 +95,11 @@ class CartpoleConfig:
             raise ValueError(
                 f"obs_pool {self.obs_pool} must divide "
                 f"{self.render_height}x{self.render_width}"
+            )
+        if self.obs_samples < 0 or self.obs_samples > self.obs_pool**2:
+            raise ValueError(
+                f"obs_samples {self.obs_samples} must be in "
+                f"[0, obs_pool²={self.obs_pool ** 2}]"
             )
 
     # -- observation/action metadata ---------------------------------------
@@ -154,6 +164,11 @@ def add_opts(parser: argparse.ArgumentParser) -> None:
                              "epilogue; the observation (and replay/policy "
                              "input) carries the pooled frames — k² less HBM "
                              "traffic on every obs hop of the fused loop")
+    parser.add_argument("--obs-samples", type=int, default=0,
+                        help="sub-pixel samples shaded per pooled obs pixel "
+                             "(0 = all obs-pool², the exact average; 2 = "
+                             "quincunx AA, 1 = point sample — ray count and "
+                             "render cost scale linearly)")
     parser.add_argument("--pos-threshold", type=float, default=2.0)
     parser.add_argument("--angle-threshold", type=float, default=0.3)
 
@@ -173,6 +188,7 @@ def config_from_opts(opts: argparse.Namespace, discrete_actions: bool) -> Cartpo
         render_height=opts.render_height,
         num_cameras=opts.num_cameras,
         obs_pool=getattr(opts, "obs_pool", 1),
+        obs_samples=getattr(opts, "obs_samples", 0),
         pos_threshold=opts.pos_threshold,
         angle_threshold=opts.angle_threshold,
     )

@@ -57,7 +57,7 @@ LANE = 128
 _ROWS = 16  # static per-ray rows, padded to a full sublane tile
 
 
-def _build_ray_planes(cameras, h, w, pool: int = 1):
+def _build_ray_planes(cameras, h, w, pool: int = 1, samples: int = 0):
     """Static (16, cams·stride·p2) f32 block of per-ray constants.
 
     Rows: [dx dy dz ox oy oz ground_val sky_mask t_ground 0…].  Rays are in
@@ -71,7 +71,7 @@ def _build_ray_planes(cameras, h, w, pool: int = 1):
     Returns (block, (p2, n, stride)) with n = pooled pixels per camera.
     """
     if pool > 1:
-        sel, (p2, n, stride) = pool_ray_layout(pool, h, w)
+        sel, (p2, n, stride) = pool_ray_layout(pool, h, w, samples)
     else:
         n = h * w
         stride = -(-n // LANE) * LANE
@@ -211,7 +211,9 @@ def make_render_repeats(
     cams = (cameras or DEFAULT_CAMERAS)[: config.num_cameras]
     h, w = config.render_height, config.render_width
     pool = getattr(config, "obs_pool", 1)
-    rays, (p2, n, stride) = _build_ray_planes(cams, h, w, pool)
+    rays, (p2, n, stride) = _build_ray_planes(
+        cams, h, w, pool, getattr(config, "obs_samples", 0)
+    )
     quantize = dtype == jnp.uint8
     kernel_dtype = jnp.bfloat16 if quantize else dtype
     frame_w = len(cams) * 3 * stride
@@ -266,7 +268,9 @@ def make_render_batched(
     cams = (cameras or DEFAULT_CAMERAS)[: config.num_cameras]
     h, w = config.render_height, config.render_width
     pool = getattr(config, "obs_pool", 1)
-    rays, (p2, n, stride) = _build_ray_planes(cams, h, w, pool)
+    rays, (p2, n, stride) = _build_ray_planes(
+        cams, h, w, pool, getattr(config, "obs_samples", 0)
+    )
     quantize = dtype == jnp.uint8
     kernel_dtype = jnp.bfloat16 if quantize else dtype
 

@@ -171,11 +171,11 @@ def _ray_obb_ratio(origin, direction, center, quat, half_extents, light=None):
     return num, den, out, hit
 
 
-def pool_ray_layout(pool: int, height: int, width: int):
+def pool_ray_layout(pool: int, height: int, width: int, samples: int = 0):
     """Static ray permutation that makes epilogue pooling layout-free.
 
     Returns ``(sel, (p2, n, stride))``: ``sel`` reorders a row-major H·W ray
-    grid into ``p2 = pool²`` blocks — block ``s`` holds, in pooled-row-major
+    grid into ``p2`` blocks — block ``s`` holds, in pooled-row-major
     order, every pixel at intra-pool-window offset ``s`` — each tail-padded
     to a 128-lane-aligned ``stride``.  Average-pooling a field in this
     layout is ``p2`` ALIGNED lane slices summed elementwise, which XLA fuses
@@ -184,19 +184,28 @@ def pool_ray_layout(pool: int, height: int, width: int):
     ray cascade itself — because (…, h/k, k, w/k, k) reduces force tiled
     relayouts; this permutation is the same arithmetic with zero relayout,
     for ~2.4% padded-ray overhead.)
+
+    ``samples``: number of intra-window sub-pixel samples actually shaded
+    (0 or pool² = all: the exact average of the full-res render).  Fewer
+    samples — e.g. 2 = quincunx (diagonal) antialiasing, 1 = point
+    sampling — cut the renderer's ray count (its dominant cost,
+    BASELINE.md) proportionally at a quality cost; offsets are spread
+    diagonally across the window.
     """
     n = (height // pool) * (width // pool)
     stride = -(-n // 128) * 128
     idx = np.arange(height * width).reshape(height, width)
-    blocks = [
-        idx[r::pool, c::pool].reshape(-1)
-        for r in range(pool)
-        for c in range(pool)
-    ]
+    offsets = [(r, c) for r in range(pool) for c in range(pool)]
+    if samples and samples < len(offsets):
+        # Spread picks along the window diagonal: for pool=2,
+        # samples=2 → (0,0) and (1,1) (quincunx); samples=1 → (0,0).
+        pick = np.linspace(0, len(offsets) - 1, samples).round().astype(int)
+        offsets = [offsets[i] for i in pick]
+    blocks = [idx[r::pool, c::pool].reshape(-1) for r, c in offsets]
     sel = np.concatenate(
         [np.pad(b, (0, stride - n), mode="edge") for b in blocks]
     )
-    return sel, (pool * pool, n, stride)
+    return sel, (len(offsets), n, stride)
 
 
 def _render_fields(
@@ -359,7 +368,9 @@ def make_observe_pixels(
     pool_layout = None
     sel = None
     if pool > 1:
-        sel, pool_layout = pool_ray_layout(pool, h, w)
+        sel, pool_layout = pool_ray_layout(
+            pool, h, w, getattr(config, "obs_samples", 0)
+        )
     grids = []
     for c in cams:
         dirs, eye = ray_grid(c, h, w)

@@ -66,6 +66,10 @@ def add_bench_opts(parser: argparse.ArgumentParser) -> None:
                              "(env/config.py obs_pool): the full 50×50 "
                              "render happens, but every downstream obs hop "
                              "(carry, replay, policy) moves k²× fewer bytes")
+    parser.add_argument("--obs-samples", type=int, default=0,
+                        help="sub-pixel samples per pooled obs pixel "
+                             "(0 = all obs-pool² = exact; 2/1 trade obs "
+                             "antialiasing for proportionally fewer rays)")
     parser.add_argument("--pixel-pool", type=int, default=1,
                         help="encoder-side pool (agents' --pixel-pool); "
                              "superseded by --obs-pool for the bench path")
@@ -87,6 +91,7 @@ def build(opts):
         action_repeats=opts.action_repeats,
         steps_per_repeat=opts.steps_per_repeat,
         obs_pool=getattr(opts, "obs_pool", 1) if not opts.lowdim else 1,
+        obs_samples=getattr(opts, "obs_samples", 0) if not opts.lowdim else 0,
     )
     pallas_physics = getattr(opts, "pallas_physics", None)
     if pallas_physics is None:  # auto: kernel needs 1024-env tiles

@@ -177,3 +177,38 @@ def test_fused_sim_fn_step_matches_unfused():
     # Identical math modulo kernel-boundary reassociation; allow ±1 count
     # on a vanishing fraction of silhouette pixels.
     assert (diff <= 1).mean() > 0.9999, f"{(diff > 1).mean():.5%} off"
+
+
+def test_obs_samples_sparse_sampling():
+    """obs_samples < pool²: pallas and XLA paths agree with each other, the
+    output shape matches the exact-average path, and samples=pool² is the
+    exact average (bit-identical to the default)."""
+    base = dict(
+        use_raw_pixels=True, num_cameras=1,
+        render_width=50, render_height=50, obs_pool=2,
+    )
+    scene = cartpole_mod.scene_for(CartpoleConfig(**base))
+    rigid = _pose_batch(scene)
+
+    exact = make_render_batched(
+        CartpoleConfig(**base), tile_e=8, interpret=True
+    )(scene, rigid)
+
+    for samples in (4, 2, 1):
+        cfg = CartpoleConfig(**base, obs_samples=samples)
+        got = make_render_batched(cfg, tile_e=8, interpret=True)(scene, rigid)
+        assert got.shape == exact.shape
+        xla = jax.vmap(
+            lambda r: make_observe_pixels(cfg, dtype=jnp.float32)(scene, r)
+        )(rigid)
+        xla_u8 = np.clip(
+            np.asarray(xla, np.float32) * 255.0 + 0.5, 0.0, 255.0
+        ).astype(np.int32)
+        diff = np.abs(np.asarray(got, np.int32) - xla_u8)
+        assert (diff <= 2).mean() > 0.999, f"samples={samples}"
+        if samples == 4:
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(exact))
+        else:
+            # Sparse sampling is close to the exact average on this scene.
+            d = np.abs(np.asarray(got, np.int32) - np.asarray(exact, np.int32))
+            assert d.mean() < 12.0, f"samples={samples} mean diff {d.mean()}"
