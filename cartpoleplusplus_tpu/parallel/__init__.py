@@ -12,6 +12,7 @@ from cartpoleplusplus_tpu.parallel.distributed import (
 )
 from cartpoleplusplus_tpu.parallel.mesh import (
     ENV_AXIS,
+    init_multihost,
     make_mesh,
     replicate,
     shard_leading,
@@ -23,6 +24,7 @@ __all__ = [
     "make_distributed_segment",
     "state_specs",
     "ENV_AXIS",
+    "init_multihost",
     "make_mesh",
     "replicate",
     "shard_leading",
