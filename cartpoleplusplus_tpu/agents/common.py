@@ -73,6 +73,7 @@ def make_parser(description: str) -> argparse.ArgumentParser:
 def make_venv(
     config, num_envs: int, pallas_render: bool = False,
     pallas_physics: bool = False, fused_step: bool = True,
+    render_tile_e: int = 32,
 ) -> VectorCartpole:
     """Vector env with the right observation fn (pixels iff --use-raw-pixels).
 
@@ -98,7 +99,7 @@ def make_venv(
         if pallas_render:
             from cartpoleplusplus_tpu.render.pallas_kernel import make_render_batched
 
-            observe_batched_fn = make_render_batched(config)
+            observe_batched_fn = make_render_batched(config, tile_e=render_tile_e)
     sim_fn = None
     if fused_step and pallas_physics and pallas_render and config.use_raw_pixels:
         # Fully-fused step path: ONE physics launch covering every substep
@@ -108,7 +109,7 @@ def make_venv(
         from cartpoleplusplus_tpu.physics.pallas_step import step_repeats_pallas
         from cartpoleplusplus_tpu.render.pallas_kernel import make_render_repeats
 
-        render_rep = make_render_repeats(config)
+        render_rep = make_render_repeats(config, tile_e=render_tile_e)
 
         def sim_fn(scene, rigid, force):
             rigid, poses = step_repeats_pallas(

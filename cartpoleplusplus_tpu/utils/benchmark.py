@@ -66,6 +66,9 @@ def add_bench_opts(parser: argparse.ArgumentParser) -> None:
                              "(env/config.py obs_pool): the full 50×50 "
                              "render happens, but every downstream obs hop "
                              "(carry, replay, policy) moves k²× fewer bytes")
+    parser.add_argument("--render-tile-e", type=int, default=32,
+                        help="env-tile height of the Pallas render kernel "
+                             "(VMEM permitting; for racing tile sizes)")
     parser.add_argument("--obs-samples", type=int, default=0,
                         help="sub-pixel samples per pooled obs pixel "
                              "(0 = all obs-pool² = exact; 2/1 trade obs "
@@ -104,6 +107,7 @@ def build(opts):
         pallas_render=pallas_render and not opts.lowdim,
         pallas_physics=pallas_physics,
         fused_step=getattr(opts, "fused_step", True),
+        render_tile_e=getattr(opts, "render_tile_e", 32),
     )
 
     if opts.sim_only:
