@@ -93,3 +93,44 @@ def test_lrpg_improves(tmp_path):
     first = sum(lens[:5]) / 5.0
     last = sum(lens[-5:]) / 5.0
     assert last > first + 2.0, f"no learning: {first:.1f} -> {last:.1f}"
+
+
+def test_same_seed_bitwise_deterministic():
+    """Two fused DDPG segments from identical seeds produce bit-identical
+    states and metrics — the rebuild's determinism guarantee (SURVEY §5:
+    no races to detect in a single compiled program; seeds pin everything)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from cartpoleplusplus_tpu.agents import common, ddpg as ddpg_mod
+    from cartpoleplusplus_tpu.env.config import CartpoleConfig
+    from cartpoleplusplus_tpu.models import Actor, Critic
+
+    config = CartpoleConfig(
+        discrete_actions=False, action_repeats=2, steps_per_repeat=2,
+        initial_force_steps=2, max_episode_len=20,
+    )
+    venv = common.make_venv(config, 16)
+    actor = Actor(action_dim=2, hidden=(16, 16))
+    critic = Critic(hidden=(16, 16))
+    atx, ctx = optax.adam(1e-3), optax.adam(1e-3)
+    opts = type("O", (), {"seed": 7, "replay_capacity": 256})()
+
+    def run():
+        st = ddpg_mod.init_state(opts, config, venv, actor, critic, atx, ctx)
+        seg = jax.jit(ddpg_mod.make_segment(
+            venv, actor, critic, atx, ctx,
+            gamma=0.99, tau=0.01, batch_size=8, warmup_steps=2,
+            steps_per_segment=6, ou_theta=0.15, ou_sigma=0.2,
+        ))
+        for _ in range(3):
+            st, metrics = seg(st)
+        return st, metrics
+
+    st1, m1 = run()
+    st2, m2 = run()
+    for a, b in zip(jax.tree.leaves(st1), jax.tree.leaves(st2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(m1["reward"]) == float(m2["reward"])
