@@ -43,6 +43,13 @@ class DQNState:
 
 
 def add_dqn_opts(parser):
+    common.add_lr_schedule_opt(parser)
+    parser.add_argument("--grad-clip", type=float, default=0.0,
+                        help="global-norm gradient clip (0 = off)")
+    parser.add_argument("--reward-scale", type=float, default=1.0,
+                        help="scale rewards in the TD target (stabilizes Q "
+                             "when returns approach 1/(1-gamma), as for "
+                             "DDPG/NAF)")
     parser.add_argument("--tau", type=float, default=0.01,
                         help="target soft-update rate")
     parser.add_argument("--batch-size", type=int, default=128)
@@ -77,6 +84,7 @@ def make_segment(
     eps_start: float,
     eps_end: float,
     eps_decay_steps: int,
+    reward_scale: float = 1.0,
     axis_name: str | None = None,
 ):
     def loss_fn(params, s1, a, y):
@@ -91,7 +99,7 @@ def make_segment(
         s1, a, r, s2, term = batch
         s1, s2 = replay_mod.decode_obs(s1), replay_mod.decode_obs(s2)
         q2 = jnp.max(qnet.apply(target_params, s2), axis=-1)
-        y = r + gamma * (1.0 - term.astype(jnp.float32)) * q2
+        y = reward_scale * r + gamma * (1.0 - term.astype(jnp.float32)) * q2
         loss, grads = jax.value_and_grad(loss_fn)(
             params, s1, a, jax.lax.stop_gradient(y)
         )
@@ -199,7 +207,13 @@ def train(opts) -> float:
         height=config.obs_height, width=config.obs_width,
         hidden=tuple(opts.hidden),
     )
-    tx = optax.adam(opts.learning_rate)
+    lr = common.make_lr(opts, opts.learning_rate)
+    if getattr(opts, "grad_clip", 0.0) > 0:
+        tx = optax.chain(
+            optax.clip_by_global_norm(opts.grad_clip), optax.adam(lr)
+        )
+    else:
+        tx = optax.adam(lr)
     logger = MetricsLogger(opts.metrics_jsonl)
 
     rng = jax.random.PRNGKey(opts.seed)
@@ -254,6 +268,7 @@ def train(opts) -> float:
             steps_per_segment=opts.steps_per_segment,
             eps_start=opts.eps_start, eps_end=opts.eps_end,
             eps_decay_steps=opts.eps_decay_steps,
+            reward_scale=opts.reward_scale,
             axis_name=mesh.axis_names[0],
         )
         segment, shard_state = make_distributed(
@@ -269,6 +284,7 @@ def train(opts) -> float:
                 steps_per_segment=opts.steps_per_segment,
                 eps_start=opts.eps_start, eps_end=opts.eps_end,
                 eps_decay_steps=opts.eps_decay_steps,
+                reward_scale=opts.reward_scale,
             ),
             donate_argnums=0,
         )
