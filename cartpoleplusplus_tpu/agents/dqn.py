@@ -50,6 +50,12 @@ def add_dqn_opts(parser):
                         help="scale rewards in the TD target (stabilizes Q "
                              "when returns approach 1/(1-gamma), as for "
                              "DDPG/NAF)")
+    parser.add_argument("--double-q", action="store_true",
+                        help="double DQN: bootstrap from the TARGET net's "
+                             "value of the ONLINE net's argmax action — "
+                             "kills the max-operator overestimation spiral "
+                             "(seed-1 divergence: loss 0.2 → 160 "
+                             "mid-training without it)")
     parser.add_argument("--tau", type=float, default=0.01,
                         help="target soft-update rate")
     parser.add_argument("--batch-size", type=int, default=128)
@@ -85,6 +91,7 @@ def make_segment(
     eps_end: float,
     eps_decay_steps: int,
     reward_scale: float = 1.0,
+    double_q: bool = False,
     axis_name: str | None = None,
 ):
     def loss_fn(params, s1, a, y):
@@ -98,7 +105,13 @@ def make_segment(
         params, target_params, opt = bundle
         s1, a, r, s2, term = batch
         s1, s2 = replay_mod.decode_obs(s1), replay_mod.decode_obs(s2)
-        q2 = jnp.max(qnet.apply(target_params, s2), axis=-1)
+        q2_t = qnet.apply(target_params, s2)
+        if double_q:
+            # Double DQN (van Hasselt): online net picks, target net values.
+            a2 = jnp.argmax(qnet.apply(params, s2), axis=-1)
+            q2 = jnp.take_along_axis(q2_t, a2[:, None], axis=1)[:, 0]
+        else:
+            q2 = jnp.max(q2_t, axis=-1)
         y = reward_scale * r + gamma * (1.0 - term.astype(jnp.float32)) * q2
         loss, grads = jax.value_and_grad(loss_fn)(
             params, s1, a, jax.lax.stop_gradient(y)
@@ -269,6 +282,7 @@ def train(opts) -> float:
             eps_start=opts.eps_start, eps_end=opts.eps_end,
             eps_decay_steps=opts.eps_decay_steps,
             reward_scale=opts.reward_scale,
+            double_q=opts.double_q,
             axis_name=mesh.axis_names[0],
         )
         segment, shard_state = make_distributed(
@@ -285,6 +299,7 @@ def train(opts) -> float:
                 eps_start=opts.eps_start, eps_end=opts.eps_end,
                 eps_decay_steps=opts.eps_decay_steps,
                 reward_scale=opts.reward_scale,
+                double_q=opts.double_q,
             ),
             donate_argnums=0,
         )
