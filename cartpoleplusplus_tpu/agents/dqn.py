@@ -50,12 +50,16 @@ def add_dqn_opts(parser):
                         help="scale rewards in the TD target (stabilizes Q "
                              "when returns approach 1/(1-gamma), as for "
                              "DDPG/NAF)")
-    parser.add_argument("--double-q", action="store_true",
+    parser.add_argument("--double-q", action="store_true", default=True,
                         help="double DQN: bootstrap from the TARGET net's "
                              "value of the ONLINE net's argmax action — "
                              "kills the max-operator overestimation spiral "
-                             "(seed-1 divergence: loss 0.2 → 160 "
-                             "mid-training without it)")
+                             "(2 of 3 seeds diverged without it, loss "
+                             "0.2 → 40-160).  Default ON, matching "
+                             "keras-rl DQNAgent's enable_double_dqn default "
+                             "(the reference's agent)")
+    parser.add_argument("--no-double-q", dest="double_q",
+                        action="store_false")
     parser.add_argument("--tau", type=float, default=0.01,
                         help="target soft-update rate")
     parser.add_argument("--batch-size", type=int, default=128)
