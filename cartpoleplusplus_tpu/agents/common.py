@@ -73,7 +73,7 @@ def make_parser(description: str) -> argparse.ArgumentParser:
 def make_venv(
     config, num_envs: int, pallas_render: bool = False,
     pallas_physics: bool = False, fused_step: bool = True,
-    render_tile_e: int = 32,
+    render_tile_e: int = 32, render_recip: bool = True,
 ) -> VectorCartpole:
     """Vector env with the right observation fn (pixels iff --use-raw-pixels).
 
@@ -99,7 +99,9 @@ def make_venv(
         if pallas_render:
             from cartpoleplusplus_tpu.render.pallas_kernel import make_render_batched
 
-            observe_batched_fn = make_render_batched(config, tile_e=render_tile_e)
+            observe_batched_fn = make_render_batched(
+                config, tile_e=render_tile_e, recip=render_recip
+            )
     sim_fn = None
     if fused_step and pallas_physics and pallas_render and config.use_raw_pixels:
         # Fully-fused step path: ONE physics launch covering every substep
@@ -109,7 +111,9 @@ def make_venv(
         from cartpoleplusplus_tpu.physics.pallas_step import step_repeats_pallas
         from cartpoleplusplus_tpu.render.pallas_kernel import make_render_repeats
 
-        render_rep = make_render_repeats(config, tile_e=render_tile_e)
+        render_rep = make_render_repeats(
+            config, tile_e=render_tile_e, recip=render_recip
+        )
 
         def sim_fn(scene, rigid, force):
             rigid, poses = step_repeats_pallas(

@@ -27,6 +27,7 @@ from cartpoleplusplus_tpu.agents import common
 from cartpoleplusplus_tpu.env import cartpole as cartpole_mod
 from cartpoleplusplus_tpu.env.cartpole import EnvState
 from cartpoleplusplus_tpu.env.config import config_from_opts
+from cartpoleplusplus_tpu.env import vector as vector_mod
 from cartpoleplusplus_tpu.env.vector import VectorCartpole
 from cartpoleplusplus_tpu.models import Actor, Critic, soft_target_update
 from cartpoleplusplus_tpu.replay import ReplayState
@@ -249,16 +250,28 @@ def make_segment(
         st = st.replace(rng=rng)
         reset_pool = venv.reset(k_pool)
 
-        def body(st: DDPGState, _):
-            rng, k_ou, k_step, k_sample, k_aug = jax.random.split(st.rng, 5)
+        reset_obs = reset_pool[1]
+
+        def body(carry, _):
+            # The scan carries (st, prev_done) with st.obs holding the RAW
+            # previous-step obs; the auto-reset substitution is applied
+            # LAZILY at each consumption site (actor input, replay s1) via
+            # resolve_obs, so the full-slab select never materializes
+            # (env/vector.py round-3 obs-pipeline fix).
+            st, prev_done = carry
+            rng, k_ou, k_sample, k_aug = jax.random.split(st.rng, 4)
+            # The obs to act on: reset obs for envs that finished last step
+            # — acting on the terminal frame of the finished episode would
+            # poison both the policy's first new-episode action and replay.
+            obs_in = vector_mod.resolve_obs(prev_done, reset_obs, st.obs)
             # Explore: µ(s) + OU noise (reference adds OU to actor output).
             sigma = common.ou_sigma_at(
                 st.env_steps, ou_sigma, ou_sigma_min, ou_decay_steps
             )
             ou = ou_step(st.ou_noise, k_ou, theta=ou_theta, sigma=sigma)
-            action = jnp.clip(actor.apply(st.actor_params, st.obs) + ou, -1.0, 1.0)
-            env_states, obs2, reward, done, obs_next = venv.step(
-                st.env_states, action, k_step, reset_pool=reset_pool
+            action = jnp.clip(actor.apply(st.actor_params, obs_in) + ou, -1.0, 1.0)
+            env_states, obs2, reward, done = venv.step_lazy(
+                st.env_states, action, reset_pool
             )
             store = st.replay.s1.dtype
             # s2-free mode (block > 0): the next step's s1 write doubles as
@@ -266,7 +279,7 @@ def make_segment(
             s2 = None if st.replay.block else replay_mod.encode_obs(obs2, store)
             replay = replay_mod.add_batch(
                 st.replay,
-                replay_mod.encode_obs(st.obs, store),
+                replay_mod.encode_obs(obs_in, store),
                 action,
                 reward,
                 s2,
@@ -274,13 +287,10 @@ def make_segment(
             )
             # OU noise resets with the episode.
             ou = jnp.where(done[:, None], 0.0, ou)
-            # Carry obs_next (the reset obs for done envs), NOT obs2: acting
-            # on the terminal frame of the finished episode would poison both
-            # the policy's first new-episode action and replay.
             st = st.replace(
                 replay=replay,
                 env_states=env_states,
-                obs=obs_next,
+                obs=obs2,
                 ou_noise=ou,
                 rng=rng,
                 env_steps=st.env_steps + 1,
@@ -306,11 +316,15 @@ def make_segment(
             )
             metrics = {**losses, "reward": jnp.mean(reward),
                        "done_frac": jnp.mean(done.astype(jnp.float32))}
-            return st, (metrics, done)
+            return (st, done), (metrics, done)
 
-        st, (metrics, dones) = jax.lax.scan(
-            body, st, None, length=steps_per_segment
+        no_done = jnp.zeros((venv.num_envs,), bool)
+        (st, last_done), (metrics, dones) = jax.lax.scan(
+            body, (st, no_done), None, length=steps_per_segment
         )
+        # Segment boundary: materialize the substitution ONCE (the next
+        # segment draws a fresh reset pool, so prev_done must not leak).
+        st = st.replace(obs=vector_mod.resolve_obs(last_done, reset_obs, st.obs))
         metrics = jax.tree.map(jnp.mean, metrics)
         # Reset-pool reuse diagnostic (VERDICT r1 weak #7): an env that
         # terminates twice within one segment restarts from the SAME pooled

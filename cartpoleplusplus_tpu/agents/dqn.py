@@ -22,6 +22,7 @@ from flax import struct
 from cartpoleplusplus_tpu.agents import common
 from cartpoleplusplus_tpu.env.cartpole import EnvState
 from cartpoleplusplus_tpu.env.config import NUM_DISCRETE_ACTIONS, config_from_opts
+from cartpoleplusplus_tpu.env import vector as vector_mod
 from cartpoleplusplus_tpu.env.vector import VectorCartpole
 from cartpoleplusplus_tpu.models import QNetwork, soft_target_update
 from cartpoleplusplus_tpu.replay import ReplayState
@@ -139,10 +140,15 @@ def make_segment(
         rng, k_pool = jax.random.split(st.rng)
         st = st.replace(rng=rng)
         reset_pool = venv.reset(k_pool)
+        reset_obs = reset_pool[1]
 
-        def body(st: DQNState, _):
-            rng, k_eps, k_rand, k_step, k_sample = jax.random.split(st.rng, 5)
-            q = qnet.apply(st.params, st.obs)
+        def body(carry, _):
+            # (st, prev_done) carry with lazy auto-reset obs substitution —
+            # see agents/ddpg.py round-3 notes and env/vector.resolve_obs.
+            st, prev_done = carry
+            rng, k_eps, k_rand, k_sample = jax.random.split(st.rng, 4)
+            obs_in = vector_mod.resolve_obs(prev_done, reset_obs, st.obs)
+            q = qnet.apply(st.params, obs_in)
             greedy = jnp.argmax(q, axis=-1)
             random_a = jax.random.randint(
                 k_rand, (venv.num_envs,), 0, NUM_DISCRETE_ACTIONS
@@ -153,8 +159,8 @@ def make_segment(
             eps = eps_start + (eps_end - eps_start) * frac
             explore = jax.random.uniform(k_eps, (venv.num_envs,)) < eps
             action = jnp.where(explore, random_a, greedy).astype(jnp.int32)
-            env_states, obs2, reward, done, obs_next = venv.step(
-                st.env_states, action, k_step, reset_pool=reset_pool
+            env_states, obs2, reward, done = venv.step_lazy(
+                st.env_states, action, reset_pool
             )
             store = st.replay.s1.dtype
             # s2-free mode (block > 0): the next step's s1 write doubles as
@@ -162,15 +168,14 @@ def make_segment(
             s2 = None if st.replay.block else replay_mod.encode_obs(obs2, store)
             replay = replay_mod.add_batch(
                 st.replay,
-                replay_mod.encode_obs(st.obs, store),
+                replay_mod.encode_obs(obs_in, store),
                 action,
                 reward,
                 s2,
                 done,
             )
-            # Carry obs_next (reset obs for done envs), not the terminal obs2.
             st = st.replace(
-                replay=replay, env_states=env_states, obs=obs_next,
+                replay=replay, env_states=env_states, obs=obs2,
                 rng=rng, env_steps=st.env_steps + 1,
             )
             batch = replay_mod.sample(st.replay, k_sample, batch_size)
@@ -182,9 +187,15 @@ def make_segment(
                 bundle,
             )
             st = st.replace(params=bundle[0], target_params=bundle[1], opt=bundle[2])
-            return st, {**losses, "reward": jnp.mean(reward), "eps": eps}
+            return (st, done), {**losses, "reward": jnp.mean(reward), "eps": eps}
 
-        st, metrics = jax.lax.scan(body, st, None, length=steps_per_segment)
+        no_done = jnp.zeros((venv.num_envs,), bool)
+        (st, last_done), metrics = jax.lax.scan(
+            body, (st, no_done), None, length=steps_per_segment
+        )
+        # Segment boundary: materialize the substitution once (fresh pool
+        # next segment).
+        st = st.replace(obs=vector_mod.resolve_obs(last_done, reset_obs, st.obs))
         metrics = jax.tree.map(jnp.mean, metrics)
         if axis_name is not None:
             metrics = jax.lax.pmean(metrics, axis_name)

@@ -35,6 +35,43 @@ DEFAULT_CAMERAS = (
 )
 
 
+def ray_coords(camera: Camera, height: int, width: int):
+    """Screen-affine ray parametrization: ``d(px, py) = fwd + px·right + py·up``.
+
+    Returns ``(px, py, basis, eye)`` with ``px``/``py`` static (H·W,) float32
+    screen coords (tan-scaled NDC, row-major, row 0 at the top), ``basis`` the
+    ``(fwd, right, up)`` unit triples as python float tuples, and ``eye`` the
+    float3 origin.  Generates the SAME rays as :func:`ray_grid` up to length
+    normalization — which every consumer treats as irrelevant scale (depths
+    are compared as ratios; see raycast._ray_obb_affine).  The affine form is
+    the renderer's round-3 hot path: two static rows (px, py) replace three
+    normalized direction rows, and the box-frame direction becomes
+    ``A + B·px + C·py`` with per-env scalar coefficients.
+    """
+    eye = np.asarray(camera.eye, np.float32)
+    target = np.asarray(camera.target, np.float32)
+    up = np.asarray(camera.up, np.float32)
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, up)
+    right = right / np.linalg.norm(right)
+    cam_up = np.cross(right, fwd)
+
+    tan_half = np.tan(np.radians(camera.fov_deg) * 0.5)
+    aspect = width / height
+    ys = (1.0 - 2.0 * (np.arange(height) + 0.5) / height) * tan_half
+    xs = (2.0 * (np.arange(width) + 0.5) / width - 1.0) * tan_half * aspect
+    gx, gy = np.meshgrid(xs, ys)
+    basis = (tuple(float(v) for v in fwd), tuple(float(v) for v in right),
+             tuple(float(v) for v in cam_up))
+    return (
+        gx.reshape(-1).astype(np.float32),
+        gy.reshape(-1).astype(np.float32),
+        basis,
+        tuple(float(v) for v in eye),
+    )
+
+
 def ray_grid(camera: Camera, height: int, width: int) -> tuple[np.ndarray, np.ndarray]:
     """Static (H*W, 3) ray directions + (3,) origin, host-side numpy.
 

@@ -18,11 +18,13 @@ runs on VMEM-resident tiles with zero HBM round-trips; only the pooled
 
 Layout contract (shared with raycast.pool_ray_layout): rays arrive permuted
 into pool-offset-major, 128-lane-aligned blocks, so pooling inside the
-kernel is ``pool²`` aligned lane-slice adds.  The static ray block also
-carries the precomputed background (gray ground value + sky mask) and the
-ground depth used for occlusion — rows [dx dy dz ox oy oz gval smask tg].
+kernel is ``pool²`` aligned lane-slice adds.  The static ray block carries
+the screen-affine coords and the precomputed background (gray ground value
++ sky mask) — rows [px py gval smask] (round 3; the r2 layout spent three
+rows on normalized directions, three on the constant eye, and one on a
+ground depth whose occlusion test is redundant — see BASELINE.md roofline).
 
-The cascade math is literally raycast._ray_obb_ratio — the same
+The cascade math is literally raycast._ray_obb_affine — the same
 rank-polymorphic component-tuple function traces both XLA and Mosaic.
 Equivalence with the XLA renderer is pinned by tests/test_pallas_render.py
 (interpret mode on CPU).
@@ -39,36 +41,41 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cartpoleplusplus_tpu.physics.bodies import RigidState, SceneParams
-from cartpoleplusplus_tpu.render.camera import DEFAULT_CAMERAS, Camera, ray_grid
+from cartpoleplusplus_tpu.render.camera import (
+    DEFAULT_CAMERAS,
+    Camera,
+    ray_coords,
+    ray_grid,
+)
 from cartpoleplusplus_tpu.render.raycast import (
     CART_COLOR,
-    GROUND_A,
-    GROUND_B,
     LIGHT_DIR,
     POLE_COLOR,
     SKY_COLOR,
     _AMBIENT,
-    _BIG,
-    _ray_obb_ratio,
+    _ray_obb_affine,
     pool_ray_layout,
+    static_background,
 )
 
 LANE = 128
-_ROWS = 16  # static per-ray rows, padded to a full sublane tile
+_ROWS = 8  # static per-ray rows [px py gval smask], padded to a sublane tile
 
 
 def _build_ray_planes(cameras, h, w, pool: int = 1, samples: int = 0):
-    """Static (16, cams·stride·p2) f32 block of per-ray constants.
+    """Static (8, cams·stride·p2) f32 block of per-ray constants.
 
-    Rows: [dx dy dz ox oy oz ground_val sky_mask t_ground 0…].  Rays are in
+    Rows: [px py ground_val sky_mask 0…] — the round-3 screen-affine layout
+    (see raycast._ray_obb_affine): two static screen coords replace the three
+    normalized direction rows, the camera eye is a closure constant instead
+    of three origin rows, and the ground depth row is gone (boxes always
+    occlude the ground in this scene).  Rays are in
     :func:`raycast.pool_ray_layout` order (pool-offset-major, tail-padded to
     128-aligned ``stride`` blocks) so in-kernel pooling is aligned slice
-    adds; ``pool=1`` degenerates to one padded block per camera.  The
-    background (checker ground × static Lambert, sky mask) and the ground
-    depth depend only on the static rays, so they are baked here instead of
-    recomputed per env tile.
+    adds; ``pool=1`` degenerates to one padded block per camera.
 
-    Returns (block, (p2, n, stride)) with n = pooled pixels per camera.
+    Returns (block, cam_meta, (p2, n, stride)) with n = pooled pixels per
+    camera and cam_meta a list of static (basis, eye) float tuples.
     """
     if pool > 1:
         sel, (p2, n, stride) = pool_ray_layout(pool, h, w, samples)
@@ -78,39 +85,28 @@ def _build_ray_planes(cameras, h, w, pool: int = 1, samples: int = 0):
         sel = np.concatenate([np.arange(n), np.full(stride - n, n - 1)])
         p2 = 1
     width = p2 * stride
-    shade_g = _AMBIENT + (1.0 - _AMBIENT) * max(LIGHT_DIR[2], 0.0)
 
-    cols = []
+    cols, cam_meta = [], []
     for cam in cameras:
-        dirs, eye = ray_grid(cam, h, w)
-        d = dirs[sel]  # (width, 3)
-        o = np.broadcast_to(eye, d.shape)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t_g = np.where(np.abs(d[:, 2]) > 1e-9, -eye[2] / d[:, 2], _BIG)
-        t_g = np.where(t_g > 0.0, t_g, _BIG).astype(np.float32)
-        gx = eye[0] + t_g * d[:, 0]
-        gy = eye[1] + t_g * d[:, 1]
-        checker = np.mod(np.floor(gx) + np.floor(gy), 2.0) > 0.5
-        gvalid = t_g < _BIG * 0.5
-        gval = np.where(
-            gvalid, np.where(checker, GROUND_B[0], GROUND_A[0]) * shade_g, 0.0
-        )
-        smask = (~gvalid).astype(np.float32)
+        dirs, _ = ray_grid(cam, h, w)
+        px, py, basis, eye = ray_coords(cam, h, w)
+        gval, smask = static_background((dirs[:, 0], dirs[:, 1], dirs[:, 2]), eye)
         rows = np.zeros((_ROWS, width), np.float32)
-        rows[0:3] = d.T
-        rows[3:6] = o.T
-        rows[6] = gval
-        rows[7] = smask
-        rows[8] = t_g
+        rows[0] = px[sel]
+        rows[1] = py[sel]
+        rows[2] = gval[sel]
+        rows[3] = smask[sel]
         cols.append(rows)
-    return np.concatenate(cols, axis=1), (p2, n, stride)
+        cam_meta.append((basis, eye))
+    return np.concatenate(cols, axis=1), cam_meta, (p2, n, stride)
 
 
 def _render_kernel(
     scene: SceneParams,
-    num_cams: int,
+    cam_meta,
     p2: int,
     stride: int,
+    recip: bool,
     poses_ref,
     rays_ref,
     out_ref,
@@ -124,13 +120,14 @@ def _render_kernel(
     splats, so no jnp.where against constants).  Output: per camera, 3
     pooled color planes of ``stride`` lanes, quantized [0,255] but kept in
     the output dtype (uint8 stores are not universally supported).
+
+    ``recip``: use Mosaic's one-op approximate reciprocal for slab times
+    instead of the division-free ratio cascade (raced on chip; see
+    BASELINE.md round-3 roofline).
     """
     dtype = jnp.float32
     width = p2 * stride
-    # Every static plane is multiplied by a data-dependent 1.0 column so
-    # Mosaic sees env-dependent (non-replicated) layouts throughout — its
-    # replicated→tiled boolean relayouts are buggy (see round-1 notes).
-    one_col = (poses_ref[:, 14:15] * 0.0 + 1.0).astype(dtype)  # (TILE_E, 1)
+    recip_fn = (lambda v: pl.reciprocal(v, approx=True)) if recip else None
     col = lambda j: poses_ref[:, j : j + 1].astype(dtype)
     cart_c = (col(0), col(1), col(2))
     cart_q = (col(3), col(4), col(5), col(6))
@@ -138,30 +135,31 @@ def _render_kernel(
     pole_q = (col(10), col(11), col(12), col(13))
 
     inv_p2 = 1.0 / p2
-    for c in range(num_cams):
+    for c, (basis, eye) in enumerate(cam_meta):
         base = c * width
-        row = lambda k: rays_ref[k : k + 1, base : base + width].astype(dtype) * one_col
-        d = (row(0), row(1), row(2))
-        o = (row(3), row(4), row(5))
-        gval, smask, t_g = row(6), row(7), row(8)
+        row = lambda k: rays_ref[k : k + 1, base : base + width].astype(dtype)
+        px, py = row(0), row(1)
+        gval, smask = row(2), row(3)
 
-        # Division-free ratio cascades (shared with the XLA path).
-        nc, dc, lam_c, hit_c = _ray_obb_ratio(
-            o, d, cart_c, cart_q, scene.cart_half_extents, light=LIGHT_DIR
+        # Screen-affine cascades (shared with the XLA path).
+        nc, dc, lam_c, hit_c = _ray_obb_affine(
+            px, py, basis, eye, cart_c, cart_q, scene.cart_half_extents,
+            LIGHT_DIR, recip_fn,
         )
-        np_, dp, lam_p, hit_p = _ray_obb_ratio(
-            o, d, pole_c, pole_q, scene.pole_half_extents, light=LIGHT_DIR
+        np_, dp, lam_p, hit_p = _ray_obb_affine(
+            px, py, basis, eye, pole_c, pole_q, scene.pole_half_extents,
+            LIGHT_DIR, recip_fn,
         )
 
-        # Depth ordering vs ground/each other — float mask arithmetic.
-        f_c = hit_c.astype(dtype) * (nc < t_g * dc).astype(dtype) * (
-            nc * dp <= np_ * dc
-        ).astype(dtype)
-        f_p = (
-            hit_p.astype(dtype)
-            * (np_ < t_g * dp).astype(dtype)
-            * (1.0 - f_c)
-        )
+        # Depth ordering between the boxes — float mask arithmetic.  Ground
+        # occlusion tests are unnecessary: boxes sit above z=0, so a hit box
+        # always occludes the ray's ground point (see _ray_obb_affine).
+        if recip:
+            order = (nc <= np_).astype(dtype)
+        else:
+            order = (nc * dp <= np_ * dc).astype(dtype)
+        f_c = hit_c.astype(dtype) * order
+        f_p = hit_p.astype(dtype) * (1.0 - f_c)
         lambert = jnp.maximum(f_c * lam_c + (1.0 - f_c) * lam_p, 0.0)
         shade = _AMBIENT + (1.0 - _AMBIENT) * lambert
         bgm = 1.0 - f_c - f_p  # masks are exclusive by construction
@@ -196,6 +194,7 @@ def make_render_repeats(
     dtype=jnp.uint8,
     tile_e: int = 32,
     interpret: bool = False,
+    recip: bool = True,
 ):
     """Batched repeat renderer: (scene, poses (R, E, 16)) → obs (E, R, C·3·n).
 
@@ -211,7 +210,7 @@ def make_render_repeats(
     cams = (cameras or DEFAULT_CAMERAS)[: config.num_cameras]
     h, w = config.render_height, config.render_width
     pool = getattr(config, "obs_pool", 1)
-    rays, (p2, n, stride) = _build_ray_planes(
+    rays, cam_meta, (p2, n, stride) = _build_ray_planes(
         cams, h, w, pool, getattr(config, "obs_samples", 0)
     )
     quantize = dtype == jnp.uint8
@@ -222,7 +221,9 @@ def make_render_repeats(
         r, e = poses.shape[0], poses.shape[1]
         if e % tile_e:
             raise ValueError(f"num envs {e} must be a multiple of {tile_e}")
-        body = functools.partial(_render_kernel, scene, len(cams), p2, stride)
+        body = functools.partial(
+            _render_kernel, scene, cam_meta, p2, stride, recip
+        )
         out = pl.pallas_call(
             lambda poses_ref, rays_ref, out_ref: body(
                 poses_ref[0], rays_ref, out_ref
@@ -257,6 +258,7 @@ def make_render_batched(
     dtype=jnp.uint8,
     tile_e: int = 32,
     interpret: bool = False,
+    recip: bool = True,
 ):
     """Batched pallas renderer: (scene, rigid[E]) → flat frames
     (E, C·3·n) with n = pooled pixels per camera (config.obs_pool applied).
@@ -268,7 +270,7 @@ def make_render_batched(
     cams = (cameras or DEFAULT_CAMERAS)[: config.num_cameras]
     h, w = config.render_height, config.render_width
     pool = getattr(config, "obs_pool", 1)
-    rays, (p2, n, stride) = _build_ray_planes(
+    rays, cam_meta, (p2, n, stride) = _build_ray_planes(
         cams, h, w, pool, getattr(config, "obs_samples", 0)
     )
     quantize = dtype == jnp.uint8
@@ -287,7 +289,7 @@ def make_render_batched(
             axis=-1,
         )  # (E, 16)
         kernel = functools.partial(
-            _render_kernel, scene, len(cams), p2, stride
+            _render_kernel, scene, cam_meta, p2, stride, recip
         )
         out = pl.pallas_call(
             kernel,

@@ -171,6 +171,120 @@ def _ray_obb_ratio(origin, direction, center, quat, half_extents, light=None):
     return num, den, out, hit
 
 
+def _ray_obb_affine(
+    px, py, basis, eye, center, quat, half_extents, light, recip=None
+):
+    """Screen-affine ray vs oriented box → ``(num, den, lambert, hit)``.
+
+    The round-3 op diet of :func:`_ray_obb_ratio` (see BASELINE.md roofline):
+    per-ray work drops ~25% by exploiting two structural facts the r2 kernel
+    ignored —
+
+    1. **The camera eye is static.**  ``eye`` is a float 3-tuple, so the
+       box-local origin ``o_l`` and every slab numerator offset are per-env
+       SCALARS (columns), not per-ray vectors.  The r2 Mosaic kernel carried
+       the eye as three (1, W) rows and paid ~27 vector ops/box for algebra
+       that never varied across rays.
+    2. **Ray directions are affine in screen coords.**  ``d = fwd + px·right
+       + py·up`` (UNNORMALIZED — every comparison in the pipeline is a ratio,
+       so the |d| scale cancels), hence the box-frame direction is
+       ``d_l_k = A_k + B_k·px + C_k·py`` with per-env scalar A/B/C: 4 vector
+       ops/axis instead of 5, and only two static rows (px, py) instead of
+       three normalized direction rows.
+
+    ``basis``: static float triples ``(fwd, right, up)`` of the camera.
+    ``center``/``quat``: per-env scalars or (E, 1) columns.
+    ``light``: static (3,) direction; the third return is the Lambert value
+    n·L of the entry face (see :func:`_ray_obb_ratio`).
+
+    ``recip``: optional fast-reciprocal callable (``pl.reciprocal`` in Mosaic,
+    ``lambda v: 1.0 / v`` under XLA).  When given, slab times are computed
+    DIRECTLY as ``t = num · (1/d_l)`` — cheaper than the cross-multiplied
+    cascade when the backend has a one-op approximate reciprocal — and the
+    return is ``(t, one, lambert, hit)`` so callers can compare depths
+    without cross-multiplying.  Misses return ``t=BIG``.
+
+    Ground-plane occlusion tests are the caller's job; in this scene they are
+    unnecessary (both boxes live above z=0 and a ray's height is monotonic in
+    t, so a hit box ALWAYS occludes the ray's ground point — penetration
+    deeper than the solver's ~1e-4 slop never happens).
+    """
+    fwd, right, up = basis
+    r = soa.q_to_mat(quat)
+    rel = tuple(eye[i] - center[i] for i in range(3))
+    # Per-env scalar algebra: box-local origin + affine direction coeffs.
+    o_l = tuple(
+        r[0][k] * rel[0] + r[1][k] * rel[1] + r[2][k] * rel[2] for k in range(3)
+    )
+    A = tuple(
+        r[0][k] * fwd[0] + r[1][k] * fwd[1] + r[2][k] * fwd[2] for k in range(3)
+    )
+    B = tuple(
+        r[0][k] * right[0] + r[1][k] * right[1] + r[2][k] * right[2]
+        for k in range(3)
+    )
+    C = tuple(
+        r[0][k] * up[0] + r[1][k] * up[1] + r[2][k] * up[2] for k in range(3)
+    )
+    ldot = tuple(
+        light[0] * r[0][k] + light[1] * r[1][k] + light[2] * r[2][k]
+        for k in range(3)
+    )
+    # Per-ray vector work starts here.
+    d_l = tuple(A[k] + B[k] * px + C[k] * py for k in range(3))
+    one = jnp.ones_like(d_l[0])
+
+    if recip is not None:
+        t_lo, t_hi, cand = [], [], []
+        for k in range(3):
+            # Arithmetic sign (Mosaic-safe: no select between scalar splats),
+            # sign-preserving nudge away from 0, then one-op reciprocal.
+            s = 2.0 * (d_l[k] >= 0.0).astype(d_l[0].dtype) - 1.0
+            inv = recip(d_l[k] + s * 1e-9)
+            a = (-float(half_extents[k]) - o_l[k]) * inv
+            b = (float(half_extents[k]) - o_l[k]) * inv
+            t_lo.append(jnp.minimum(a, b))
+            t_hi.append(jnp.maximum(a, b))
+            cand.append(-s * ldot[k])
+        tmin, lam = t_lo[0], cand[0]
+        for k in (1, 2):
+            take = t_lo[k] > tmin
+            tmin = jnp.maximum(tmin, t_lo[k])
+            lam = jnp.where(take, cand[k], lam)
+        tmax = jnp.minimum(jnp.minimum(t_hi[0], t_hi[1]), t_hi[2])
+        hit = (tmax >= tmin) & (tmax > 0.0)
+        t = jnp.where(tmin > 0.0, tmin, tmax)
+        t = jnp.where(hit, t, _BIG)
+        return t, one, lam, hit
+
+    # Division-free ratio cascade (same algebra as _ray_obb_ratio, but with
+    # scalar o_l the slab numerators are scalar-times-vector).
+    s = tuple(2.0 * (d_l[k] >= 0.0).astype(d_l[0].dtype) - 1.0 for k in range(3))
+    p = tuple(jnp.maximum(s[k] * d_l[k], 1e-9) for k in range(3))
+    so = tuple(s[k] * o_l[k] for k in range(3))
+    n_lo = tuple(-float(half_extents[k]) - so[k] for k in range(3))
+    n_hi = tuple(float(half_extents[k]) - so[k] for k in range(3))
+    cand = tuple(-s[k] * ldot[k] for k in range(3))
+
+    n, pd = n_lo[0], p[0]
+    lam = cand[0]
+    for k in (1, 2):
+        take = n_lo[k] * pd > n * p[k]
+        n = jnp.where(take, n_lo[k], n)
+        lam = jnp.where(take, cand[k], lam)
+        pd = jnp.where(take, p[k], pd)
+    m, q = n_hi[0], p[0]
+    for k in (1, 2):
+        take = n_hi[k] * q < m * p[k]
+        m = jnp.where(take, n_hi[k], m)
+        q = jnp.where(take, p[k], q)
+    hit = (m * pd >= n * q) & (m > 0.0)
+    inside = n <= 0.0
+    num = jnp.where(hit, jnp.where(inside, m, n), _BIG)
+    den = jnp.where(hit, jnp.where(inside, q, pd), one)
+    return num, den, lam, hit
+
+
 def pool_ray_layout(pool: int, height: int, width: int, samples: int = 0):
     """Static ray permutation that makes epilogue pooling layout-free.
 
@@ -206,6 +320,110 @@ def pool_ray_layout(pool: int, height: int, width: int, samples: int = 0):
         [np.pad(b, (0, stride - n), mode="edge") for b in blocks]
     )
     return sel, (len(offsets), n, stride)
+
+
+def static_background(
+    dirs: tuple[np.ndarray, np.ndarray, np.ndarray],
+    eye: tuple[float, float, float],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side static background planes: (ground_value, sky_mask), (P,) f32.
+
+    The ground-plane depth, checker pattern, and Lambert shade depend only on
+    the static rays/eye, so the whole background collapses to two constant
+    planes baked at trace time; the compiled per-step work touches only the
+    two dynamic boxes.  (Direction length does not matter — the ground hit
+    POINT is scale-invariant.)
+    """
+    ndx, ndy, ndz = (np.asarray(d, np.float32) for d in dirs)
+    e = (float(eye[0]), float(eye[1]), float(eye[2]))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_g = np.where(np.abs(ndz) > 1e-9, -e[2] / ndz, _BIG)
+    t_g = np.where(t_g > 0.0, t_g, _BIG).astype(np.float32)
+    gx = e[0] + t_g * ndx
+    gy = e[1] + t_g * ndy
+    checker = np.mod(np.floor(gx) + np.floor(gy), 2.0) > 0.5
+    gvalid = t_g < _BIG * 0.5
+    shade_g = _AMBIENT + (1.0 - _AMBIENT) * max(LIGHT_DIR[2], 0.0)
+    ground_val = np.where(
+        gvalid, np.where(checker, GROUND_B[0], GROUND_A[0]) * shade_g, 0.0
+    ).astype(np.float32)
+    sky_mask = (~gvalid).astype(np.float32)
+    return ground_val, sky_mask
+
+
+def _render_fields_affine(
+    scene: SceneParams,
+    rigid: RigidState,
+    px,
+    py,
+    basis,
+    eye: tuple[float, float, float],
+    bg: tuple[np.ndarray, np.ndarray],
+    dtype=jnp.float32,
+    pool_layout: tuple[int, int, int] | None = None,
+    recip=None,
+):
+    """Screen-affine field renderer — the round-3 hot path (both backends).
+
+    Same 4-field decomposition as :func:`_render_fields` but casting through
+    :func:`_ray_obb_affine`: the camera eye stays a static scalar (no per-ray
+    origin algebra), directions are affine in the static screen coords, and
+    the ground-occlusion depth tests are GONE — both boxes live above z=0 and
+    a ray's height is monotonic in t, so a hit box always occludes the ray's
+    ground point (penetration beyond the solver's ~1e-4 slop never occurs; a
+    sub-slop misordering would affect rays within ~1e-4 rad of silhouette
+    edges, far below quantization).  See BASELINE.md round-3 roofline: this
+    cuts the per-ray census from 247 to 188 ops (156 with ``recip``).
+
+    ``bg``: the static (ground_value, sky_mask) planes from
+    :func:`static_background`, already permuted to the ray layout.
+    ``recip``: optional one-op reciprocal (Mosaic pl.reciprocal) — see
+    :func:`_ray_obb_affine`.
+    """
+    gval = jnp.asarray(np.asarray(bg[0], np.float32), dtype)
+    smask = jnp.asarray(np.asarray(bg[1], np.float32), dtype)
+    px = jnp.asarray(np.asarray(px, np.float32), dtype)
+    py = jnp.asarray(np.asarray(py, np.float32), dtype)
+
+    cart_c = tuple(rigid.pos[CART, k].astype(dtype) for k in range(3))
+    pole_c = tuple(rigid.pos[POLE, k].astype(dtype) for k in range(3))
+    cart_q = tuple(rigid.quat[CART, k].astype(dtype) for k in range(4))
+    pole_q = tuple(rigid.quat[POLE, k].astype(dtype) for k in range(4))
+    nc, dc, lam_c, hit_c = _ray_obb_affine(
+        px, py, basis, eye, cart_c, cart_q, scene.cart_half_extents,
+        LIGHT_DIR, recip,
+    )
+    np_, dp, lam_p, hit_p = _ray_obb_affine(
+        px, py, basis, eye, pole_c, pole_q, scene.pole_half_extents,
+        LIGHT_DIR, recip,
+    )
+
+    # Depth ordering between the boxes only (ties → cart, as before).
+    if recip is not None:
+        sel_c = hit_c & (nc <= np_)
+    else:
+        sel_c = hit_c & (nc * dp <= np_ * dc)
+    sel_p = hit_p & ~sel_c
+
+    lambert = jnp.maximum(jnp.where(sel_c, lam_c, lam_p), 0.0)
+    shade = _AMBIENT + (1.0 - _AMBIENT) * lambert
+
+    zero = jnp.zeros((), dtype)
+    bgm = ~(sel_c | sel_p)
+    fields = (
+        jnp.where(sel_c, shade, zero),
+        jnp.where(sel_p, shade, zero),
+        jnp.where(bgm, gval, zero),
+        jnp.where(bgm, smask, zero),
+    )
+    if pool_layout is not None:
+        p2, n, stride = pool_layout
+        inv = jnp.asarray(1.0 / p2, dtype)
+        fields = tuple(
+            sum(f[i * stride : i * stride + n] for i in range(p2)) * inv
+            for f in fields
+        )
+    return jax.lax.optimization_barrier(fields)
 
 
 def _render_fields(
@@ -362,6 +580,8 @@ def make_observe_pixels(
     the buffer stores anyway) and every obs hop moves 4× fewer bytes.  The
     policy-side decode lives in models.trunks.ObsEncoder.
     """
+    from cartpoleplusplus_tpu.render.camera import ray_coords
+
     cams = (cameras or DEFAULT_CAMERAS)[: config.num_cameras]
     h, w = config.render_height, config.render_width
     pool = getattr(config, "obs_pool", 1)
@@ -374,22 +594,27 @@ def make_observe_pixels(
     grids = []
     for c in cams:
         dirs, eye = ray_grid(c, h, w)
+        px, py, basis, eye_t = ray_coords(c, h, w)
+        bg = static_background((dirs[:, 0], dirs[:, 1], dirs[:, 2]), eye_t)
         if sel is not None:
-            dirs = dirs[sel]  # offset-major pooled layout (see pool_ray_layout)
-        grids.append(((dirs[:, 0], dirs[:, 1], dirs[:, 2]), tuple(eye)))
+            # offset-major pooled layout (see pool_ray_layout)
+            px, py = px[sel], py[sel]
+            bg = (bg[0][sel], bg[1][sel])
+        grids.append((px, py, basis, eye_t, bg))
     quantize = dtype == jnp.uint8
     shade_dtype = jnp.bfloat16 if quantize else dtype
 
     def observe(scene: SceneParams, rigid: RigidState) -> jnp.ndarray:
         planes = []
-        for dirs, eye in grids:
-            # config.obs_pool pools INSIDE render_planes (on the shared
+        for px, py, basis, eye, bg in grids:
+            # config.obs_pool pools INSIDE the fields fn (on the shared
             # scalar fields — 4 pooled reduces instead of 3 channels' worth).
-            chans = render_planes(
-                scene, rigid, dirs, eye, dtype=shade_dtype,
+            a, b, g, s = _render_fields_affine(
+                scene, rigid, px, py, basis, eye, bg, dtype=shade_dtype,
                 pool_layout=pool_layout,
             )
-            for p in chans:  # (P',): [R | G | B] per camera
+            for k in range(3):  # (P',): [R | G | B] per camera
+                p = CART_COLOR[k] * a + POLE_COLOR[k] * b + g + SKY_COLOR[k] * s
                 if quantize:
                     # Colors are already in [0, 1]; the +0.5 rounds. XLA
                     # fuses this into the per-channel epilogue.
