@@ -36,6 +36,13 @@ def add_agent_opts(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--ckpt-dir", type=str, default=None)
     parser.add_argument("--ckpt-freq", type=int, default=50,
                         help="updates between checkpoints")
+    parser.add_argument("--ckpt-skip-replay", action="store_true",
+                        help="checkpoint without the replay buffer contents "
+                             "(production pixel runs: a full 100k-frame "
+                             "uint8 buffer is multi-GB per save). On resume "
+                             "the buffer restarts empty and refills within "
+                             "capacity/num-envs steps; params, optimizer, "
+                             "env and RNG state restore exactly.")
     parser.add_argument("--event-log-out", type=str, default=None,
                         help="write eval trajectories to this event log")
     parser.add_argument("--metrics-jsonl", type=str, default=None,
@@ -225,3 +232,64 @@ def eval_rollout(
         length=venv.config.max_episode_len,
     )
     return jnp.mean(ep_len.astype(jnp.float32)), jnp.mean(ep_rew)
+
+
+def record_eval_episodes(
+    config,
+    act_fn: Callable,
+    path: str,
+    num_episodes: int = 3,
+    seed: int = 0,
+) -> list[int]:
+    """Record greedy-policy eval episodes to an event log (host loop).
+
+    The reference's README evidence is GIFs of trained policies (SURVEY.md
+    §6); its trajectory tooling is the event log (event_log.py:~L40-90).
+    This joins them for every agent: after training, roll ``num_episodes``
+    greedy episodes through the single-env AoS step and write pose/action/
+    reward events (+ velocities, so the fidelity harness can re-simulate).
+    GIFs then come from the standard CLI:
+    ``python -m cartpoleplusplus_tpu.utils.event_log --log-file X --gif-out d``.
+
+    ``act_fn(obs) → action``: greedy policy bound to trained params, taking
+    ONE unbatched observation (the helper adds/strips the batch dim).
+    Returns the episode lengths.
+    """
+    import numpy as np
+
+    from cartpoleplusplus_tpu.utils import event_log as event_log_mod
+
+    scene = cartpole_mod.scene_for(config)
+    reset_fn = jax.jit(lambda k: cartpole_mod.reset(config, scene, k))
+    step_fn = jax.jit(lambda s, a: cartpole_mod.step(config, scene, s, a))
+    act1 = jax.jit(lambda o: act_fn(o[None])[0])
+
+    log = event_log_mod.EventLog(path)
+    rng = jax.random.PRNGKey(seed)
+    lengths = []
+    for _ in range(num_episodes):
+        rng, k = jax.random.split(rng)
+        state, obs = reset_fn(k)
+        events, done, steps = [], False, 0
+        while not done and steps < config.max_episode_len:
+            action = act1(obs)
+            state, obs, reward, done_arr = step_fn(state, action)
+            done = bool(done_arr)
+            steps += 1
+            pose = np.asarray(
+                jnp.concatenate([state.rigid.pos, state.rigid.quat], axis=-1)
+            )
+            vels = np.concatenate(
+                [np.asarray(state.rigid.vel), np.asarray(state.rigid.ang)],
+                axis=-1,
+            )
+            events.append(
+                event_log_mod.make_event(
+                    pose[0], pose[1], np.asarray(action), float(reward), done,
+                    velocities=vels,
+                )
+            )
+        log.add_episode(events)
+        lengths.append(steps)
+    log.close()
+    return lengths

@@ -107,6 +107,23 @@ def add_ddpg_opts(parser):
                              "(shard_map data parallelism; params replicate, "
                              "grads pmean over ICI). num-envs, replay "
                              "capacity, and num-eval must divide evenly.")
+    # TD3-style stabilizers (Fujimoto et al. 2018) — opt-ins against the
+    # documented pixel-DDPG seed collapse (VERDICT r2 weak #4).  All three
+    # default OFF so plain DDPG stays the reference-parity behavior.
+    parser.add_argument("--twin-critic", action="store_true",
+                        help="TD3 clipped double-Q: two critics (stacked "
+                             "params, vmapped apply), TD target bootstraps "
+                             "min(Q1', Q2') — kills the critic over-"
+                             "estimation spiral behind the instant-terminate "
+                             "collapse mode")
+    parser.add_argument("--policy-delay", type=int, default=1,
+                        help="update the actor + all target nets every N "
+                             "critic updates (TD3 uses 2)")
+    parser.add_argument("--target-noise", type=float, default=0.0,
+                        help="target-policy smoothing: clipped N(0, sigma) "
+                             "added to the target action in the TD target "
+                             "(TD3 uses 0.2)")
+    parser.add_argument("--target-noise-clip", type=float, default=0.5)
 
 
 def aug_random_shift(
@@ -168,6 +185,10 @@ def make_segment(
     ou_decay_steps: int = 0,
     reward_scale: float = 1.0,
     aug_shift: int = 0,
+    twin_critic: bool = False,
+    policy_delay: int = 1,
+    target_noise: float = 0.0,
+    target_noise_clip: float = 0.5,
     axis_name: str | None = None,
 ):
     """Build the jitted K-step fused train segment.
@@ -182,11 +203,23 @@ def make_segment(
     """
 
     def critic_loss_fn(c_params, c_aux, s1, a, y):
+        if twin_critic:
+            # Stacked twin params (leading axis 2, see init_state) applied
+            # via vmap-over-params: one fused MXU batch instead of two
+            # sequential half-size critics.  Both regress the SAME clipped
+            # double-Q target (TD3).
+            q, new_aux = jax.vmap(
+                lambda p, x: _apply_train(critic, p, x, s1, a)
+            )(c_params, c_aux)
+            return jnp.mean((q - y[None]) ** 2), new_aux
         q, new_aux = _apply_train(critic, c_params, c_aux, s1, a)
         return jnp.mean((q - y) ** 2), new_aux
 
     def actor_loss_fn(a_params, a_aux, critic_vars, s1):
         mu, new_aux = _apply_train(actor, a_params, a_aux, s1)
+        if twin_critic:
+            # Standard TD3: the actor ascends Q1 only.
+            critic_vars = jax.tree.map(lambda x: x[0], critic_vars)
         return -jnp.mean(critic.apply(critic_vars, s1, mu)), new_aux
 
     # The learner bundle (params + opt states) is threaded through lax.cond
@@ -194,10 +227,11 @@ def make_segment(
     # conditionals select over every carried leaf, so routing the whole
     # DDPGState through the cond would copy hundreds of MB of replay/obs per
     # step on the pixel path.
-    def train_once(bundle, batch, k_aug):
+    def train_once(bundle, batch, k_train, step):
         (actor_vars, critic_vars, target_a, target_c, aopt, copt) = bundle
         s1, a, r, s2, term = batch
         s1, s2 = replay_mod.decode_obs(s1), replay_mod.decode_obs(s2)
+        k_aug, k_tn = jax.random.split(k_train)
         if aug_shift > 0 and venv.config.use_raw_pixels:
             # Augment at the dims the pipeline carries (post obs_pool).
             h, w = venv.config.obs_height, venv.config.obs_width
@@ -206,7 +240,21 @@ def make_segment(
             s2 = aug_random_shift(s2, k2, aug_shift, h, w)
         # TD target from target nets (reference ddpg ~L150-280).
         a2 = actor.apply(target_a, s2)
-        q2 = critic.apply(target_c, s2, a2)
+        if target_noise > 0.0:
+            # TD3 target-policy smoothing: the target Q is evaluated under a
+            # blurred action, so a critic spike at one action can't keep
+            # bootstrapping itself.
+            eps = jnp.clip(
+                target_noise * jax.random.normal(k_tn, a2.shape),
+                -target_noise_clip, target_noise_clip,
+            )
+            a2 = jnp.clip(a2 + eps, -1.0, 1.0)
+        if twin_critic:
+            q2 = jnp.min(
+                jax.vmap(lambda p: critic.apply(p, s2, a2))(target_c), axis=0
+            )
+        else:
+            q2 = critic.apply(target_c, s2, a2)
         y = reward_scale * r + gamma * (1.0 - term.astype(jnp.float32)) * q2
         c_aux = {k: v for k, v in critic_vars.items() if k != "params"}
         (closs, c_aux), cgrads = jax.value_and_grad(
@@ -219,25 +267,40 @@ def make_segment(
             **c_aux, "params": optax.apply_updates(critic_vars["params"], cupd)
         }
 
-        a_aux = {k: v for k, v in actor_vars.items() if k != "params"}
-        (aloss, a_aux), agrads = jax.value_and_grad(
-            actor_loss_fn, has_aux=True
-        )(actor_vars["params"], a_aux, critic_vars, s1)
-        if axis_name is not None:
-            agrads = jax.lax.pmean(agrads, axis_name)
-        aupd, aopt = actor_tx.update(agrads, aopt, actor_vars["params"])
-        actor_vars = {
-            **a_aux, "params": optax.apply_updates(actor_vars["params"], aupd)
-        }
+        def actor_and_targets(ops):
+            actor_vars, aopt, target_a, target_c = ops
+            a_aux = {k: v for k, v in actor_vars.items() if k != "params"}
+            (aloss, a_aux), agrads = jax.value_and_grad(
+                actor_loss_fn, has_aux=True
+            )(actor_vars["params"], a_aux, critic_vars, s1)
+            if axis_name is not None:
+                agrads = jax.lax.pmean(agrads, axis_name)
+            aupd, aopt = actor_tx.update(agrads, aopt, actor_vars["params"])
+            actor_vars = {
+                **a_aux, "params": optax.apply_updates(actor_vars["params"], aupd)
+            }
+            return (
+                actor_vars, aopt,
+                soft_target_update(target_a, actor_vars, tau),
+                soft_target_update(target_c, critic_vars, tau),
+            ), aloss
 
-        bundle = (
-            actor_vars,
-            critic_vars,
-            soft_target_update(target_a, actor_vars, tau),
-            soft_target_update(target_c, critic_vars, tau),
-            aopt,
-            copt,
-        )
+        ops = (actor_vars, aopt, target_a, target_c)
+        if policy_delay > 1:
+            # TD3 delayed policy: actor + BOTH target nets update every
+            # policy_delay critic updates.  The predicate is replicated
+            # across chips (env_steps is), so the cond is uniform and the
+            # pmean inside executes on every chip on the same steps.
+            (actor_vars, aopt, target_a, target_c), aloss = jax.lax.cond(
+                (step - warmup_steps - 1) % policy_delay == 0,
+                actor_and_targets,
+                lambda ops: (ops, jnp.zeros(())),
+                ops,
+            )
+        else:
+            (actor_vars, aopt, target_a, target_c), aloss = actor_and_targets(ops)
+
+        bundle = (actor_vars, critic_vars, target_a, target_c, aopt, copt)
         return bundle, {"critic_loss": closs, "actor_loss": aloss}
 
     def segment(st: DDPGState):
@@ -305,7 +368,7 @@ def make_segment(
             )
             bundle, losses = jax.lax.cond(
                 st.env_steps > warmup_steps,
-                lambda b: train_once(b, batch, k_aug),
+                lambda b: train_once(b, batch, k_aug, st.env_steps),
                 lambda b: (b, {"critic_loss": jnp.zeros(()), "actor_loss": jnp.zeros(())}),
                 bundle,
             )
@@ -358,7 +421,16 @@ def init_state(opts, config, venv, actor, critic, actor_tx, critic_tx) -> DDPGSt
     dummy_obs = jnp.zeros((2,) + config.obs_shape, jnp.float32)
     dummy_act = jnp.zeros((2, 2), jnp.float32)
     actor_params = dict(actor.init(k_a, dummy_obs, train=False))
-    critic_params = dict(critic.init(k_c, dummy_obs, dummy_act, train=False))
+    if getattr(opts, "twin_critic", False):
+        # TD3 twins: two independent inits stacked on a leading axis; the
+        # tree STRUCTURE matches the single-critic one (checkpoints and the
+        # distributed state specs are shape-agnostic), only leaves gain a
+        # leading 2.
+        critic_params = jax.vmap(
+            lambda k: dict(critic.init(k, dummy_obs, dummy_act, train=False))
+        )(jax.random.split(k_c, 2))
+    else:
+        critic_params = dict(critic.init(k_c, dummy_obs, dummy_act, train=False))
     env_states, obs = venv.reset(k_env)
     # Pixel observations are stored quantized (uint8): 4× less HBM traffic
     # and capacity on the hot path.
@@ -455,6 +527,10 @@ def train(opts) -> float:
             ou_decay_steps=opts.ou_decay_steps,
             reward_scale=opts.reward_scale,
             aug_shift=opts.aug_shift,
+            twin_critic=opts.twin_critic,
+            policy_delay=opts.policy_delay,
+            target_noise=opts.target_noise,
+            target_noise_clip=opts.target_noise_clip,
         )
         st = shard_state(st)
         segment = build(st)
@@ -470,6 +546,10 @@ def train(opts) -> float:
                 ou_decay_steps=opts.ou_decay_steps,
                 reward_scale=opts.reward_scale,
                 aug_shift=opts.aug_shift,
+                twin_critic=opts.twin_critic,
+                policy_delay=opts.policy_delay,
+                target_noise=opts.target_noise,
+                target_noise_clip=opts.target_noise_clip,
             ),
             donate_argnums=0,
         )
@@ -497,9 +577,18 @@ def train(opts) -> float:
                 eval_ep_rew=float(erew),
             )
         if opts.ckpt_dir and (i + 1) % max(opts.ckpt_freq, 1) == 0:
-            ckpt_mod.save(opts.ckpt_dir, i + 1, st)
+            ckpt_mod.save(opts.ckpt_dir, i + 1, st, skip_replay=opts.ckpt_skip_replay)
     if opts.ckpt_dir:
-        ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start_segment), st)
+        ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start_segment), st,
+                      skip_replay=opts.ckpt_skip_replay)
+    if opts.event_log_out:
+        # Reference README-GIF evidence path (SURVEY.md §6): greedy eval
+        # episodes → event log; GIFs via utils.event_log --gif-out.
+        lens = common.record_eval_episodes(
+            config, lambda o: greedy_act(actor)(st.actor_params, o),
+            opts.event_log_out, seed=opts.seed,
+        )
+        logger.log("event_log", episodes=len(lens), lengths=lens)
     logger.close()
     return final_eval
 

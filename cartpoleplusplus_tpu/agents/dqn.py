@@ -341,9 +341,18 @@ def train(opts) -> float:
                 eval_ep_rew=float(erew),
             )
         if opts.ckpt_dir and (i + 1) % max(opts.ckpt_freq, 1) == 0:
-            ckpt_mod.save(opts.ckpt_dir, i + 1, st)
+            ckpt_mod.save(opts.ckpt_dir, i + 1, st, skip_replay=opts.ckpt_skip_replay)
     if opts.ckpt_dir:
-        ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start_segment), st)
+        ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start_segment), st,
+                      skip_replay=opts.ckpt_skip_replay)
+    if opts.event_log_out:
+        # Reference README-GIF evidence path (SURVEY.md §6): greedy eval
+        # episodes → event log; GIFs via utils.event_log --gif-out.
+        lens = common.record_eval_episodes(
+            config, lambda o: greedy_act(qnet)(st.params, o),
+            opts.event_log_out, seed=opts.seed,
+        )
+        logger.log("event_log", episodes=len(lens), lengths=lens)
     logger.close()
     return final_eval
 

@@ -242,6 +242,14 @@ def train(opts) -> float:
             ckpt_mod.save(opts.ckpt_dir, i + 1, ts)
     if opts.ckpt_dir:
         ckpt_mod.save(opts.ckpt_dir, opts.num_train_batches, ts)
+    if opts.event_log_out:
+        # Reference README-GIF evidence path (SURVEY.md §6): greedy eval
+        # episodes → event log; GIFs via utils.event_log --gif-out.
+        lens = common.record_eval_episodes(
+            config, lambda o: greedy_act(policy)(ts.params, o),
+            opts.event_log_out, seed=opts.seed,
+        )
+        logger.log("event_log", episodes=len(lens), lengths=lens)
     logger.close()
     return final_eval
 

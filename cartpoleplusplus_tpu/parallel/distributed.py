@@ -134,6 +134,10 @@ def make_distributed_segment(
     ou_decay_steps: int = 0,
     reward_scale: float = 1.0,
     aug_shift: int = 0,
+    twin_critic: bool = False,
+    policy_delay: int = 1,
+    target_noise: float = 0.0,
+    target_noise_clip: float = 0.5,
 ):
     """Jitted multi-chip DDPG segment: sharded state → (state, metrics).
 
@@ -151,7 +155,9 @@ def make_distributed_segment(
         ou_theta=ou_theta, ou_sigma=ou_sigma,
         ou_sigma_min=ou_sigma_min, ou_decay_steps=ou_decay_steps,
         reward_scale=reward_scale,
-        aug_shift=aug_shift, axis_name=axis,
+        aug_shift=aug_shift, twin_critic=twin_critic,
+        policy_delay=policy_delay, target_noise=target_noise,
+        target_noise_clip=target_noise_clip, axis_name=axis,
     )
 
     def build(st_example):

@@ -12,17 +12,57 @@ from __future__ import annotations
 
 import os
 import re
+import sys
 from typing import Any, Optional
 
 import jax
+import numpy as np
 from flax import serialization
 
 _CKPT_RE = re.compile(r"^ckpt_(\d+)\.msgpack$")
 
 
-def save(ckpt_dir: str, step: int, tree: Any) -> str:
-    """Serialize ``tree`` to <ckpt_dir>/ckpt_<step>.msgpack (atomic rename)."""
+def strip_replay(tree: Any) -> Any:
+    """Replace every ReplayState in ``tree`` with an EMPTY one (same pytree
+    structure, zero-length data arrays, cursor/size = 0).
+
+    The production-checkpoint mode (--ckpt-skip-replay): a pixel-run replay
+    buffer is multi-GB (100k × stacked uint8 frames) and serializing it on
+    the step path is neither fast nor useful — on restore the buffer refills
+    within ``capacity/num_envs`` env steps anyway.  Cursor/size are zeroed
+    TOO: restoring a nonzero size against dropped data would sample zeros
+    into the TD targets.  ``restore_latest`` recognizes the zero-length
+    arrays (shape mismatch vs the fresh target) and keeps the target's
+    freshly-allocated buffer.
+    """
+    from cartpoleplusplus_tpu.replay import ReplayState
+
+    def f(x):
+        if isinstance(x, ReplayState):
+            empty = lambda a: np.zeros((0,), np.asarray(jax.device_get(a)).dtype)
+            zero = np.zeros((), np.int32)
+            return x.replace(
+                s1=empty(x.s1), action=empty(x.action), reward=empty(x.reward),
+                s2=empty(x.s2), terminal=empty(x.terminal),
+                cursor=zero, size=zero,
+            )
+        return x
+
+    return jax.tree.map(f, tree, is_leaf=lambda x: isinstance(x, ReplayState))
+
+
+def save(ckpt_dir: str, step: int, tree: Any, skip_replay: bool = False) -> str:
+    """Serialize ``tree`` to <ckpt_dir>/ckpt_<step>.msgpack (atomic rename).
+
+    Works for SHARDED runs too: ``jax.device_get`` gathers each global array
+    from its mesh shards to host (params are replicated, env/replay shards
+    concatenate along their leading dim), so the file always holds the
+    host-global state and can be restored onto any fresh mesh — or none.
+    ``skip_replay``: see :func:`strip_replay`.
+    """
     os.makedirs(ckpt_dir, exist_ok=True)
+    if skip_replay:
+        tree = strip_replay(tree)
     tree = jax.device_get(tree)
     path = os.path.join(ckpt_dir, f"ckpt_{step}.msgpack")
     tmp = path + ".tmp"
@@ -50,16 +90,55 @@ def load_raw(ckpt_dir: str, step: int) -> Any:
         return serialization.msgpack_restore(f.read())
 
 
+def _merge_state_dict(target_sd: Any, raw: Any, skipped: list, path: str = ""):
+    """Recursively take ``raw`` leaves whose shape+dtype match the target's;
+    keep the target's (fresh) value otherwise, recording the skip."""
+    if isinstance(target_sd, dict):
+        out = {}
+        for k, v in target_sd.items():
+            if isinstance(raw, dict) and k in raw:
+                out[k] = _merge_state_dict(v, raw[k], skipped, f"{path}/{k}")
+            else:
+                skipped.append(f"{path}/{k}")
+                out[k] = v
+        return out
+    t, r = np.asarray(target_sd), np.asarray(raw)
+    if t.shape == r.shape and t.dtype == r.dtype:
+        return raw
+    skipped.append(f"{path} (shape {r.shape} vs {t.shape})")
+    return target_sd
+
+
 def restore_latest(ckpt_dir: str, target: Any) -> tuple[Any, Optional[int]]:
     """Restore the newest checkpoint into ``target``'s structure.
 
     Returns (tree, step) — (target, None) when no checkpoint exists, matching
     the reference's start-fresh-if-absent behavior.
+
+    Restoration is SHAPE-LENIENT: leaves whose shape/dtype disagree with the
+    target keep the target's freshly-initialized value (reported on stderr).
+    This is what makes ``--ckpt-skip-replay`` checkpoints (zero-length
+    replay arrays) restore into a fresh full-size buffer, and lets a
+    checkpoint taken at one env count resume at another (params restore;
+    env/obs/noise state re-initializes).
     """
     step = latest_step(ckpt_dir)
     if step is None:
         return target, None
     path = os.path.join(ckpt_dir, f"ckpt_{step}.msgpack")
     with open(path, "rb") as f:
-        tree = serialization.from_bytes(target, f.read())
-    return tree, step
+        data = f.read()
+    # ALWAYS merge through state dicts rather than flax from_bytes: from_bytes
+    # silently adopts stored arrays of the wrong shape (e.g. the zero-length
+    # replay of a --ckpt-skip-replay file), which would crash the next
+    # dynamic_update_slice deep inside the fused loop.
+    raw = serialization.msgpack_restore(data)
+    skipped: list = []
+    merged = _merge_state_dict(serialization.to_state_dict(target), raw, skipped)
+    if skipped:
+        print(
+            f"checkpoint {path}: partial restore, kept fresh values for "
+            f"{len(skipped)} leaves (first: {skipped[:3]})",
+            file=sys.stderr,
+        )
+    return serialization.from_state_dict(target, merged), step

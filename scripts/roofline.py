@@ -344,6 +344,111 @@ def cull_feasibility(margin_xy=0.4, margin_tilt=0.4, verbose=True):
     return out
 
 
+def cull_dynamic(num_envs=256, steps=200, pool=2, verbose=True):
+    """Feasibility of DYNAMIC per-band culling (VERDICT r3 candidate lever).
+
+    The kernel processes (TILE_E, 128-lane band) blocks; a block could skip
+    both OBB cascades iff NO env in the tile projects a box into the band's
+    pooled rows.  This measures that fraction over REALISTIC states — a
+    random-policy rollout with auto-reset (the same state distribution the
+    bench sees) — for several tile heights.  The verdict drives whether the
+    Mosaic implementation is worth building: the skip is all-or-nothing per
+    (tile × band), so the UNION of 8-32 envs' screen extents must leave
+    whole bands empty to pay.
+    """
+    import jax as _jax
+
+    from cartpoleplusplus_tpu.agents import common as agents_common
+    from cartpoleplusplus_tpu.env.config import CartpoleConfig
+    from cartpoleplusplus_tpu.render.camera import DEFAULT_CAMERAS
+
+    cfg = CartpoleConfig(use_raw_pixels=False, discrete_actions=False)
+    venv = agents_common.make_venv(cfg, num_envs)
+    rng = _jax.random.PRNGKey(0)
+    states, obs = venv.reset(rng)
+    reset_pool = (states, obs)
+
+    h = w = 50
+    n_rows_pooled = h // pool
+    rows_per_band = 128 / (w // pool)  # lanes per band / pooled row width
+
+    che = np.array([0.25, 0.25, 0.1])
+    phe = np.array([0.05, 0.05, 0.5])
+    signs = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        np.float32,
+    )  # (8, 3)
+
+    def q_to_mat(q):
+        # (E, 4) xyzw → (E, 3, 3)
+        x, y, z, w_ = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        return np.stack([
+            np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w_), 2 * (x * z + y * w_)], -1),
+            np.stack([2 * (x * y + z * w_), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w_)], -1),
+            np.stack([2 * (x * z - y * w_), 2 * (y * z + x * w_), 1 - 2 * (x * x + y * y)], -1),
+        ], 1)
+
+    def row_range(rigid, cam):
+        eye = np.asarray(cam.eye, np.float32)
+        target = np.asarray(cam.target, np.float32)
+        up = np.asarray(cam.up, np.float32)
+        fwd = target - eye
+        fwd /= np.linalg.norm(fwd)
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        cup = np.cross(right, fwd)
+        tan_half = math.tan(math.radians(cam.fov_deg) * 0.5)
+
+        lo = np.full(rigid.pos.shape[0], np.inf)
+        hi = np.full(rigid.pos.shape[0], -np.inf)
+        for b, he in ((0, che), (1, phe)):
+            c = np.asarray(rigid.pos[:, b])  # (E, 3)
+            r = q_to_mat(np.asarray(rigid.quat[:, b]))  # (E, 3, 3)
+            corners = c[:, None, :] + np.einsum(
+                "eij,kj->eki", r, signs * he[None]
+            )  # (E, 8, 3)
+            rel = corners - eye[None, None]
+            zf = rel @ fwd
+            behind = zf <= 1e-3  # corner behind the camera → whole rows
+            py = (rel @ cup) / np.maximum(zf, 1e-3)
+            i = (1.0 - py / tan_half) * 0.5 * h - 0.5  # pixel row
+            i = np.where(behind, np.where(py >= 0, 0.0, h - 1.0), i)
+            lo = np.minimum(lo, i.min(1))
+            hi = np.maximum(hi, i.max(1))
+        # margin 1 px then pooled rows
+        lo = np.clip(np.floor((lo - 1) / pool), 0, n_rows_pooled - 1)
+        hi = np.clip(np.ceil((hi + 1) / pool), 0, n_rows_pooled - 1)
+        return lo, hi
+
+    step = _jax.jit(lambda s, a: venv.step_lazy(s, a, reset_pool))
+    rng_a = _jax.random.PRNGKey(1)
+    samples = {t: [] for t in (8, 16, 32)}
+    n_bands = int(math.ceil(n_rows_pooled / rows_per_band))
+    for t_step in range(steps):
+        rng_a, k = _jax.random.split(rng_a)
+        a = _jax.random.uniform(k, (num_envs, 2), minval=-1.0, maxval=1.0)
+        states, obs, rew, done = step(states, a)
+        if t_step % 5:
+            continue
+        for cam in DEFAULT_CAMERAS:
+            lo, hi = row_range(states.rigid, cam)
+            for tile in samples:
+                l = lo.reshape(-1, tile).min(1)  # union per tile
+                h_ = hi.reshape(-1, tile).max(1)
+                # fraction of bands fully outside [l, h_]
+                empty = 0
+                for b in range(n_bands):
+                    b_lo, b_hi = b * rows_per_band, (b + 1) * rows_per_band - 1
+                    empty += ((h_ < b_lo) | (l > b_hi)).mean()
+                samples[tile].append(empty / n_bands)
+    out = {t: float(np.mean(v)) for t, v in samples.items()}
+    if verbose:
+        for t, frac in out.items():
+            print(f"  tile_e={t:<3} cullable (tile × 128-lane band) blocks = "
+                  f"{frac * 100:.1f}%  (random-policy rollout, both cameras)")
+    return out
+
+
 # ---------------------------------------------------------------- ceilings --
 def ceilings(vpu, ops_per_ray, repeats=3, pool=2, hw=50):
     """Feasible env steps/s/chip per obs config at the measured mix rate."""
@@ -363,9 +468,11 @@ def main():
     p.add_argument("--vpu", action="store_true")
     p.add_argument("--census", action="store_true")
     p.add_argument("--cull", action="store_true")
+    p.add_argument("--cull-dynamic", action="store_true")
     p.add_argument("--ceiling", action="store_true")
     opts = p.parse_args()
-    run_all = not (opts.vpu or opts.census or opts.cull or opts.ceiling)
+    run_all = not (opts.vpu or opts.census or opts.cull or opts.cull_dynamic
+                   or opts.ceiling)
 
     vpu = None
     if opts.vpu or opts.ceiling or run_all:
@@ -387,6 +494,10 @@ def main():
     if opts.cull or run_all:
         print("== static cull feasibility (conservative reachable volume) ==")
         cull_feasibility()
+
+    if opts.cull_dynamic or run_all:
+        print("== dynamic per-band cull feasibility (rollout states) ==")
+        cull_dynamic()
 
     if (opts.ceiling or run_all) and vpu is not None and ops_per_ray is not None:
         rate, rows = ceilings(vpu, ops_per_ray)

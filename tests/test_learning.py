@@ -134,3 +134,76 @@ def test_same_seed_bitwise_deterministic():
     for a, b in zip(jax.tree.leaves(st1), jax.tree.leaves(st2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert float(m1["reward"]) == float(m2["reward"])
+
+
+# ---------------------------------------------------------------------------
+# Regression-grade mid-curve gates (VERDICT r2 weak #5): the smoke tests
+# above catch "doesn't learn at all"; these catch "solves at 200 regressed
+# to limping at 60".  Budgets are ~1-3 min each on the CPU mesh; thresholds
+# sit well under the calibrated seed-0 curves (margins noted inline) but
+# far above any broken-learning plateau.
+# ---------------------------------------------------------------------------
+
+def _eval_curve(path):
+    import json
+
+    with open(path) as f:
+        rows = [json.loads(l) for l in f if "eval_ep_len" in l]
+    return [r["eval_ep_len"] for r in rows]
+
+
+def test_ddpg_midcurve_gate(tmp_path):
+    """Calibrated seed-0 curve (segment 40..200, eval every 40):
+    27.9 / 29.7 / 44.1 / 57.6 / 42.5.  Gate: best eval >= 38 — a policy
+    that stalls below ~2/3 of the 60-step horizon fails."""
+    from cartpoleplusplus_tpu.agents import common, ddpg
+
+    parser = common.make_parser("t")
+    ddpg.add_ddpg_opts(parser)
+    jsonl = str(tmp_path / "m.jsonl")
+    opts = parser.parse_args(
+        [*_SMOKE, "--num-train-batches", "200", "--reward-scale", "0.1",
+         "--grad-clip", "10.0", "--eval-freq", "40",
+         "--metrics-jsonl", jsonl]
+    )
+    ddpg.train(opts)
+    evals = _eval_curve(jsonl)
+    assert max(evals) >= 38.0, f"DDPG mid-curve regression: {evals}"
+
+
+def test_td3_ddpg_improves(tmp_path):
+    """The TD3 stabilizer stack (twin critics + delayed policy + target
+    smoothing) still learns: calibrated seed-0 curve 21.8 / 22.4 / 13.8 /
+    31.8 / 51.3 — slower early than plain DDPG (conservative min-Q targets)
+    but climbing.  Gate: best eval >= 28."""
+    from cartpoleplusplus_tpu.agents import common, ddpg
+
+    parser = common.make_parser("t")
+    ddpg.add_ddpg_opts(parser)
+    jsonl = str(tmp_path / "m.jsonl")
+    opts = parser.parse_args(
+        [*_SMOKE, "--num-train-batches", "200", "--reward-scale", "0.1",
+         "--grad-clip", "10.0", "--eval-freq", "40",
+         "--twin-critic", "--policy-delay", "2", "--target-noise", "0.2",
+         "--metrics-jsonl", jsonl]
+    )
+    ddpg.train(opts)
+    evals = _eval_curve(jsonl)
+    assert max(evals) >= 28.0, f"TD3-DDPG regression: {evals}"
+
+
+def test_dqn_midcurve_gate(tmp_path):
+    """Calibrated seed-0 curve (segment 50..250, eval every 50, double-Q):
+    14.3 / 24.5 / 40.9 / 56.2 / 57.3.  Gate: best eval >= 40."""
+    from cartpoleplusplus_tpu.agents import common, dqn
+
+    parser = common.make_parser("t")
+    dqn.add_dqn_opts(parser)
+    jsonl = str(tmp_path / "m.jsonl")
+    opts = parser.parse_args(
+        [*_SMOKE, "--num-train-batches", "250", "--eps-decay-steps", "2000",
+         "--double-q", "--eval-freq", "50", "--metrics-jsonl", jsonl]
+    )
+    dqn.train(opts)
+    evals = _eval_curve(jsonl)
+    assert max(evals) >= 40.0, f"DQN mid-curve regression: {evals}"
