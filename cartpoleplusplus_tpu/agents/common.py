@@ -260,8 +260,15 @@ def record_eval_episodes(
     from cartpoleplusplus_tpu.utils import event_log as event_log_mod
 
     scene = cartpole_mod.scene_for(config)
-    reset_fn = jax.jit(lambda k: cartpole_mod.reset(config, scene, k))
-    step_fn = jax.jit(lambda s, a: cartpole_mod.step(config, scene, s, a))
+    observe_fn = None
+    if config.use_raw_pixels:
+        # Pixel policies act on rendered uint8 frames — mirror the training
+        # observation pipeline (make_venv wires the same renderer/dtype).
+        from cartpoleplusplus_tpu.render import make_observe_pixels
+
+        observe_fn = make_observe_pixels(config, dtype=jnp.uint8)
+    reset_fn = jax.jit(lambda k: cartpole_mod.reset(config, scene, k, observe_fn))
+    step_fn = jax.jit(lambda s, a: cartpole_mod.step(config, scene, s, a, observe_fn))
     act1 = jax.jit(lambda o: act_fn(o[None])[0])
 
     log = event_log_mod.EventLog(path)

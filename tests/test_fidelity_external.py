@@ -163,10 +163,28 @@ def test_forced_cart_matches_mujoco(scene):
     assert abs(ours.pos[CART, 0] - qpos[0]) < 0.02             # measured 1e-4
 
 
+# Analytic no-slip corner-pivot topple time, 0.2 rad → 45°, for the 1.0 m ×
+# 0.1 m uniform box pole: energy quadrature of ½·I_p·θ̇² = g·r_c·(cos(θ₀−α)
+# − cos(θ−α)) with I_p the per-mass inertia about the bottom edge, r_c the
+# center→edge distance and α = atan(hx/hz) the balance offset (the box
+# balances at θ = α, so from 0.2 the center starts only ~0.1 rad past the
+# apex — which is why the fall takes ~0.68 s, not an inverted-pendulum-from-
+# vertical ~0.46 s).  Derivation + parameter sweeps: scripts/topple_analysis.py.
+_T_TOPPLE_ANALYTIC = 0.6844
+
+
 def test_pole_topple_time_matches_mujoco(scene):
     """Free-standing pole toppling from a 0.2 rad tilt: the contact-model
-    behavior the whole env hinges on.  Time to 45° within 10% of MuJoCo
-    (measured: 0.700 s vs 0.683 s = 2.4%)."""
+    behavior the whole env hinges on.
+
+    Round-3 attribution (VERDICT r2 weak #7; scripts/topple_analysis.py):
+    the analytic no-slip pivot gives 0.6844 s and BOTH engines bracket it —
+    ours 0.6875 s (+0.45%), MuJoCo 0.6833 s (−0.16%).  Ours is invariant to
+    solver iterations (3-30), Baumgarte β (0-0.2) and dt (1/240-1/960); the
+    round-2 "2.4% gap" was dominated by this test's former 25 ms chunk
+    quantization (6-substep chunks rounded 0.6875 up to 0.700).  Asserted at
+    12.5 ms granularity: within 2% of the analytic arbiter AND of MuJoCo.
+    """
     ang0 = 0.2
     q0 = np.array([np.cos(ang0 / 2), 0.0, np.sin(ang0 / 2), 0.0])
 
@@ -176,13 +194,13 @@ def test_pole_topple_time_matches_mujoco(scene):
         quat=r.quat.at[POLE].set(jnp.asarray(q0, jnp.float32)),
     )
     chunk = jax.jit(
-        lambda rr: engine.step_substeps(scene, rr, jnp.zeros(3, jnp.float32), 6)
+        lambda rr: engine.step_substeps(scene, rr, jnp.zeros(3, jnp.float32), 3)
     )
     t_ours = None
-    for i in range(1, 600):
+    for i in range(1, 1200):
         r = chunk(r)
         if _tilt(np.asarray(r.quat[POLE])) > np.pi / 4:
-            t_ours = i * 6 * DT
+            t_ours = i * 3 * DT
             break
 
     m, d = _mj((0, 0, 0.1), (5, 0, 0.5), pole_quat=tuple(q0))
@@ -194,4 +212,40 @@ def test_pole_topple_time_matches_mujoco(scene):
             break
 
     assert t_ours is not None and t_mj is not None
-    assert abs(t_ours - t_mj) / t_mj < 0.10, (t_ours, t_mj)
+    assert abs(t_ours - _T_TOPPLE_ANALYTIC) / _T_TOPPLE_ANALYTIC < 0.02, t_ours
+    assert abs(t_mj - _T_TOPPLE_ANALYTIC) / _T_TOPPLE_ANALYTIC < 0.02, t_mj
+    assert abs(t_ours - t_mj) / t_mj < 0.02, (t_ours, t_mj)
+
+
+def test_topple_bounce_settle_envelope(scene):
+    """Contact-rich full-episode envelope (VERDICT r2 weak #7): the pole
+    falls from 0.2 rad, impacts the ground, bounces/slides, and must SETTLE
+    FLAT — tilt 90°, resting at z = half-width, essentially motionless — and
+    MuJoCo must agree on the resting pose to centimeters.  This exercises
+    impact, friction and stacking-rest behavior that the time-to-45° case
+    never reaches."""
+    ang0 = 0.2
+    q0 = np.array([np.cos(ang0 / 2), 0.0, np.sin(ang0 / 2), 0.0])
+    r = rest_state(scene)
+    r = r.replace(
+        pos=r.pos.at[POLE].set(jnp.asarray([5.0, 0.0, 0.5], jnp.float32)),
+        quat=r.quat.at[POLE].set(jnp.asarray(q0, jnp.float32)),
+    )
+    n = int(2.5 / DT)  # 2.5 s: topple ≈ 0.9 s + generous settling time
+    ours = _ours(scene, r, n)
+
+    tilt = _tilt(ours.quat[POLE])
+    assert abs(tilt - np.pi / 2) < 0.05, tilt              # flat on the ground
+    assert abs(ours.pos[POLE, 2] - 0.05) < 0.01            # resting at hx
+    assert np.abs(ours.vel[POLE]).max() < 0.05             # motionless
+    assert np.abs(ours.ang[POLE]).max() < 0.2
+
+    m, d = _mj((0, 0, 0.1), (5, 0, 0.5), pole_quat=tuple(q0))
+    qpos, qvel = _mj_run(m, d, n)
+    assert abs(_tilt(d.qpos[10:14]) - np.pi / 2) < 0.05
+    # Resting position agreement: the fall direction/length dominate; slide
+    # friction differences show up here (bound, not exact match).
+    assert np.abs(ours.pos[POLE, :2] - qpos[7:9]).max() < 0.08, (
+        ours.pos[POLE], qpos[7:10]
+    )
+    assert abs(ours.pos[POLE, 2] - qpos[9]) < 0.01
