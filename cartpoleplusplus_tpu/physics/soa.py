@@ -238,7 +238,24 @@ def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
         cart_ang = v_scale(cart_ang, d)
         pole_ang = v_scale(pole_ang, d)
 
-    # 2. contact manifold: per-slot (16, E) quantities.
+    # 2. contact manifold: slot-GROUPED quantities (round-3 op diet).
+    #
+    # The 16-slot manifold splits statically into
+    #   G — slots 0-11 against the GROUND (0-3 cart corners, 4-11 pole
+    #       corners), whose contact frame is the compile-time constant
+    #       n=(0,0,1), t1=(1,0,0), t2=(0,1,0) (tangent_basis(+z) up to -0
+    #       components that multiply out exactly), and
+    #   P — slots 12-15 (pole bottom corners on the cart top face), whose
+    #       frame rotates with the cart.
+    # The r2 code ran every slot through the general contact-frame algebra,
+    # spending ~40 VPU ops per slot per direction on effective masses and
+    # 15 ops per slot per iteration on dots/impulse assembly that collapse
+    # to slices for the 12 G slots.  Every specialized expression below is
+    # the general formula with its multiply-by-0/±1 terms eliminated
+    # (x*0=±0, x+±0=x, x*1=x in IEEE) — EXACT, so the three physics paths
+    # stay equivalence-pinned (test_soa, test_pallas_physics).  Census:
+    # 5456 → ~3900 element-ops per env substep (BASELINE.md round-3
+    # physics roofline), the lever past the 8.46M low-dim plateau.
     che = scene.cart_half_extents  # numpy (3,)
     phe = scene.pole_half_extents
 
@@ -265,37 +282,12 @@ def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
     pgw = corners_world(s.pole_pos, s.pole_quat, _POLE_CORNERS8, phe)  # (8,E)
     pbw = corners_world(s.pole_pos, s.pole_quat, _POLE_BOTTOM, phe)  # (4,E)
 
-    # ground slots: penetration = -z, normal = +z
-    pen_cg = -cgw[2]
-    pen_pg = -pgw[2]
-    act_cg = (pen_cg > 0.0).astype(pen_cg.dtype)
-    act_pg = (pen_pg > 0.0).astype(pen_pg.dtype)
-
-    # pole-bottom corners in the cart frame; top face z = +hz there.
-    rel = v_sub(pbw, (s.cart_pos[0][None], s.cart_pos[1][None], s.cart_pos[2][None]))
-    in_cart = q_rotate_inv(
-        tuple(c[None] for c in s.cart_quat), rel
-    )  # (4, E) components
-    pen_pc = float(che[2]) - in_cart[2]
-    margin = 1e-3
-    act_pc = (
-        (jnp.abs(in_cart[0]) <= float(che[0]) + margin)
-        & (jnp.abs(in_cart[1]) <= float(che[1]) + margin)
-        & (pen_pc > 0.0)
-        & (pen_pc < _TOP_FACE_BAND * float(che[2]))
-    ).astype(pen_pc.dtype)
-
-    # cart top-face normal in world (shared by the 4 pole-cart slots)
-    up = (0.0, 0.0, 1.0)
-    n_pc = q_rotate(s.cart_quat, up)  # (E,) components
+    inner = cgw[2].shape[1:]
 
     # Slot-group helpers.  Body assignments are static (slots 0-3: cart vs
     # ground; 4-11: pole vs ground; 12-15: pole vs cart-top), so per-slot
     # body selection is CONCATENATION of statically-sliced groups — no mask
-    # arrays (Pallas kernels reject captured array constants, and the masked
-    # formulation multiplied every slot by 0/1 anyway).
-    inner = pen_cg.shape[1:]
-
+    # arrays (Pallas kernels reject captured array constants).
     def a_sel(cart_comp, pole_comp):
         """Per-slot body_a value: cart for slots 0-3, pole for 4-15."""
         return jnp.concatenate(
@@ -305,43 +297,45 @@ def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
             ]
         )
 
+    def g_rows(cart_comp, pole_comp):
+        """(12,…) G-group plane: cart value rows 0-3, pole rows 4-11."""
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(cart_comp[None], (4,) + inner),
+                jnp.broadcast_to(pole_comp[None], (8,) + inner),
+            ]
+        )
+
     def b4(cart_comp):
         """Body_b (cart) value for the 4 pole-on-cart slots."""
         return jnp.broadcast_to(cart_comp[None], (4,) + inner)
 
-    # assemble (16, E) slot planes
-    zeros_like_row = jnp.zeros_like(pen_cg[:1])
-    pen = jnp.concatenate([pen_cg, pen_pg, pen_pc], axis=0)  # (16,E)
-    active = jnp.concatenate([act_cg, act_pg, act_pc], axis=0)
-    one_row = jnp.ones_like(pen_cg)
-    nx = jnp.concatenate(
-        [0.0 * pen_cg, 0.0 * pen_pg, jnp.broadcast_to(n_pc[0][None], pen_pc.shape)]
-    )
-    ny = jnp.concatenate(
-        [0.0 * pen_cg, 0.0 * pen_pg, jnp.broadcast_to(n_pc[1][None], pen_pc.shape)]
-    )
-    nz = jnp.concatenate(
-        [one_row, jnp.ones_like(pen_pg), jnp.broadcast_to(n_pc[2][None], pen_pc.shape)]
-    )
-    n = (nx, ny, nz)
-    mu = jnp.concatenate(
-        [
-            jnp.full_like(pen_cg, float(mu_cg)),
-            jnp.full_like(pen_pg, float(mu_pg)),
-            jnp.full_like(pen_pc, float(mu_pc)),
-        ]
-    )
+    # --- G group: penetration = -corner z, frame = world axes. ------------
+    pen_g = jnp.concatenate([-cgw[2], -pgw[2]])  # (12, E)
+    act_g = (pen_g > 0.0).astype(pen_g.dtype)
+    corners_g = tuple(jnp.concatenate([cgw[k], pgw[k]]) for k in range(3))
+    r_g = v_sub(corners_g, tuple(g_rows(c, p) for c, p in zip(s.cart_pos, s.pole_pos)))
 
-    # r_a: contact point minus body_a COM; r_b for the cart side of pole-cart.
-    corners = (
-        jnp.concatenate([cgw[0], pgw[0], pbw[0]]),
-        jnp.concatenate([cgw[1], pgw[1], pbw[1]]),
-        jnp.concatenate([cgw[2], pgw[2], pbw[2]]),
-    )  # (16, E)
-    pos_a = tuple(a_sel(c, p) for c, p in zip(s.cart_pos, s.pole_pos))
-    r_a = v_sub(corners, pos_a)  # (16,E)
-    # Body_b exists only for the 4 pole-on-cart slots: (4, …) components.
-    r_b4 = tuple(c[12:] - cp[None] for c, cp in zip(corners, s.cart_pos))
+    # --- P group: pole-bottom corners in the cart frame; top face z=+hz. --
+    rel = v_sub(pbw, (s.cart_pos[0][None], s.cart_pos[1][None], s.cart_pos[2][None]))
+    in_cart = q_rotate_inv(
+        tuple(c[None] for c in s.cart_quat), rel
+    )  # (4, E) components
+    pen_p = float(che[2]) - in_cart[2]
+    margin = 1e-3
+    act_p = (
+        (jnp.abs(in_cart[0]) <= float(che[0]) + margin)
+        & (jnp.abs(in_cart[1]) <= float(che[1]) + margin)
+        & (pen_p > 0.0)
+        & (pen_p < _TOP_FACE_BAND * float(che[2]))
+    ).astype(pen_p.dtype)
+
+    # cart top-face normal in world (shared by the 4 pole-cart slots)
+    n_pc = q_rotate(s.cart_quat, (0.0, 0.0, 1.0))  # (E,) components
+    n_p = tuple(b4(c) for c in n_pc)  # (4, E)
+    t1_p, t2_p = tangent_basis(n_p)
+    r_p = tuple(pbw[k] - s.pole_pos[k][None] for k in range(3))  # body_a=pole
+    r_b4 = tuple(pbw[k] - s.cart_pos[k][None] for k in range(3))  # body_b=cart
 
     # 3. solver: mass-splitting Jacobi (same scheme as solver.py).
     iiw_c = inv_inertia_world(s.cart_quat, scene.inv_inertia_body[0])
@@ -350,48 +344,73 @@ def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
     # per-body active contact counts (mass splitting).  The cart is body_a of
     # slots 0-3 and body_b of 12-15; the pole is body_a of every slot 4-15.
     cnt_cart = jnp.maximum(
-        jnp.sum(active[:4], axis=0) + jnp.sum(active[12:], axis=0), 1.0
+        jnp.sum(act_g[:4], axis=0) + jnp.sum(act_p, axis=0), 1.0
     )
-    cnt_pole = jnp.maximum(jnp.sum(active[4:], axis=0), 1.0)
-    n_a = a_sel(cnt_cart, cnt_pole)
-    n_b4 = b4(cnt_cart)
-
-    invm_a = a_sel(inv_m[0] * cnt_cart, inv_m[1] * cnt_pole)
-    invm_b4 = inv_m[0] * n_b4
-
-    # per-slot inverse inertia (select cart/pole rows, scaled by counts)
-    ii_a = tuple(
-        tuple(a_sel(iiw_c[i][j], iiw_p[i][j]) * n_a for j in range(3))
-        for i in range(3)
-    )
-    ii_b4 = tuple(
-        tuple(b4(iiw_c[i][j]) * n_b4 for j in range(3)) for i in range(3)
+    cnt_pole = jnp.maximum(
+        jnp.sum(act_g[4:], axis=0) + jnp.sum(act_p, axis=0), 1.0
     )
 
-    def _add_tail4(full, tail4):
-        """full[12:] += tail4 via static-slice concatenation."""
-        return jnp.concatenate([full[:12], full[12:] + tail4])
+    # Count-scaled per-body mass/inertia — (E,) scalars, not (16,E) planes.
+    invm_c = inv_m[0] * cnt_cart
+    invm_p = inv_m[1] * cnt_pole
+    iic = tuple(tuple(iiw_c[i][j] * cnt_cart for j in range(3)) for i in range(3))
+    iip = tuple(tuple(iiw_p[i][j] * cnt_pole for j in range(3)) for i in range(3))
 
-    def eff_inv_mass(d):
-        rxd = v_cross(r_a, d)
-        ird = tuple(
-            ii_a[i][0] * rxd[0] + ii_a[i][1] * rxd[1] + ii_a[i][2] * rxd[2]
-            for i in range(3)
-        )
-        k = invm_a + v_dot(d, v_cross(ird, r_a))
-        d4 = tuple(dk[12:] for dk in d)
-        rxd4 = v_cross(r_b4, d4)
-        ird4 = tuple(
-            ii_b4[i][0] * rxd4[0] + ii_b4[i][1] * rxd4[1] + ii_b4[i][2] * rxd4[2]
-            for i in range(3)
-        )
-        k = _add_tail4(k, invm_b4 + v_dot(d4, v_cross(ird4, r_b4)))
+    # G-group effective inverse masses, closed form for the static frame:
+    #   k_d = invm + d · ((I⁻¹ (r × d)) × r)
+    # with d a world axis, so r×d and the final dot keep only 2 of 3 terms.
+    gx, gy, gz = r_g
+    invm_g = g_rows(invm_c, invm_p)
+    ii_g = tuple(
+        tuple(g_rows(iic[i][j], iip[i][j]) for j in range(3)) for i in range(3)
+    )
+    # d = n = (0,0,1):  r×d = (ry, -rx, 0);  k = invm + ird0·ry - ird1·rx
+    a0 = ii_g[0][0] * gy - ii_g[0][1] * gx
+    a1 = ii_g[1][0] * gy - ii_g[1][1] * gx
+    inv_kn_g = 1.0 / (invm_g + (a0 * gy - a1 * gx))
+    # d = t1 = (1,0,0):  r×d = (0, rz, -ry);  k = invm + ird1·rz - ird2·ry
+    b1 = ii_g[1][1] * gz - ii_g[1][2] * gy
+    b2 = ii_g[2][1] * gz - ii_g[2][2] * gy
+    inv_kt1_g = 1.0 / (invm_g + (b1 * gz - b2 * gy))
+    # d = t2 = (0,1,0):  r×d = (-rz, 0, rx);  k = invm + ird2·rx - ird0·rz
+    c2 = ii_g[2][2] * gx - ii_g[2][0] * gz
+    c0 = ii_g[0][2] * gx - ii_g[0][0] * gz
+    inv_kt2_g = 1.0 / (invm_g + (c2 * gx - c0 * gz))
+
+    # P-group: general effective mass over both bodies (a=pole, b=cart).
+    invm_p4 = b4(invm_p)
+    invm_b4 = b4(invm_c)
+    ii_p = tuple(tuple(b4(iip[i][j]) for j in range(3)) for i in range(3))
+    ii_b4 = tuple(tuple(b4(iic[i][j]) for j in range(3)) for i in range(3))
+
+    def eff_inv_mass_p(d):
+        rxd = v_cross(r_p, d)
+        ird = m_vec(ii_p, rxd)
+        k = invm_p4 + v_dot(d, v_cross(ird, r_p))
+        rxd_b = v_cross(r_b4, d)
+        ird_b = m_vec(ii_b4, rxd_b)
+        k = k + (invm_b4 + v_dot(d, v_cross(ird_b, r_b4)))
         return 1.0 / k
 
-    t1, t2 = tangent_basis(n)
-    inv_kn = eff_inv_mass(n)
-    inv_kt1 = eff_inv_mass(t1)
-    inv_kt2 = eff_inv_mass(t2)
+    inv_kn_p = eff_inv_mass_p(n_p)
+    inv_kt1_p = eff_inv_mass_p(t1_p)
+    inv_kt2_p = eff_inv_mass_p(t2_p)
+
+    # Assemble the (16, E) loop planes.  `active` is folded into the
+    # effective masses once — exact, since active ∈ {0, 1}.
+    pen = jnp.concatenate([pen_g, pen_p])
+    active = jnp.concatenate([act_g, act_p])
+    mu = jnp.concatenate(
+        [
+            jnp.full((4,) + inner, float(mu_cg), pen.dtype),
+            jnp.full((8,) + inner, float(mu_pg), pen.dtype),
+            jnp.full((4,) + inner, float(mu_pc), pen.dtype),
+        ]
+    )
+    r_a = tuple(jnp.concatenate([r_g[k], r_p[k]]) for k in range(3))
+    inv_kn = jnp.concatenate([inv_kn_g, inv_kn_p]) * active
+    inv_kt1 = jnp.concatenate([inv_kt1_g, inv_kt1_p]) * active
+    inv_kt2 = jnp.concatenate([inv_kt2_g, inv_kt2_p]) * active
 
     bias = (scene.baumgarte / dt) * jnp.maximum(pen - scene.slop, 0.0)
 
@@ -403,7 +422,10 @@ def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
         vel_b4 = tuple(b4(c) for c in cv)
         ang_b4 = tuple(b4(c) for c in ca)
         vb4 = v_add(vel_b4, v_cross(ang_b4, r_b4))
-        return tuple(_add_tail4(vak, -vb4k) for vak, vb4k in zip(va, vb4))
+        return tuple(
+            jnp.concatenate([vak[:12], vak[12:] + -vb4k])
+            for vak, vb4k in zip(va, vb4)
+        )
 
     def iteration(_, carry):
         cv0, cv1, cv2, ca0, ca1, ca2, pv0, pv1, pv2, pa0, pa1, pa2, jn, jt1, jt2 = carry
@@ -411,19 +433,27 @@ def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
         pv, pa = (pv0, pv1, pv2), (pa0, pa1, pa2)
         v = body_vel_at_slots(cv, ca, pv, pa)
 
-        vn = v_dot(v, n)
-        jn_new = jnp.maximum(jn + (bias - vn) * inv_kn * active, 0.0)
+        # Contact-frame velocities: G rows are plain world components
+        # (frame = world axes — exact specialization, see section 2).
+        vp = tuple(c[12:] for c in v)
+        vn = jnp.concatenate([v[2][:12], v_dot(vp, n_p)])
+        jn_new = jnp.maximum(jn + (bias - vn) * inv_kn, 0.0)
         dn = jn_new - jn
         bound = mu * jn_new
-        vt1 = v_dot(v, t1)
-        vt2 = v_dot(v, t2)
-        jt1_new = jnp.clip(jt1 - vt1 * inv_kt1 * active, -bound, bound)
-        jt2_new = jnp.clip(jt2 - vt2 * inv_kt2 * active, -bound, bound)
+        vt1 = jnp.concatenate([v[0][:12], v_dot(vp, t1_p)])
+        vt2 = jnp.concatenate([v[1][:12], v_dot(vp, t2_p)])
+        jt1_new = jnp.clip(jt1 - vt1 * inv_kt1, -bound, bound)
+        jt2_new = jnp.clip(jt2 - vt2 * inv_kt2, -bound, bound)
         d1 = jt1_new - jt1
         d2 = jt2_new - jt2
 
+        # World impulse: G rows are (d1, d2, dn) exactly; P rows general.
+        dn_p, d1_p, d2_p = dn[12:], d1[12:], d2[12:]
         imp = tuple(
-            dn * a + d1 * b + d2 * c for a, b, c in zip(n, t1, t2)
+            jnp.concatenate([dg, dn_p * a + d1_p * b + d2_p * c])
+            for dg, a, b, c in zip(
+                (d1[:12], d2[:12], dn[:12]), n_p, t1_p, t2_p
+            )
         )  # (16,E) ×3
 
         # scatter to bodies (static slot ranges)
