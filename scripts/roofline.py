@@ -463,16 +463,68 @@ def ceilings(vpu, ops_per_ray, repeats=3, pool=2, hw=50):
     return rate, rows
 
 
+def physics_census(num_envs=256):
+    """Element-weighted op count per env SUBSTEP of soa._substep (the shared
+    body of all three physics paths), from the traced jaxpr — the physics
+    analogue of :func:`census`.  The low-dim fused loop runs
+    action_repeats × steps_per_repeat = 15 of these per env step, so its
+    physics-only fma-rate ceiling is  rate / (15 · ops).  History:
+    round 2 general 16-slot solver 5456 ops; round-3 slot-group
+    specialization (soa.py section-2 comment) 3636."""
+    from cartpoleplusplus_tpu.env import cartpole as cp
+    from cartpoleplusplus_tpu.env.config import CartpoleConfig
+    from cartpoleplusplus_tpu.physics import soa
+    from cartpoleplusplus_tpu.physics.bodies import RigidState
+
+    scene = cp.scene_for(CartpoleConfig(discrete_actions=False))
+    E = num_envs
+    rig = RigidState(
+        pos=jnp.zeros((E, 2, 3)),
+        quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (E, 2, 1)),
+        vel=jnp.zeros((E, 2, 3)),
+        ang=jnp.zeros((E, 2, 3)),
+    )
+    st = soa.from_rigid(rig)
+    jaxpr = jax.make_jaxpr(lambda s, f: soa._substep(scene, s, f))(
+        st, jnp.zeros((3, E))
+    )
+    total = 0
+    by_prim: dict[str, float] = {}
+
+    def walk(jx):
+        nonlocal total
+        for eqn in jx.eqns:
+            subs = [
+                v.jaxpr if hasattr(v, "jaxpr") else v
+                for v in eqn.params.values()
+                if hasattr(v, "eqns") or hasattr(v, "jaxpr")
+            ]
+            if subs:
+                for sub in subs:
+                    walk(sub)
+                continue
+            if eqn.primitive.name in ("broadcast_in_dim", "concatenate",
+                                      "slice", "squeeze", "reshape"):
+                continue
+            el = sum(int(np.prod(v.aval.shape)) for v in eqn.outvars)
+            total += el
+            by_prim[eqn.primitive.name] = by_prim.get(eqn.primitive.name, 0) + el / E
+
+    walk(jaxpr.jaxpr)
+    return total / E, dict(sorted(by_prim.items(), key=lambda kv: -kv[1]))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--vpu", action="store_true")
     p.add_argument("--census", action="store_true")
+    p.add_argument("--physics-census", action="store_true")
     p.add_argument("--cull", action="store_true")
     p.add_argument("--cull-dynamic", action="store_true")
     p.add_argument("--ceiling", action="store_true")
     opts = p.parse_args()
     run_all = not (opts.vpu or opts.census or opts.cull or opts.cull_dynamic
-                   or opts.ceiling)
+                   or opts.ceiling or opts.physics_census)
 
     vpu = None
     if opts.vpu or opts.ceiling or run_all:
@@ -490,6 +542,16 @@ def main():
                 ops_per_ray = ops
             top = ", ".join(f"{k}={v:.0f}" for k, v in list(prims.items())[:6])
             print(f"  {variant:<8} {ops:6.1f} VPU ops/shaded ray   ({top})")
+
+    if opts.physics_census or run_all:
+        print("== physics op census (soa._substep, element-weighted) ==")
+        ops, prims = physics_census()
+        top = ", ".join(f"{k}={v:.0f}" for k, v in list(prims.items())[:6])
+        print(f"  {ops:6.1f} VPU ops/env substep   ({top})")
+        for name, rate in (("fma f32", 0.81e12), ("mix f32", 1.59e12)):
+            print(f"  low-dim physics-only ceiling at {name}: "
+                  f"{rate / (15 * ops) / 1e6:6.2f} M env steps/s/chip "
+                  f"(15 substeps/env step)")
 
     if opts.cull or run_all:
         print("== static cull feasibility (conservative reachable volume) ==")
