@@ -242,6 +242,12 @@ def main(argv=None):
     o1 = copy.copy(opts)
     o1.num_cameras, o1.obs_samples = 1, 0
     r1 = run(o1)
+    # Speed row: point-sampled pooled obs — the sanctioned ray-count lever
+    # (BASELINE.md round-3 roofline: throughput is VPU-bound and linear in
+    # shaded rays; 10M at exact 50×50 is infeasible in this algorithm class).
+    os1 = copy.copy(opts)
+    os1.num_cameras, os1.obs_samples = 1, 1
+    rs1 = run(os1)
 
     out = {
         "metric": r5["metric"] + "_2cam_s2",
@@ -253,10 +259,12 @@ def main(argv=None):
              "value": r5["value"], "vs_baseline": r5["vs_baseline"]},
             {"config": "1cam_exact (r1/r2 headline)",
              "value": r1["value"], "vs_baseline": r1["vs_baseline"]},
+            {"config": "1cam_samples1 (ray-count speed config)",
+             "value": rs1["value"], "vs_baseline": rs1["vs_baseline"]},
         ],
     }
     print(json.dumps(out))
-    meta = {k: v for d in (r5, r1) for k, v in d.items() if k.startswith("_")}
+    meta = {k: v for d in (r5, r1, rs1) for k, v in d.items() if k.startswith("_")}
     print(f"# {meta}", file=sys.stderr)
 
 
