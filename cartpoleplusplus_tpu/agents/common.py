@@ -47,6 +47,11 @@ def add_agent_opts(parser: argparse.ArgumentParser) -> None:
                         help="write eval trajectories to this event log")
     parser.add_argument("--metrics-jsonl", type=str, default=None,
                         help="structured metrics sink")
+    parser.add_argument("--tb-dir", type=str, default=None,
+                        help="also write numeric metrics as TensorBoard "
+                             "scalars to this logdir (SURVEY §5 'optional "
+                             "TensorBoard'; requires torch, gracefully "
+                             "degrades without it)")
     parser.add_argument("--hidden", type=int, nargs="+", default=[100, 50])
     parser.add_argument("--pixel-encoder", type=str, default="dense",
                         choices=["dense", "conv"],

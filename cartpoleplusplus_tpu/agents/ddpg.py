@@ -484,7 +484,7 @@ def train(opts) -> float:
 
     actor_tx = tx(opts.actor_learning_rate)
     critic_tx = tx(opts.critic_learning_rate)
-    logger = MetricsLogger(opts.metrics_jsonl)
+    logger = MetricsLogger(opts.metrics_jsonl, tb_dir=getattr(opts, "tb_dir", None))
 
     st = init_state(opts, config, venv, actor, critic, actor_tx, critic_tx)
     start_segment = 0

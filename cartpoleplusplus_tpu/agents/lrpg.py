@@ -172,7 +172,7 @@ def train(opts) -> float:
         height=config.obs_height, width=config.obs_width,
         hidden=tuple(opts.hidden),
     )
-    logger = MetricsLogger(opts.metrics_jsonl)
+    logger = MetricsLogger(opts.metrics_jsonl, tb_dir=getattr(opts, "tb_dir", None))
 
     rng = jax.random.PRNGKey(opts.seed)
     rng, k_init = jax.random.split(rng)

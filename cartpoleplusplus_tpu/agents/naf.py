@@ -238,7 +238,7 @@ def train(opts) -> float:
         )
     else:
         tx = optax.adam(lr)
-    logger = MetricsLogger(opts.metrics_jsonl)
+    logger = MetricsLogger(opts.metrics_jsonl, tb_dir=getattr(opts, "tb_dir", None))
 
     rng = jax.random.PRNGKey(opts.seed)
     rng, k_init, k_env = jax.random.split(rng, 3)

@@ -100,7 +100,7 @@ def main(argv=None):
             return list(frame_to_images(config, np.asarray(frame_jit(rigid))))
 
     log = event_log_mod.EventLog(opts.event_log_out) if opts.event_log_out else None
-    metrics = MetricsLogger(opts.metrics_jsonl)
+    metrics = MetricsLogger(opts.metrics_jsonl, tb_dir=getattr(opts, "tb_dir", None))
     rng = jax.random.PRNGKey(opts.seed)
     lengths = []
     for ep in range(opts.num_episodes):
