@@ -10,7 +10,9 @@ set -euo pipefail
 OUT=${OUT:-runs}
 mkdir -p "$OUT"
 
-for seed in 0 1 2 3; do
+for seed in ${SEEDS:-0 1 2 3}; do
+  # `|| true`: a hung/timed-out seed (e.g. a TPU-tunnel outage) must not
+  # abort the remaining seeds under `set -e`.
   timeout 3600 python -m cartpoleplusplus_tpu.agents.ddpg \
     --use-raw-pixels --num-cameras 2 --obs-pool 2 --pixel-encoder conv \
     --num-envs 512 --num-eval 64 --eval-freq 500 \
@@ -22,5 +24,5 @@ for seed in 0 1 2 3; do
     --twin-critic --policy-delay 2 --target-noise 0.2 \
     --pallas-render \
     --seed "$seed" --metrics-jsonl "$OUT/ddpg_pixels_td3_s${seed}.jsonl" \
-    2>&1 | grep -v WARNING | tail -2
+    2>&1 | grep -v WARNING | tail -2 || true
 done
