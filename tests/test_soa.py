@@ -110,3 +110,49 @@ def test_soa_roundtrip_layout():
         np.testing.assert_allclose(
             np.asarray(getattr(back, field)), np.asarray(getattr(states, field))
         )
+
+
+def test_soa_matches_aos_randomized_fuzz(scene):
+    """256 random poses/velocities (round-3 hardening for the slot-group-
+    specialized solver, soa.py section-2 comment): arbitrary cart/pole
+    orientations exercise every manifold group — ground slots with tilted
+    bodies, the rotating pole-on-cart frame, inactive slots — against the
+    general AoS formulas of engine.substep."""
+    rng = np.random.default_rng(7)
+    E = 256
+    base = rest_state(scene)
+
+    def rand_quat():
+        q = rng.normal(size=4)
+        return q / np.linalg.norm(q)
+
+    pos = np.tile(np.asarray(base.pos)[None], (E, 1, 1))
+    pos[:, :, :2] += rng.uniform(-0.3, 0.3, size=(E, 2, 2))
+    pos[:, :, 2] += rng.uniform(-0.02, 0.4, size=(E, 2))
+    quat = np.stack(
+        [np.stack([rand_quat(), rand_quat()]) for _ in range(E)]
+    ).astype(np.float32)
+    vel = rng.uniform(-2.0, 2.0, size=(E, 2, 3)).astype(np.float32)
+    ang = rng.uniform(-4.0, 4.0, size=(E, 2, 3)).astype(np.float32)
+    states = base.replace(
+        pos=jnp.asarray(pos, jnp.float32), quat=jnp.asarray(quat),
+        vel=jnp.asarray(vel), ang=jnp.asarray(ang),
+    )
+    forces = jnp.asarray(
+        rng.uniform(-40.0, 40.0, size=(E, 3)), jnp.float32
+    )
+
+    n = 12
+    aos = jax.jit(
+        jax.vmap(lambda s, f: engine.step_substeps(scene, s, f, n))
+    )(states, forces)
+    out = jax.jit(lambda s, f: soa.step_substeps_batched(scene, s, f, n))(
+        states, forces
+    )
+    for field, tol in (("pos", 1e-4), ("quat", 1e-4), ("vel", 5e-3), ("ang", 2e-2)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, field)),
+            np.asarray(getattr(aos, field)),
+            atol=tol,
+            err_msg=field,
+        )
