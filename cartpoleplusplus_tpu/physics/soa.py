@@ -130,9 +130,8 @@ def m_vec(m, v):
     )
 
 
-def inv_inertia_world(q, inv_inertia_diag):
-    """R diag(d) Rᵀ with d a (3,) constant; returns 3×3 tuple-of-tuples."""
-    r = q_to_mat(q)
+def inv_inertia_world_mat(r, inv_inertia_diag):
+    """R diag(d) Rᵀ from an existing rotation matrix (tuple-of-tuples)."""
     d = inv_inertia_diag
     return tuple(
         tuple(
@@ -141,6 +140,11 @@ def inv_inertia_world(q, inv_inertia_diag):
         )
         for i in range(3)
     )
+
+
+def inv_inertia_world(q, inv_inertia_diag):
+    """R diag(d) Rᵀ with d a (3,) constant; returns 3×3 tuple-of-tuples."""
+    return inv_inertia_world_mat(q_to_mat(q), inv_inertia_diag)
 
 
 def tangent_basis(n):
@@ -204,8 +208,13 @@ def to_rigid(s: SoAState) -> RigidState:
 
 # Static slot constants (same 16-slot manifold as contacts.py).
 _CART_CORNERS = np.asarray(_BOTTOM4, np.float32)  # (4,3) signs
-_POLE_CORNERS8 = np.asarray(_ALL8, np.float32)  # (8,3)
-_POLE_BOTTOM = np.asarray(_BOTTOM4, np.float32)  # (4,3)
+# Pole corners reordered bottom-first (ALL8 rows with sz=-1, then sz=+1) so
+# the 4 pole-BOTTOM corners (pole-on-cart slots) are a contiguous slice of
+# the 8 pole-ground rows — no second corner transform.  Slot order within
+# the pole-ground group only permutes the solver's per-body impulse sums
+# (allclose-level reassociation; slots are otherwise independent).
+_POLE_CORNERS8 = np.asarray(_ALL8, np.float32)[[0, 2, 4, 6, 1, 3, 5, 7]]
+_POLE_BOTTOM = np.asarray(_BOTTOM4, np.float32)  # (4,3) == _POLE_CORNERS8[:4]
 N_SLOTS = 16
 # Slot → body map (static): slots 0-3 cart vs ground, 4-11 pole vs ground,
 # 12-15 pole vs cart top.  _substep exploits this with static slicing rather
@@ -262,25 +271,34 @@ def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
     def stack_rows(rows):
         return jnp.stack(rows, axis=0)  # (k, E)
 
-    # world corners for each slot group
-    def corners_world(pos, quat, signs, he):
-        """→ tuple of 3 arrays (k, E): pos + R(quat)·(signs*he)."""
-        outs = []
-        for k in range(signs.shape[0]):
-            off = (
-                float(signs[k, 0] * he[0]),
-                float(signs[k, 1] * he[1]),
-                float(signs[k, 2] * he[2]),
-            )
-            outs.append(q_rotate(quat, off))
-        wx = stack_rows([pos[0] + o[0] for o in outs])
-        wy = stack_rows([pos[1] + o[1] for o in outs])
-        wz = stack_rows([pos[2] + o[2] for o in outs])
-        return (wx, wy, wz)
+    # One rotation matrix per body, REUSED for corners, the cart top-face
+    # normal (a column), the cart-frame transform, and the world inertia —
+    # the r2 code paid a separate 15-mul q_rotate per corner (16 of them)
+    # plus q_to_mat twice inside inv_inertia_world.
+    r_cm = q_to_mat(s.cart_quat)
+    r_pm = q_to_mat(s.pole_quat)
 
-    cgw = corners_world(s.cart_pos, s.cart_quat, _CART_CORNERS, che)  # (4,E)
-    pgw = corners_world(s.pole_pos, s.pole_quat, _POLE_CORNERS8, phe)  # (8,E)
-    pbw = corners_world(s.pole_pos, s.pole_quat, _POLE_BOTTOM, phe)  # (4,E)
+    def corners_world_mat(pos, rmat, signs, he):
+        """→ tuple of 3 arrays (k, E): pos + R·(signs*he), via the three
+        half-extent-scaled columns of R (9 muls once) and a static ±column
+        sum per corner (3 adds/comp) instead of a rotation per corner."""
+        cols = tuple(
+            tuple(rmat[j][k] * float(he[k]) for j in range(3)) for k in range(3)
+        )
+        comps = []
+        for j in range(3):
+            rows = []
+            for k in range(signs.shape[0]):
+                e = pos[j]
+                for ax in range(3):
+                    e = e + cols[ax][j] if signs[k, ax] > 0 else e - cols[ax][j]
+                rows.append(e)
+            comps.append(stack_rows(rows))
+        return tuple(comps)
+
+    cgw = corners_world_mat(s.cart_pos, r_cm, _CART_CORNERS, che)  # (4,E)
+    pgw = corners_world_mat(s.pole_pos, r_pm, _POLE_CORNERS8, phe)  # (8,E)
+    pbw = tuple(c[:4] for c in pgw)  # bottom-first ordering, see _POLE_CORNERS8
 
     inner = cgw[2].shape[1:]
 
@@ -318,8 +336,12 @@ def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
 
     # --- P group: pole-bottom corners in the cart frame; top face z=+hz. --
     rel = v_sub(pbw, (s.cart_pos[0][None], s.cart_pos[1][None], s.cart_pos[2][None]))
-    in_cart = q_rotate_inv(
-        tuple(c[None] for c in s.cart_quat), rel
+    # Cart-frame transform = Rᵀ·rel, reusing r_cm (was a q_rotate_inv).
+    in_cart = tuple(
+        r_cm[0][k][None] * rel[0]
+        + r_cm[1][k][None] * rel[1]
+        + r_cm[2][k][None] * rel[2]
+        for k in range(3)
     )  # (4, E) components
     pen_p = float(che[2]) - in_cart[2]
     margin = 1e-3
@@ -330,16 +352,20 @@ def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
         & (pen_p < _TOP_FACE_BAND * float(che[2]))
     ).astype(pen_p.dtype)
 
-    # cart top-face normal in world (shared by the 4 pole-cart slots)
-    n_pc = q_rotate(s.cart_quat, (0.0, 0.0, 1.0))  # (E,) components
+    # cart top-face normal in world (shared by the 4 pole-cart slots):
+    # R·ẑ is the third column of r_cm — free.  The tangent basis is computed
+    # once at (E,) and broadcast (the 4 P rows share the frame).
+    n_pc = (r_cm[0][2], r_cm[1][2], r_cm[2][2])
     n_p = tuple(b4(c) for c in n_pc)  # (4, E)
-    t1_p, t2_p = tangent_basis(n_p)
+    t1_e, t2_e = tangent_basis(n_pc)
+    t1_p = tuple(b4(c) for c in t1_e)
+    t2_p = tuple(b4(c) for c in t2_e)
     r_p = tuple(pbw[k] - s.pole_pos[k][None] for k in range(3))  # body_a=pole
     r_b4 = tuple(pbw[k] - s.cart_pos[k][None] for k in range(3))  # body_b=cart
 
     # 3. solver: mass-splitting Jacobi (same scheme as solver.py).
-    iiw_c = inv_inertia_world(s.cart_quat, scene.inv_inertia_body[0])
-    iiw_p = inv_inertia_world(s.pole_quat, scene.inv_inertia_body[1])
+    iiw_c = inv_inertia_world_mat(r_cm, scene.inv_inertia_body[0])
+    iiw_p = inv_inertia_world_mat(r_pm, scene.inv_inertia_body[1])
 
     # per-body active contact counts (mass splitting).  The cart is body_a of
     # slots 0-3 and body_b of 12-15; the pole is body_a of every slot 4-15.
