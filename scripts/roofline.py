@@ -466,11 +466,15 @@ def ceilings(vpu, ops_per_ray, repeats=3, pool=2, hw=50):
 def physics_census(num_envs=256):
     """Element-weighted op count per env SUBSTEP of soa._substep (the shared
     body of all three physics paths), from the traced jaxpr — the physics
-    analogue of :func:`census`.  The low-dim fused loop runs
-    action_repeats × steps_per_repeat = 15 of these per env step, so its
-    physics-only fma-rate ceiling is  rate / (15 · ops).  History:
-    round 2 general 16-slot solver 5456 ops; round-3 slot-group
-    specialization (soa.py section-2 comment) 3636."""
+    analogue of :func:`census`.  Loop bodies (the Jacobi fori_loop lowers to
+    a length-N scan) are weighted by their trip count.  The low-dim fused
+    loop runs action_repeats × steps_per_repeat = 15 substeps per env step,
+    so its physics-only ceiling is  rate / (15 · ops).  History (trip-
+    weighted): round-2 general 16-slot solver 10784 ops; round-3 slot-group
+    specialization + shared-rotation-matrix manifold (soa.py section-2
+    comment) 6780.  Round-2's measured 8.46M lowdim loop = 86% of the
+    10784-op ceiling at the 1.59 Tops/s cascade-mix rate — the physics
+    kernel exploits ILP beyond the dependent-fma-chain rate."""
     from cartpoleplusplus_tpu.env import cartpole as cp
     from cartpoleplusplus_tpu.env.config import CartpoleConfig
     from cartpoleplusplus_tpu.physics import soa
@@ -491,9 +495,10 @@ def physics_census(num_envs=256):
     total = 0
     by_prim: dict[str, float] = {}
 
-    def walk(jx):
+    def walk(jx, mult):
         nonlocal total
         for eqn in jx.eqns:
+            length = eqn.params.get("length", 1) if eqn.primitive.name == "scan" else 1
             subs = [
                 v.jaxpr if hasattr(v, "jaxpr") else v
                 for v in eqn.params.values()
@@ -501,16 +506,16 @@ def physics_census(num_envs=256):
             ]
             if subs:
                 for sub in subs:
-                    walk(sub)
+                    walk(sub, mult * length)
                 continue
             if eqn.primitive.name in ("broadcast_in_dim", "concatenate",
                                       "slice", "squeeze", "reshape"):
                 continue
-            el = sum(int(np.prod(v.aval.shape)) for v in eqn.outvars)
+            el = mult * sum(int(np.prod(v.aval.shape)) for v in eqn.outvars)
             total += el
             by_prim[eqn.primitive.name] = by_prim.get(eqn.primitive.name, 0) + el / E
 
-    walk(jaxpr.jaxpr)
+    walk(jaxpr.jaxpr, 1)
     return total / E, dict(sorted(by_prim.items(), key=lambda kv: -kv[1]))
 
 
@@ -548,10 +553,12 @@ def main():
         ops, prims = physics_census()
         top = ", ".join(f"{k}={v:.0f}" for k, v in list(prims.items())[:6])
         print(f"  {ops:6.1f} VPU ops/env substep   ({top})")
-        for name, rate in (("fma f32", 0.81e12), ("mix f32", 1.59e12)):
+        for name, rate in (("fma-chain f32", 0.81e12), ("mix f32", 1.59e12)):
             print(f"  low-dim physics-only ceiling at {name}: "
                   f"{rate / (15 * ops) / 1e6:6.2f} M env steps/s/chip "
                   f"(15 substeps/env step)")
+        print("  (measured r2: 8.46M = 86% of the mix-rate ceiling at the "
+              "then-10784-op census — ILP beats the dependent-chain rate)")
 
     if opts.cull or run_all:
         print("== static cull feasibility (conservative reachable volume) ==")
