@@ -262,9 +262,11 @@ def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
     # to slices for the 12 G slots.  Every specialized expression below is
     # the general formula with its multiply-by-0/±1 terms eliminated
     # (x*0=±0, x+±0=x, x*1=x in IEEE) — EXACT, so the three physics paths
-    # stay equivalence-pinned (test_soa, test_pallas_physics).  Census:
-    # 5456 → ~3900 element-ops per env substep (BASELINE.md round-3
-    # physics roofline), the lever past the 8.46M low-dim plateau.
+    # stay equivalence-pinned (test_soa, test_pallas_physics).  Trip-
+    # weighted census (Jacobi loop ×5): 10,784 → 6,780 element-ops per env
+    # substep together with the shared-rotation-matrix manifold below
+    # (BASELINE.md round-3 physics op diet), the lever past the 8.46M
+    # low-dim plateau.
     che = scene.cart_half_extents  # numpy (3,)
     phe = scene.pole_half_extents
 

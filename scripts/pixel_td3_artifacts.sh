@@ -13,7 +13,7 @@ timeout 3600 python -m cartpoleplusplus_tpu.agents.ddpg \
   --use-raw-pixels --num-cameras 2 --obs-pool 2 --pixel-encoder conv \
   --num-envs 512 --num-eval 64 --eval-freq 500 \
   --steps-per-segment 25 --batch-size 256 --replay-capacity 65536 \
-  --warmup-steps 40 --num-train-batches 15000 \
+  --warmup-steps 40 --num-train-batches "${BATCHES:-25000}" \
   --actor-learning-rate 1e-4 --critic-learning-rate 3e-4 --lr-schedule cosine \
   --reward-scale 0.1 --grad-clip 10 --aug-shift 2 \
   --ou-sigma-min 0.05 --ou-decay-steps 250000 \
