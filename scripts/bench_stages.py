@@ -53,6 +53,9 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--no-pallas-physics", action="store_true")
     p.add_argument("--no-pallas-render", action="store_true")
+    p.add_argument("--lowdim", action="store_true",
+                   help="decompose the LOW-DIM loop instead: physics / sim "
+                        "(no renderer) / full (round-3 op-diet attribution)")
     p.add_argument("--obs-pool", type=int, default=2,
                    help="render-epilogue pool for the sim/full stages "
                         "(matches bench.py's default)")
@@ -65,8 +68,10 @@ def main():
     from cartpoleplusplus_tpu.utils import benchmark as bench_mod
 
     cfg = CartpoleConfig(
-        discrete_actions=False, use_raw_pixels=True, num_cameras=opts.cams,
-        render_width=50, render_height=50, obs_pool=opts.obs_pool,
+        discrete_actions=False, use_raw_pixels=not opts.lowdim,
+        num_cameras=opts.cams,
+        render_width=50, render_height=50,
+        obs_pool=opts.obs_pool if not opts.lowdim else 1,
     )
     scene = cm.scene_for(cfg)
     substeps_per_step = cfg.action_repeats * cfg.steps_per_repeat
@@ -79,8 +84,11 @@ def main():
             )
         else:
             physics = soa.step_substeps_batched
-        use_pallas_render = (not opts.no_pallas_render) and num_envs % 32 == 0
-        if use_pallas_render:
+        use_pallas_render = ((not opts.no_pallas_render) and not opts.lowdim
+                             and num_envs % 32 == 0)
+        if opts.lowdim:
+            observe_b = None
+        elif use_pallas_render:
             from cartpoleplusplus_tpu.render.pallas_kernel import (
                 make_render_batched,
             )
@@ -91,7 +99,7 @@ def main():
             observe_b = lambda scene, r2: jax.vmap(
                 lambda r: _obs(scene, r)
             )(r2)
-        observe = make_observe_pixels(cfg, dtype=jnp.uint8)
+        observe = None if opts.lowdim else make_observe_pixels(cfg, dtype=jnp.uint8)
 
         states, _ = cm.reset_batched(
             cfg, scene, jax.random.PRNGKey(0), num_envs, observe
@@ -134,7 +142,7 @@ def main():
         o.batch_size = 128
         o.replay_capacity = max(8192, 2 * num_envs)
         o.segments = 1
-        o.lowdim = False
+        o.lowdim = opts.lowdim
         o.pallas_render = use_pallas_render
         o.pallas_physics = use_pallas
         o.obs_pool = opts.obs_pool
@@ -158,18 +166,20 @@ def main():
         t_full = _time(full_fn, st_f, opts.iters)
 
         t_phys = _time(physics_only, rigid, opts.iters)
-        t_rend = _time(render_only, rigid, opts.iters)
+        t_rend = 0.0 if opts.lowdim else _time(render_only, rigid, opts.iters)
 
         def row(name, t):
             print(f"  {name:<22} {t * 1e3:8.3f} ms/step   "
-                  f"{num_envs / t / 1e6:8.3f} M env steps/s")
-        print(f"num_envs={num_envs} cams={opts.cams} "
+                  f"{num_envs / t / 1e6:8.3f} M env steps/s" if t > 0 else
+                  f"  {name:<22}      —")
+        print(f"num_envs={num_envs} lowdim={opts.lowdim} cams={opts.cams} "
               f"pallas_physics={use_pallas} "
               f"pallas_render={use_pallas_render} "
               f"backend={jax.default_backend()}")
         row(f"physics ({substeps_per_step} substeps)", t_phys)
-        row(f"render ({cfg.action_repeats} frames)", t_rend)
-        row("sim (phys+render+env)", t_sim)
+        if not opts.lowdim:
+            row(f"render ({cfg.action_repeats} frames)", t_rend)
+        row("sim (phys[+render]+env)", t_sim)
         row("full (sim+replay+train)", t_full)
         row("  -> learner+replay", t_full - t_sim)
         row("  -> env bookkeeping", t_sim - t_phys - t_rend)
