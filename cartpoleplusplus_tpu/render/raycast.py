@@ -373,7 +373,7 @@ def _render_fields_affine(
     ground point (penetration beyond the solver's ~1e-4 slop never occurs; a
     sub-slop misordering would affect rays within ~1e-4 rad of silhouette
     edges, far below quantization).  See BASELINE.md round-3 roofline: this
-    cuts the per-ray census from 247 to 188 ops (156 with ``recip``).
+    cuts the per-ray census from 247 to 188 ops (162 with ``recip``).
 
     ``bg``: the static (ground_value, sky_mask) planes from
     :func:`static_background`, already permuted to the ray layout.

@@ -72,7 +72,7 @@ def add_bench_opts(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--render-recip", action="store_true", default=True,
                         help="slab times via Mosaic's one-op approximate "
                              "reciprocal instead of the division-free ratio "
-                             "cascade (156 vs 188 census ops/ray; won the "
+                             "cascade (162 vs 188 census ops/ray; won the "
                              "on-chip race by +13%% and is the default — "
                              "see BASELINE.md round-3 roofline)")
     parser.add_argument("--no-render-recip", dest="render_recip",
