@@ -116,7 +116,9 @@ def build(opts):
         pallas_physics=pallas_physics,
         fused_step=getattr(opts, "fused_step", True),
         render_tile_e=getattr(opts, "render_tile_e", 32),
-        render_recip=getattr(opts, "render_recip", False),
+        # Fallback matches make_venv's production default (recip kernel won
+        # the on-chip race) — opts shims without the attr get the fast path.
+        render_recip=getattr(opts, "render_recip", True),
     )
 
     if opts.sim_only:
