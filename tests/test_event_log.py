@@ -80,3 +80,20 @@ def test_fidelity_resim_is_exact(tmp_path):
     recorded, resim = fidelity.resim_episode(ep, cfg)
     report = fidelity.divergence_report(recorded, resim)
     assert report["max_pos_err"] < 1e-6
+
+
+def test_metrics_tensorboard_sink(tmp_path):
+    """--tb-dir (SURVEY §5 'optional TensorBoard'): numeric fields become
+    scalars in a real events file; JSONL/stderr behavior is unchanged."""
+    from cartpoleplusplus_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(str(tmp_path / "m.jsonl"), quiet=True,
+                        tb_dir=str(tmp_path / "tb"))
+    log.log("train", segment=1, loss=0.5, note="text-ignored")
+    log.log("train", segment=2, loss=0.25)
+    log.close()
+
+    events = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > 0
+    jsonl = (tmp_path / "m.jsonl").read_text().strip().splitlines()
+    assert len(jsonl) == 2 and '"loss": 0.25' in jsonl[1]
