@@ -14,7 +14,13 @@ from cartpoleplusplus_tpu.agents import common, ddpg, dqn, lrpg, naf
 # 60-step episodes, ~50k env transitions.  An untrained/random policy
 # evals at ~7-8 steps on this horizon (BASELINE.md nop baseline), so the
 # thresholds below assert a ~2× improvement with margin under the
-# calibrated results (DDPG 22.4, NAF 23.3, DQN 34.4 on seed 0).
+# calibrated results (DDPG 27.4, NAF 18.7, DQN 52.8@160 on seed 0).
+# NOTE: these short-budget curves are chaotic — a rounding-level physics
+# change (e.g. the round-3 column-sum corner reassociation, 743c766)
+# legitimately shifts them by 2×; when one drifts below its gate,
+# re-calibrate budget/threshold here AFTER confirming the physics
+# equivalence + MuJoCo fidelity suites still pass (those pin correctness;
+# this file only pins "gradient flows and the policy improves").
 _SMOKE = [
     "--num-envs", "32", "--num-eval", "32",
     "--action-repeats", "2", "--steps-per-repeat", "3",
@@ -50,10 +56,10 @@ def test_dqn_improves():
     parser = common.make_parser("t")
     dqn.add_dqn_opts(parser)
     opts = parser.parse_args(
-        ["--num-train-batches", "80", "--eps-decay-steps", "1000", *_SMOKE]
+        ["--num-train-batches", "160", "--eps-decay-steps", "1000", *_SMOKE]
     )
     final_eval = dqn.train(opts)
-    assert final_eval > 15.0, f"DQN did not learn: eval len {final_eval}"
+    assert final_eval > 30.0, f"DQN did not learn: eval len {final_eval}"
 
 
 def test_lrpg_improves(tmp_path):
