@@ -81,4 +81,26 @@ PY
 note "artifact seed: $BEST"
 T=3700 step td3_artifacts env SEED="$BEST" bash scripts/pixel_td3_artifacts.sh
 
+# --- 6. ray-count-scaled learning validation --------------------------------
+# The roofline's honest north-star formulation is ray-count-scaled
+# (BASELINE.md): 2-cam samples=1 halves config-5's shaded rays (ceiling
+# 2.61M).  Validate the TD3 recipe still learns there, so the faster config
+# ships with evidence rather than as an untested knob.
+T=3700 step td3_2cam_s1 timeout 3600 python -m cartpoleplusplus_tpu.agents.ddpg \
+  --use-raw-pixels --num-cameras 2 --obs-pool 2 --obs-samples 1 \
+  --pixel-encoder conv \
+  --num-envs 512 --num-eval 64 --eval-freq 500 \
+  --steps-per-segment 25 --batch-size 256 --replay-capacity 65536 \
+  --warmup-steps 40 --num-train-batches 15000 \
+  --actor-learning-rate 1e-4 --critic-learning-rate 3e-4 --lr-schedule cosine \
+  --reward-scale 0.1 --grad-clip 10 --aug-shift 2 \
+  --ou-sigma-min 0.05 --ou-decay-steps 250000 \
+  --twin-critic --policy-delay 2 --target-noise 0.2 \
+  --pallas-render \
+  --seed 0 --metrics-jsonl runs/ddpg_pixels_td3_2cam_s1.jsonl
+
+# bench row for the same config (fused loop, no learner variation needed:
+# the default bench measures the DDPG loop; this is the 2cam samples=1 cell)
+step cell_2cam_s1 python bench.py --single --num-cameras 2 --obs-samples 1
+
 note "QUEUE DONE"
