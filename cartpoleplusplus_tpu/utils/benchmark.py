@@ -250,6 +250,12 @@ def main(argv=None):
     os1 = copy.copy(opts)
     os1.num_cameras, os1.obs_samples = 1, 1
     rs1 = run(os1)
+    # Low-dim row: the sim+learn loop with no renderer — the other half of
+    # the north star ("batched env steps/sec"), where the round-3 physics
+    # op diet moved the ceiling (BASELINE.md physics-census section).
+    old = copy.copy(opts)
+    old.lowdim = True
+    rld = run(old)
 
     out = {
         "metric": r5["metric"] + "_2cam_s2",
@@ -263,10 +269,15 @@ def main(argv=None):
              "value": r1["value"], "vs_baseline": r1["vs_baseline"]},
             {"config": "1cam_samples1 (ray-count speed config)",
              "value": rs1["value"], "vs_baseline": rs1["vs_baseline"]},
+            {"config": "lowdim (sim+learn, no renderer)",
+             "value": rld["value"], "vs_baseline": rld["vs_baseline"]},
         ],
     }
     print(json.dumps(out))
-    meta = {k: v for d in (r5, r1, rs1) for k, v in d.items() if k.startswith("_")}
+    meta = {
+        k: v for d in (r5, r1, rs1, rld) for k, v in d.items()
+        if k.startswith("_")
+    }
     print(f"# {meta}", file=sys.stderr)
 
 
