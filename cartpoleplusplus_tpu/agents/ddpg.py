@@ -461,6 +461,7 @@ def train(opts) -> float:
         config, opts.num_envs,
         pallas_render=getattr(opts, "pallas_render", False),
         pallas_physics=getattr(opts, "pallas_physics", False),
+        render_raster=getattr(opts, "render_raster", False),
     )
     eval_venv = common.make_venv(config, opts.num_eval)
     actor = Actor(action_dim=2, use_raw_pixels=config.use_raw_pixels,
@@ -515,6 +516,7 @@ def train(opts) -> float:
         local_venv = common.make_venv(
             config, opts.num_envs // opts.num_devices,
             pallas_render=False, pallas_physics=False,
+            render_raster=getattr(opts, "render_raster", False),
         )
         build, shard_state = make_distributed_segment(
             mesh, local_venv, actor, critic, actor_tx, critic_tx,

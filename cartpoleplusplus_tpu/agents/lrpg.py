@@ -162,6 +162,7 @@ def train(opts) -> float:
         config, opts.num_envs,
         pallas_render=getattr(opts, "pallas_render", False),
         pallas_physics=getattr(opts, "pallas_physics", False),
+        render_raster=getattr(opts, "render_raster", False),
     )
     eval_venv = common.make_venv(config, opts.num_eval)
     policy = DiscretePolicy(
@@ -203,6 +204,7 @@ def train(opts) -> float:
             config, opts.num_envs // opts.num_devices,
             pallas_render=getattr(opts, "pallas_render", False),
             pallas_physics=getattr(opts, "pallas_physics", False),
+            render_raster=getattr(opts, "render_raster", False),
         )
         per_chip = make_train_step(
             local_venv, policy, tx, opts.gamma, axis_name=mesh.axis_names[0]

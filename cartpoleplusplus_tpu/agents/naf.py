@@ -219,6 +219,7 @@ def train(opts) -> float:
         config, opts.num_envs,
         pallas_render=getattr(opts, "pallas_render", False),
         pallas_physics=getattr(opts, "pallas_physics", False),
+        render_raster=getattr(opts, "render_raster", False),
     )
     eval_venv = common.make_venv(config, opts.num_eval)
     net = NAFNetwork(
@@ -285,6 +286,7 @@ def train(opts) -> float:
             config, opts.num_envs // opts.num_devices,
             pallas_render=getattr(opts, "pallas_render", False),
             pallas_physics=getattr(opts, "pallas_physics", False),
+            render_raster=getattr(opts, "render_raster", False),
         )
         per_chip = make_segment(
             local_venv, net, tx,

@@ -54,6 +54,7 @@ from cartpoleplusplus_tpu.render.raycast import (
     SKY_COLOR,
     _AMBIENT,
     _ray_obb_affine,
+    _ray_obb_q,
     pool_ray_layout,
     static_background,
 )
@@ -107,6 +108,7 @@ def _render_kernel(
     p2: int,
     stride: int,
     recip: bool,
+    raster: bool,
     poses_ref,
     rays_ref,
     out_ref,
@@ -124,6 +126,9 @@ def _render_kernel(
     ``recip``: use Mosaic's one-op approximate reciprocal for slab times
     instead of the division-free ratio cascade (raced on chip; see
     BASELINE.md round-3 roofline).
+    ``raster``: cast through the projective inverse-depth rasterizer
+    (raycast._ray_obb_q) instead of either slab cascade — the round-3.5
+    algorithm-class op diet (census 162 → 110 ops/ray); overrides ``recip``.
     """
     dtype = jnp.float32
     width = p2 * stride
@@ -142,19 +147,31 @@ def _render_kernel(
         gval, smask = row(2), row(3)
 
         # Screen-affine cascades (shared with the XLA path).
-        nc, dc, lam_c, hit_c = _ray_obb_affine(
-            px, py, basis, eye, cart_c, cart_q, scene.cart_half_extents,
-            LIGHT_DIR, recip_fn,
-        )
-        np_, dp, lam_p, hit_p = _ray_obb_affine(
-            px, py, basis, eye, pole_c, pole_q, scene.pole_half_extents,
-            LIGHT_DIR, recip_fn,
-        )
+        if raster:
+            nc, lam_c, hit_c = _ray_obb_q(
+                px, py, basis, eye, cart_c, cart_q, scene.cart_half_extents,
+                LIGHT_DIR,
+            )
+            np_, lam_p, hit_p = _ray_obb_q(
+                px, py, basis, eye, pole_c, pole_q, scene.pole_half_extents,
+                LIGHT_DIR,
+            )
+        else:
+            nc, dc, lam_c, hit_c = _ray_obb_affine(
+                px, py, basis, eye, cart_c, cart_q, scene.cart_half_extents,
+                LIGHT_DIR, recip_fn,
+            )
+            np_, dp, lam_p, hit_p = _ray_obb_affine(
+                px, py, basis, eye, pole_c, pole_q, scene.pole_half_extents,
+                LIGHT_DIR, recip_fn,
+            )
 
         # Depth ordering between the boxes — float mask arithmetic.  Ground
         # occlusion tests are unnecessary: boxes sit above z=0, so a hit box
         # always occludes the ray's ground point (see _ray_obb_affine).
-        if recip:
+        if raster:  # inverse depth: larger is nearer, misses already −BIG
+            order = (nc >= np_).astype(dtype)
+        elif recip:
             order = (nc <= np_).astype(dtype)
         else:
             order = (nc * dp <= np_ * dc).astype(dtype)
@@ -195,6 +212,7 @@ def make_render_repeats(
     tile_e: int = 32,
     interpret: bool = False,
     recip: bool = True,
+    raster: bool = False,
 ):
     """Batched repeat renderer: (scene, poses (R, E, 16)) → obs (E, R, C·3·n).
 
@@ -222,7 +240,7 @@ def make_render_repeats(
         if e % tile_e:
             raise ValueError(f"num envs {e} must be a multiple of {tile_e}")
         body = functools.partial(
-            _render_kernel, scene, cam_meta, p2, stride, recip
+            _render_kernel, scene, cam_meta, p2, stride, recip, raster
         )
         out = pl.pallas_call(
             lambda poses_ref, rays_ref, out_ref: body(
@@ -259,6 +277,7 @@ def make_render_batched(
     tile_e: int = 32,
     interpret: bool = False,
     recip: bool = True,
+    raster: bool = False,
 ):
     """Batched pallas renderer: (scene, rigid[E]) → flat frames
     (E, C·3·n) with n = pooled pixels per camera (config.obs_pool applied).
@@ -289,7 +308,7 @@ def make_render_batched(
             axis=-1,
         )  # (E, 16)
         kernel = functools.partial(
-            _render_kernel, scene, cam_meta, p2, stride, recip
+            _render_kernel, scene, cam_meta, p2, stride, recip, raster
         )
         out = pl.pallas_call(
             kernel,

@@ -285,6 +285,104 @@ def _ray_obb_affine(
     return num, den, lam, hit
 
 
+def _ray_obb_q(px, py, basis, eye, center, quat, half_extents, light):
+    """Projective (inverse-depth) rasterization of one oriented box.
+
+    The round-3.5 algorithm-class change past :func:`_ray_obb_affine` (which
+    BASELINE.md's roofline showed running AT the VPU op bound *for the slab
+    algorithm*): instead of slab entry/exit **times**, work in inverse depth
+    ``q = 1/t`` along the unnormalized ray ``D = fwd + px·right + py·up``.
+    The classic rasterization fact makes everything affine: for a box-axis
+    plane, the hit's inverse depth is ``q = w_k / (ĝ_k ± he_k)`` with
+    ``w_k = û_k·D`` affine in the static screen coords and the denominator a
+    per-env SCALAR.  The slab constraints ``L_k ≤ t·w_k ≤ U_k`` therefore
+    become, for ``q > 0``:
+
+      * ``q ≥ w_k / U_k``                     (far plane — always a lower bound)
+      * ``q ≤ w_k / L_k`` if ``L_k > 0``      (near plane ahead: upper bound)
+      * ``q ≥ w_k / L_k`` if ``L_k < 0``      (eye inside slab k: lower bound)
+
+    where ``û_k`` is box axis k oriented so ``ĝ_k = û_k·(c − eye) ≥ 0``,
+    ``L_k = ĝ_k − he_k``, ``U_k = ĝ_k + he_k > 0``.  Which side each bound
+    lands on is a PER-ENV decision, so the per-ray work collapses to three
+    affine evaluations plus two scaled copies and pure min/max cascades —
+    the per-ray sign tests, nudges, and reciprocals of the slab kernel all
+    vanish (census: 162 → ~116 ops/ray; scripts/roofline.py 'qraster').
+
+    Returns ``(q, lambert, hit)``: ``q`` is the entry inverse depth (LARGER
+    is nearer; exit inverse depth when the eye is inside the box, matching
+    ``_ray_obb_affine``'s tmax fallback), already folded to ``-BIG`` on
+    miss so callers compare depths directly; ``lambert`` is the entry-face
+    n·L carried through the upper-bound cascade (per-env scalar candidates
+    ``−û_k·L``).  Eye-inside-box lambert uses the first axis' candidate —
+    that state (camera engulfed by a box) renders garbage in every backend
+    and never occurs with the default cameras (eyes ≥ 1.9 m from the
+    workspace; see tests/test_raster_render.py for the state envelope).
+    """
+    fwd, right, up = basis
+    r = soa.q_to_mat(quat)
+    rel = tuple(center[i] - eye[i] for i in range(3))
+    dt = px.dtype
+
+    # ---- per-env scalar algebra (columns in Mosaic, scalars under vmap) ----
+    g = tuple(
+        r[0][k] * rel[0] + r[1][k] * rel[1] + r[2][k] * rel[2] for k in range(3)
+    )
+    sg = tuple(2.0 * (g[k] >= 0.0).astype(dt) - 1.0 for k in range(3))
+    ga = tuple(sg[k] * g[k] for k in range(3))
+    lo = tuple(ga[k] - float(half_extents[k]) for k in range(3))
+    hi = tuple(ga[k] + float(half_extents[k]) for k in range(3))
+    # Sign-preserving clamp of L away from 0 (grazing poses); U ≥ he > 0.
+    sl = tuple(2.0 * (lo[k] >= 0.0).astype(dt) - 1.0 for k in range(3))
+    lo = tuple(sl[k] * jnp.maximum(sl[k] * lo[k], 1e-7) for k in range(3))
+    inv_u = tuple(1.0 / hi[k] for k in range(3))
+    inv_l = tuple(1.0 / lo[k] for k in range(3))
+    ahead = tuple(lo[k] > 0.0 for k in range(3))  # near plane ahead of eye
+    # û_k·(fwd/right/up) and the Lambert candidate −û_k·L, per env.
+    A = tuple(
+        sg[k] * (r[0][k] * fwd[0] + r[1][k] * fwd[1] + r[2][k] * fwd[2])
+        for k in range(3)
+    )
+    B = tuple(
+        sg[k] * (r[0][k] * right[0] + r[1][k] * right[1] + r[2][k] * right[2])
+        for k in range(3)
+    )
+    C = tuple(
+        sg[k] * (r[0][k] * up[0] + r[1][k] * up[1] + r[2][k] * up[2])
+        for k in range(3)
+    )
+    cand = tuple(
+        -sg[k] * (light[0] * r[0][k] + light[1] * r[1][k] + light[2] * r[2][k])
+        for k in range(3)
+    )
+    inside = ~(ahead[0] | ahead[1] | ahead[2])  # eye inside the box
+
+    # ---- per-ray vector work ----
+    w = tuple(A[k] + B[k] * px + C[k] * py for k in range(3))
+    a = tuple(w[k] * inv_u[k] for k in range(3))  # far-plane lower bounds
+    b = tuple(w[k] * inv_l[k] for k in range(3))  # near-plane bounds (routed)
+    ub = tuple(jnp.where(ahead[k], b[k], _BIG) for k in range(3))
+    lb = tuple(jnp.where(ahead[k], -_BIG, b[k]) for k in range(3))
+
+    q_lo = jnp.maximum(
+        jnp.maximum(jnp.maximum(a[0], a[1]), jnp.maximum(a[2], lb[0])),
+        jnp.maximum(lb[1], lb[2]),
+    )
+    # lam starts per-env; the first vector-pred where broadcasts it to rays.
+    q_hi, lam = ub[0], cand[0]
+    for k in (1, 2):
+        take = ub[k] < q_hi
+        q_hi = jnp.minimum(q_hi, ub[k])
+        lam = jnp.where(take, cand[k], lam)
+
+    # hit ⟺ ∃ q > 0 in [q_lo, q_hi]  ⟺  q_hi ≥ max(q_lo, 0⁺); the q = 0
+    # boundary is t = ∞, unreachable for a box at finite pose.
+    hit = q_hi >= jnp.maximum(q_lo, 1e-30)
+    q = jnp.where(inside, q_lo, q_hi)  # exit depth when inside (≡ tmax)
+    q = jnp.where(hit, q, -_BIG)
+    return q, lam, hit
+
+
 def pool_ray_layout(pool: int, height: int, width: int, samples: int = 0):
     """Static ray permutation that makes epilogue pooling layout-free.
 
@@ -362,6 +460,7 @@ def _render_fields_affine(
     dtype=jnp.float32,
     pool_layout: tuple[int, int, int] | None = None,
     recip=None,
+    raster: bool = False,
 ):
     """Screen-affine field renderer — the round-3 hot path (both backends).
 
@@ -379,6 +478,10 @@ def _render_fields_affine(
     :func:`static_background`, already permuted to the ray layout.
     ``recip``: optional one-op reciprocal (Mosaic pl.reciprocal) — see
     :func:`_ray_obb_affine`.
+    ``raster``: cast through the projective inverse-depth rasterizer
+    :func:`_ray_obb_q` instead (the round-3.5 algorithm-class op diet —
+    ~116 ops/ray vs 162; ``recip`` is ignored).  Depths compare as inverse
+    depth (larger = nearer), already miss-folded inside the cascade.
     """
     gval = jnp.asarray(np.asarray(bg[0], np.float32), dtype)
     smask = jnp.asarray(np.asarray(bg[1], np.float32), dtype)
@@ -389,20 +492,33 @@ def _render_fields_affine(
     pole_c = tuple(rigid.pos[POLE, k].astype(dtype) for k in range(3))
     cart_q = tuple(rigid.quat[CART, k].astype(dtype) for k in range(4))
     pole_q = tuple(rigid.quat[POLE, k].astype(dtype) for k in range(4))
-    nc, dc, lam_c, hit_c = _ray_obb_affine(
-        px, py, basis, eye, cart_c, cart_q, scene.cart_half_extents,
-        LIGHT_DIR, recip,
-    )
-    np_, dp, lam_p, hit_p = _ray_obb_affine(
-        px, py, basis, eye, pole_c, pole_q, scene.pole_half_extents,
-        LIGHT_DIR, recip,
-    )
-
-    # Depth ordering between the boxes only (ties → cart, as before).
-    if recip is not None:
-        sel_c = hit_c & (nc <= np_)
+    if raster:
+        qc, lam_c, hit_c = _ray_obb_q(
+            px, py, basis, eye, cart_c, cart_q, scene.cart_half_extents,
+            LIGHT_DIR,
+        )
+        qp, lam_p, hit_p = _ray_obb_q(
+            px, py, basis, eye, pole_c, pole_q, scene.pole_half_extents,
+            LIGHT_DIR,
+        )
+        # Inverse depth: larger is nearer; misses are already −BIG
+        # (ties → cart, matching the slab paths).
+        sel_c = hit_c & (qc >= qp)
     else:
-        sel_c = hit_c & (nc * dp <= np_ * dc)
+        nc, dc, lam_c, hit_c = _ray_obb_affine(
+            px, py, basis, eye, cart_c, cart_q, scene.cart_half_extents,
+            LIGHT_DIR, recip,
+        )
+        np_, dp, lam_p, hit_p = _ray_obb_affine(
+            px, py, basis, eye, pole_c, pole_q, scene.pole_half_extents,
+            LIGHT_DIR, recip,
+        )
+
+        # Depth ordering between the boxes only (ties → cart, as before).
+        if recip is not None:
+            sel_c = hit_c & (nc <= np_)
+        else:
+            sel_c = hit_c & (nc * dp <= np_ * dc)
     sel_p = hit_p & ~sel_c
 
     lambert = jnp.maximum(jnp.where(sel_c, lam_c, lam_p), 0.0)
@@ -566,6 +682,7 @@ def make_observe_pixels(
     config,
     cameras: tuple[Camera, ...] | None = None,
     dtype=jnp.bfloat16,
+    raster: bool = False,
 ):
     """Build an ObserveFn: (scene, rigid) → FLAT (num_cameras·3·H·W,) frame.
 
@@ -611,7 +728,7 @@ def make_observe_pixels(
             # scalar fields — 4 pooled reduces instead of 3 channels' worth).
             a, b, g, s = _render_fields_affine(
                 scene, rigid, px, py, basis, eye, bg, dtype=shade_dtype,
-                pool_layout=pool_layout,
+                pool_layout=pool_layout, raster=raster,
             )
             for k in range(3):  # (P',): [R | G | B] per camera
                 p = CART_COLOR[k] * a + POLE_COLOR[k] * b + g + SKY_COLOR[k] * s

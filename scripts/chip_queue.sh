@@ -51,7 +51,18 @@ step lowdim_4096 python bench.py --lowdim --num-envs 4096
 step lowdim_8192 python bench.py --lowdim --num-envs 8192
 step lowdim_16384 python bench.py --lowdim --num-envs 16384
 
-# --- 2. unmeasured roofline cells ------------------------------------------
+# --- 1.5 raster-vs-slab render kernel race (round-3.5 op diet) --------------
+# The projective inverse-depth rasterizer (raycast._ray_obb_q) is the new
+# bench default (census 110 vs 162 ops/ray, f32-bit-exact vs the slab caster,
+# AOT-lowering-tested); these cells race it against the slab kernel on the
+# same chip session for the BASELINE.md table.  The slab numbers reproduce
+# the round-3 measurements (1cam exact 1.357M, config-5 1.057M).
+step raster_1cam python bench.py --single --num-cameras 1 --obs-samples 0
+step slab_1cam python bench.py --single --num-cameras 1 --obs-samples 0 --no-render-raster
+step raster_cfg5 python bench.py --single --num-cameras 2 --obs-samples 2
+step slab_cfg5 python bench.py --single --num-cameras 2 --obs-samples 2 --no-render-raster
+
+# --- 2. unmeasured roofline cells (now measure the raster default) ----------
 step cell_1cam_s2 python bench.py --single --num-cameras 1 --obs-samples 2
 step cell_2cam_exact python bench.py --single --num-cameras 2 --obs-samples 0
 

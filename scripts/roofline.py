@@ -152,18 +152,20 @@ def _per_ray_pipeline(variant: str, num_cams=1, p2=4, stride=640):
       'affine'      - r3 kernel: static scalar eye, screen-affine d_l, no
                       ground tests, ratio cascade
       'recip'       - r3 kernel with one-op approx reciprocal slab times
+      'qraster'     - r3.5 projective inverse-depth rasterizer: all slab
+                      bounds affine in screen coords (raycast._ray_obb_q)
     Returns fn(poses(16,), rays(R, W)) -> (3*stride,) colors.
     """
     from cartpoleplusplus_tpu.render.raycast import (
         CART_COLOR, LIGHT_DIR, POLE_COLOR, SKY_COLOR, _AMBIENT,
-        _ray_obb_affine, _ray_obb_ratio,
+        _ray_obb_affine, _ray_obb_q, _ray_obb_ratio,
     )
 
     W = p2 * stride
     che = (0.25, 0.25, 0.1)
     phe = (0.05, 0.05, 0.5)
 
-    if variant in ("affine", "recip"):
+    if variant in ("affine", "recip", "qraster"):
         basis = ((0.0, 0.9, -0.3), (1.0, 0.0, 0.0), (0.0, 0.3, 0.9))
         eye = (0.0, -2.4, 1.1)
         recip = (lambda v: 1.0 / v) if variant == "recip" else None
@@ -176,12 +178,21 @@ def _per_ray_pipeline(variant: str, num_cams=1, p2=4, stride=640):
             pole_q = (col(10), col(11), col(12), col(13))
             px, py, gval, smask = rays[0], rays[1], rays[2], rays[3]
 
-            nc, dc, lam_c, hit_c = _ray_obb_affine(
-                px, py, basis, eye, cart_c, cart_q, che, LIGHT_DIR, recip)
-            np_, dp, lam_p, hit_p = _ray_obb_affine(
-                px, py, basis, eye, pole_c, pole_q, phe, LIGHT_DIR, recip)
             f32 = jnp.float32
-            if variant == "recip":
+            if variant == "qraster":
+                nc, lam_c, hit_c = _ray_obb_q(
+                    px, py, basis, eye, cart_c, cart_q, che, LIGHT_DIR)
+                np_, lam_p, hit_p = _ray_obb_q(
+                    px, py, basis, eye, pole_c, pole_q, phe, LIGHT_DIR)
+                f_c = hit_c.astype(f32) * (nc >= np_).astype(f32)
+            else:
+                nc, dc, lam_c, hit_c = _ray_obb_affine(
+                    px, py, basis, eye, cart_c, cart_q, che, LIGHT_DIR, recip)
+                np_, dp, lam_p, hit_p = _ray_obb_affine(
+                    px, py, basis, eye, pole_c, pole_q, phe, LIGHT_DIR, recip)
+            if variant == "qraster":
+                pass
+            elif variant == "recip":
                 f_c = hit_c.astype(f32) * (nc <= np_).astype(f32)
             else:
                 f_c = hit_c.astype(f32) * (nc * dp <= np_ * dc).astype(f32)
@@ -541,7 +552,7 @@ def main():
     ops_per_ray = None
     if opts.census or opts.ceiling or run_all:
         print("== per-ray op census (traced jaxpr, element-weighted) ==")
-        for variant in ("current", "affine", "recip"):
+        for variant in ("current", "affine", "recip", "qraster"):
             ops, prims = census(variant)
             if variant == "current":
                 ops_per_ray = ops

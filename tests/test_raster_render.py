@@ -1,0 +1,181 @@
+"""Projective inverse-depth rasterizer: equivalence with the slab caster.
+
+raycast._ray_obb_q replaces the slab cascade's per-ray sign/nudge/reciprocal
+work with purely affine screen-space bounds (census 110 vs 162 ops/ray — the
+round-3.5 algorithm-class op diet; see BASELINE.md).  Same geometry, different
+algebra: these tests pin it to the shipped renderer across randomized poses
+with arbitrary orientations, including states where a camera eye sits INSIDE
+a box slab (which exercises the per-env bound routing).
+
+State envelope: poses keep the camera eyes OUTSIDE the boxes themselves
+(|xy| ≤ 2.2 < 2.4 = eye distance) — eye-inside-box shading is documented as
+backend-dependent garbage in _ray_obb_q's docstring and unreachable with the
+default cameras.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cartpoleplusplus_tpu.env import CartpoleConfig
+from cartpoleplusplus_tpu.env import cartpole as cartpole_mod
+from cartpoleplusplus_tpu.physics.bodies import RigidState
+from cartpoleplusplus_tpu.render import make_observe_pixels
+from cartpoleplusplus_tpu.render.pallas_kernel import make_render_batched
+
+
+def _random_states(e=32, seed=0):
+    """Arbitrary-orientation boxes across the reachable workspace."""
+    rng = np.random.RandomState(seed)
+    pos = np.zeros((e, 2, 3), np.float32)
+    pos[:, 0, :2] = rng.uniform(-2.2, 2.2, (e, 2))
+    pos[:, 0, 2] = rng.uniform(0.05, 0.3, e)
+    pos[:, 1, :2] = rng.uniform(-2.2, 2.2, (e, 2))
+    pos[:, 1, 2] = rng.uniform(0.1, 1.2, e)
+    q = rng.normal(size=(e, 2, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    return RigidState(
+        pos=jnp.asarray(pos), quat=jnp.asarray(q),
+        vel=jnp.zeros((e, 2, 3)), ang=jnp.zeros((e, 2, 3)),
+    )
+
+
+@pytest.mark.parametrize(
+    "num_cameras,obs_pool,obs_samples",
+    [(1, 1, 0), (2, 2, 0), (2, 2, 2), (1, 2, 1)],
+)
+def test_raster_matches_slab_caster_f32(num_cameras, obs_pool, obs_samples):
+    """f32 raster vs f32 slab cascade: same hits, same depths, same shades.
+
+    Measured bit-exact across ~1M randomized rays at commit time; the
+    assertion allows a vanishing fraction of silhouette reclassifications so
+    an XLA fusion/rounding change doesn't flake CI.
+    """
+    cfg = CartpoleConfig(
+        use_raw_pixels=True, num_cameras=num_cameras,
+        render_width=50, render_height=50,
+        obs_pool=obs_pool, obs_samples=obs_samples,
+    )
+    scene = cartpole_mod.scene_for(cfg)
+    rigid = _random_states()
+
+    ref_fn = make_observe_pixels(cfg, dtype=jnp.float32, raster=False)
+    ras_fn = make_observe_pixels(cfg, dtype=jnp.float32, raster=True)
+    ref = np.asarray(jax.vmap(lambda r: ref_fn(scene, r))(rigid), np.float32)
+    ras = np.asarray(jax.vmap(lambda r: ras_fn(scene, r))(rigid), np.float32)
+    diff = np.abs(ref - ras) * 255.0
+    assert (diff <= 1.0).mean() > 0.9999, f"{(diff > 1.0).mean():.5%} off"
+    assert diff.mean() < 0.01
+
+
+def test_raster_uint8_production_path():
+    """uint8 raster (bf16 shading) stays within the cross-path tolerance the
+    Pallas/XLA equivalence suite already allows."""
+    cfg = CartpoleConfig(
+        use_raw_pixels=True, num_cameras=2,
+        render_width=50, render_height=50, obs_pool=2,
+    )
+    scene = cartpole_mod.scene_for(cfg)
+    rigid = _random_states(seed=1)
+    ref_fn = make_observe_pixels(cfg, dtype=jnp.uint8, raster=False)
+    ras_fn = make_observe_pixels(cfg, dtype=jnp.uint8, raster=True)
+    ref = jax.vmap(lambda r: ref_fn(scene, r))(rigid)
+    ras = jax.vmap(lambda r: ras_fn(scene, r))(rigid)
+    diff = np.abs(np.asarray(ref, np.int32) - np.asarray(ras, np.int32))
+    assert (diff <= 4).mean() > 0.995, f"{(diff > 4).mean():.4%} pixels off"
+    assert diff.mean() < 2.0
+
+
+def test_raster_pallas_kernel_matches_xla_raster():
+    """Mosaic raster kernel (interpret mode) ≡ the XLA raster path, and
+    stays interchangeable with the production slab kernel."""
+    cfg = CartpoleConfig(
+        use_raw_pixels=True, num_cameras=2,
+        render_width=50, render_height=50, obs_pool=2,
+    )
+    scene = cartpole_mod.scene_for(cfg)
+    rigid = _random_states(e=8, seed=2)
+
+    pallas_ras = make_render_batched(
+        cfg, tile_e=8, interpret=True, raster=True
+    )(scene, rigid)
+
+    # Tight pin vs an f32 XLA raster render quantized like the kernel.
+    xla_f32 = make_observe_pixels(cfg, dtype=jnp.float32, raster=True)
+    ref = jax.vmap(lambda r: xla_f32(scene, r))(rigid)
+    ref_u8 = np.clip(
+        np.asarray(ref, np.float32) * 255.0 + 0.5, 0.0, 255.0
+    ).astype(np.int32)
+    diff = np.abs(np.asarray(pallas_ras, np.int32) - ref_u8)
+    assert (diff <= 2).mean() > 0.999, f"{(diff > 2).mean():.4%} pixels off"
+    assert diff.mean() < 0.5
+
+    # Interchangeability with the production slab kernel (both bf16-shaded).
+    pallas_slab = make_render_batched(
+        cfg, tile_e=8, interpret=True, raster=False
+    )(scene, rigid)
+    diff = np.abs(
+        np.asarray(pallas_ras, np.int32) - np.asarray(pallas_slab, np.int32)
+    )
+    assert (diff <= 4).mean() > 0.995, f"{(diff > 4).mean():.4%} pixels off"
+
+
+def test_raster_eye_inside_slab_routing():
+    """Poses chosen so a camera eye is inside ≥1 slab of the pole (long-axis
+    offset < half extent) — the per-env lower-bound routing must keep hit
+    masks identical to the slab test."""
+    cfg = CartpoleConfig(
+        use_raw_pixels=True, num_cameras=2,
+        render_width=50, render_height=50, obs_pool=1,
+    )
+    scene = cartpole_mod.scene_for(cfg)
+    e = 8
+    # Pole lying down at camera eye height, close to the near edge of the
+    # workspace, offset sideways so the eye lands INSIDE the pole's long-axis
+    # slab (|g_long| = 0.4 < 0.5) and its short z slab, but OUTSIDE the box
+    # (sideways offset 0.6 ≫ 0.05) — exactly the per-env routing case.
+    pos = np.zeros((e, 2, 3), np.float32)
+    pos[:, 0, 2] = 0.1
+    pos[:, 1, 2] = 1.1  # same height as the eyes
+    pos[:4, 1, 0] = 0.6    # sideways offset vs camera 0 (eye x = 0)
+    pos[:4, 1, 1] = -2.0   # near camera 0 (eye y = -2.4)
+    pos[4:, 1, 1] = 0.6    # sideways offset vs camera 1 (eye y = 0)
+    pos[4:, 1, 0] = -2.0   # near camera 1 (eye x = -2.4)
+    quat = np.zeros((e, 2, 4), np.float32)
+    quat[:, :, 0] = 1.0
+    # Rotate the pole 90° about x: long axis along y → eye inside the long
+    # slab for camera 0.
+    quat[:4, 1] = np.array([np.cos(np.pi / 4), np.sin(np.pi / 4), 0, 0],
+                           np.float32)
+    # About y for the second half (long axis along x) → camera 1.
+    quat[4:, 1] = np.array([np.cos(np.pi / 4), 0, np.sin(np.pi / 4), 0],
+                           np.float32)
+    rigid = RigidState(
+        pos=jnp.asarray(pos), quat=jnp.asarray(quat),
+        vel=jnp.zeros((e, 2, 3)), ang=jnp.zeros((e, 2, 3)),
+    )
+    ref_fn = make_observe_pixels(cfg, dtype=jnp.float32, raster=False)
+    ras_fn = make_observe_pixels(cfg, dtype=jnp.float32, raster=True)
+    ref = np.asarray(jax.vmap(lambda r: ref_fn(scene, r))(rigid), np.float32)
+    ras = np.asarray(jax.vmap(lambda r: ras_fn(scene, r))(rigid), np.float32)
+    diff = np.abs(ref - ras) * 255.0
+    assert (diff <= 1.0).mean() > 0.9999, f"{(diff > 1.0).mean():.5%} off"
+
+
+def test_raster_renderer_in_env_step():
+    cfg = CartpoleConfig(
+        use_raw_pixels=True, num_cameras=1, render_width=50, render_height=50,
+        action_repeats=2, steps_per_repeat=2, initial_force_steps=2,
+    )
+    scene = cartpole_mod.scene_for(cfg)
+    render_b = make_render_batched(cfg, tile_e=8, interpret=True, raster=True)
+    states, obs = cartpole_mod.reset_batched(
+        cfg, scene, jax.random.PRNGKey(0), 8, observe_batched_fn=render_b
+    )
+    states, obs, r, d = cartpole_mod.step_batched(
+        cfg, scene, states, jnp.zeros(8, jnp.int32), observe_batched_fn=render_b
+    )
+    assert obs.shape == (8, 2, 7500)
+    assert obs.dtype == jnp.uint8
+    assert int(jnp.max(obs)) > 100

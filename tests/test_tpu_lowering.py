@@ -65,3 +65,26 @@ def test_batched_render_lowers_for_tpu():
     render = pallas_kernel.make_render_batched(cfg)
     lowered = _lower_tpu(lambda rg: render(scene, rg), _rigid(64))
     assert "tpu_custom_call" in lowered.as_text()
+
+
+@pytest.mark.parametrize("cameras,samples", [(1, 0), (2, 2)])
+def test_raster_render_lowers_for_tpu(cameras, samples):
+    """The projective inverse-depth raster kernel must survive the Mosaic
+    front-end too (per-env bound routing uses broadcast selects)."""
+    scene = scene_from_urdf_dir(default_asset_dir())
+    cfg = CartpoleConfig(
+        use_raw_pixels=True, num_cameras=cameras, obs_pool=2,
+        obs_samples=samples,
+    )
+    render = pallas_kernel.make_render_batched(cfg, raster=True)
+    lowered = _lower_tpu(lambda rg: render(scene, rg), _rigid(64))
+    assert "tpu_custom_call" in lowered.as_text()
+
+    rep = pallas_kernel.make_render_repeats(cfg, raster=True)
+
+    def full(rigid, force):
+        out, poses = step_repeats_pallas(scene, rigid, force, 5, 3)
+        return out, rep(scene, poses)
+
+    lowered = _lower_tpu(full, _rigid(1024), jnp.zeros((1024, 3)))
+    assert lowered.as_text().count("tpu_custom_call") == 2
