@@ -59,6 +59,11 @@ def main():
     p.add_argument("--obs-pool", type=int, default=2,
                    help="render-epilogue pool for the sim/full stages "
                         "(matches bench.py's default)")
+    p.add_argument("--render-raster", action="store_true", default=True,
+                   help="projective inverse-depth raster kernel (the bench "
+                        "default); --no-render-raster = slab cascade")
+    p.add_argument("--no-render-raster", dest="render_raster",
+                   action="store_false")
     opts = p.parse_args()
 
     from cartpoleplusplus_tpu.env import cartpole as cm
@@ -93,9 +98,11 @@ def main():
                 make_render_batched,
             )
 
-            observe_b = make_render_batched(cfg)
+            observe_b = make_render_batched(cfg, raster=opts.render_raster)
         else:
-            _obs = make_observe_pixels(cfg, dtype=jnp.uint8)
+            _obs = make_observe_pixels(
+                cfg, dtype=jnp.uint8, raster=opts.render_raster
+            )
             observe_b = lambda scene, r2: jax.vmap(
                 lambda r: _obs(scene, r)
             )(r2)
@@ -148,6 +155,7 @@ def main():
         o.obs_pool = opts.obs_pool
         o.pixel_pool = 1
         o.trace_dir = None
+        o.render_raster = opts.render_raster
 
         o.sim_only = True
         st, seg = bench_mod.build(o)

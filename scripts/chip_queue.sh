@@ -61,6 +61,9 @@ step raster_1cam python bench.py --single --num-cameras 1 --obs-samples 0
 step slab_1cam python bench.py --single --num-cameras 1 --obs-samples 0 --no-render-raster
 step raster_cfg5 python bench.py --single --num-cameras 2 --obs-samples 2
 step slab_cfg5 python bench.py --single --num-cameras 2 --obs-samples 2 --no-render-raster
+# Stage attribution for the raster kernel (updates the BASELINE stage table:
+# with render 1.47x cheaper, bookkeeping/learner may re-emerge as next cost).
+T=2700 step stages_raster python scripts/bench_stages.py --num-envs 4096
 
 # --- 2. unmeasured roofline cells (now measure the raster default) ----------
 step cell_1cam_s2 python bench.py --single --num-cameras 1 --obs-samples 2

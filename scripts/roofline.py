@@ -554,7 +554,7 @@ def main():
         print("== per-ray op census (traced jaxpr, element-weighted) ==")
         for variant in ("current", "affine", "recip", "qraster"):
             ops, prims = census(variant)
-            if variant == "current":
+            if variant == "qraster":  # the production/bench default kernel
                 ops_per_ray = ops
             top = ", ".join(f"{k}={v:.0f}" for k, v in list(prims.items())[:6])
             print(f"  {variant:<8} {ops:6.1f} VPU ops/shaded ray   ({top})")
