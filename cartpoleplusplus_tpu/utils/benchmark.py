@@ -184,7 +184,16 @@ def build(opts):
     return st, segment
 
 
+_RASTER_REJECTED = False  # sticky: one backend rejection skips later retries
+
+
 def run(opts) -> dict:
+    global _RASTER_REJECTED
+    if _RASTER_REJECTED and getattr(opts, "render_raster", False):
+        import copy
+
+        opts = copy.copy(opts)
+        opts.render_raster = False
     st, segment = build(opts)
 
     # Warm up (compile + one segment); synchronize by FETCHING a scalar —
@@ -203,6 +212,7 @@ def run(opts) -> dict:
               "falling back to the slab kernel", file=sys.stderr)
         import copy
 
+        _RASTER_REJECTED = True  # don't pay a failed compile per bench row
         opts = copy.copy(opts)
         opts.render_raster = False
         st, segment = build(opts)
