@@ -91,7 +91,7 @@ def make_venv(
     config, num_envs: int, pallas_render: bool = False,
     pallas_physics: bool = False, fused_step: bool = True,
     render_tile_e: int = 32, render_recip: bool = True,
-    render_raster: bool = False,
+    render_raster: bool = False, render_mxu: bool = False,
 ) -> VectorCartpole:
     """Vector env with the right observation fn (pixels iff --use-raw-pixels).
 
@@ -119,7 +119,7 @@ def make_venv(
 
             observe_batched_fn = make_render_batched(
                 config, tile_e=render_tile_e, recip=render_recip,
-                raster=render_raster,
+                raster=render_raster, mxu=render_mxu,
             )
     sim_fn = None
     if fused_step and pallas_physics and pallas_render and config.use_raw_pixels:
@@ -132,7 +132,7 @@ def make_venv(
 
         render_rep = make_render_repeats(
             config, tile_e=render_tile_e, recip=render_recip,
-            raster=render_raster,
+            raster=render_raster, mxu=render_mxu,
         )
 
         def sim_fn(scene, rigid, force):

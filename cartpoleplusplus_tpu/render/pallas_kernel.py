@@ -53,8 +53,9 @@ from cartpoleplusplus_tpu.render.raycast import (
     POLE_COLOR,
     SKY_COLOR,
     _AMBIENT,
+    _obb_q_cast,
+    _obb_q_setup,
     _ray_obb_affine,
-    _ray_obb_q,
     pool_ray_layout,
     static_background,
 )
@@ -97,6 +98,7 @@ def _build_ray_planes(cameras, h, w, pool: int = 1, samples: int = 0):
         rows[1] = py[sel]
         rows[2] = gval[sel]
         rows[3] = smask[sel]
+        rows[4] = 1.0  # affine bias row: the MXU path's w = [B C · A]·[px py 1]
         cols.append(rows)
         cam_meta.append((basis, eye))
     return np.concatenate(cols, axis=1), cam_meta, (p2, n, stride)
@@ -109,6 +111,7 @@ def _render_kernel(
     stride: int,
     recip: bool,
     raster: bool,
+    mxu: bool,
     poses_ref,
     rays_ref,
     out_ref,
@@ -129,6 +132,17 @@ def _render_kernel(
     ``raster``: cast through the projective inverse-depth rasterizer
     (raycast._ray_obb_q) instead of either slab cascade — the round-3.5
     algorithm-class op diet (census 162 → 110 ops/ray); overrides ``recip``.
+    ``mxu``: with ``raster``, evaluate the six affine planes
+    ``w = A + B·px + C·py`` (both boxes × 3 axes — 24 of the 110 census
+    VPU ops/ray) as ONE f32 MXU matmul ``[B C 0 0 A 0 0 0]·rays`` per
+    camera: the static ray block IS the RHS (px/py rows + the ones bias
+    row), the per-env coefficient columns stack to a (6·TILE_E, 8) LHS.
+    Precision.HIGHEST keeps the passes f32-accurate; output can still
+    differ from the VPU evaluation by ~1 ULP of w (different rounding
+    order), which only matters on exact silhouette ties — the equivalence
+    test bounds the differing-pixel fraction.  Opt-in: the win depends on
+    the Mosaic backend overlapping/retiring the tiny-K matmul cheaply,
+    which only the on-chip race can decide (scripts/chip_queue.sh).
     """
     dtype = jnp.float32
     width = p2 * stride
@@ -148,14 +162,38 @@ def _render_kernel(
 
         # Screen-affine cascades (shared with the XLA path).
         if raster:
-            nc, lam_c, hit_c = _ray_obb_q(
-                px, py, basis, eye, cart_c, cart_q, scene.cart_half_extents,
-                LIGHT_DIR,
+            su_c = _obb_q_setup(
+                basis, eye, cart_c, cart_q, scene.cart_half_extents, LIGHT_DIR
             )
-            np_, lam_p, hit_p = _ray_obb_q(
-                px, py, basis, eye, pole_c, pole_q, scene.pole_half_extents,
-                LIGHT_DIR,
+            su_p = _obb_q_setup(
+                basis, eye, pole_c, pole_q, scene.pole_half_extents, LIGHT_DIR
             )
+            w_c = w_p = None
+            if mxu:
+                # One MXU matmul evaluates all six affine planes; the rays
+                # block is the RHS verbatim (rows: px py gval smask 1 0 0 0 —
+                # the gval/smask rows meet exact-zero coefficients).
+                te = cart_c[0].shape[0]
+                zc = jnp.zeros_like(cart_c[0])
+                lhs_rows = []
+                for A3, B3, C3, *_ in (su_c, su_p):
+                    # LHS columns follow the RHS row layout:
+                    # [B, C, 0, 0, A, 0, 0, 0].
+                    for k in range(3):
+                        lhs_rows.append(jnp.concatenate(
+                            [B3[k], C3[k], zc, zc, A3[k], zc, zc, zc], axis=1
+                        ))
+                lhs = jnp.concatenate(lhs_rows, axis=0)  # (6·TILE_E, 8)
+                rhs = rays_ref[:, base : base + width].astype(dtype)
+                W = jax.lax.dot_general(
+                    lhs, rhs, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                w_all = [W[i * te : (i + 1) * te] for i in range(6)]
+                w_c, w_p = tuple(w_all[:3]), tuple(w_all[3:])
+            nc, lam_c, hit_c = _obb_q_cast(px, py, su_c, w=w_c)
+            np_, lam_p, hit_p = _obb_q_cast(px, py, su_p, w=w_p)
         else:
             nc, dc, lam_c, hit_c = _ray_obb_affine(
                 px, py, basis, eye, cart_c, cart_q, scene.cart_half_extents,
@@ -213,6 +251,7 @@ def make_render_repeats(
     interpret: bool = False,
     recip: bool = True,
     raster: bool = False,
+    mxu: bool = False,
 ):
     """Batched repeat renderer: (scene, poses (R, E, 16)) → obs (E, R, C·3·n).
 
@@ -240,7 +279,7 @@ def make_render_repeats(
         if e % tile_e:
             raise ValueError(f"num envs {e} must be a multiple of {tile_e}")
         body = functools.partial(
-            _render_kernel, scene, cam_meta, p2, stride, recip, raster
+            _render_kernel, scene, cam_meta, p2, stride, recip, raster, mxu
         )
         out = pl.pallas_call(
             lambda poses_ref, rays_ref, out_ref: body(
@@ -278,6 +317,7 @@ def make_render_batched(
     interpret: bool = False,
     recip: bool = True,
     raster: bool = False,
+    mxu: bool = False,
 ):
     """Batched pallas renderer: (scene, rigid[E]) → flat frames
     (E, C·3·n) with n = pooled pixels per camera (config.obs_pool applied).
@@ -308,7 +348,7 @@ def make_render_batched(
             axis=-1,
         )  # (E, 16)
         kernel = functools.partial(
-            _render_kernel, scene, cam_meta, p2, stride, recip, raster
+            _render_kernel, scene, cam_meta, p2, stride, recip, raster, mxu
         )
         out = pl.pallas_call(
             kernel,

@@ -285,6 +285,93 @@ def _ray_obb_affine(
     return num, den, lam, hit
 
 
+def _obb_q_setup(basis, eye, center, quat, half_extents, light):
+    """Per-env scalar algebra of the projective rasterizer.
+
+    Everything here is per-env (scalars under vmap, (E, 1) columns in
+    Mosaic) — amortized over the camera's rays.  Returns the tuple
+    ``(A, B, C, inv_u, inv_l, ahead, cand, inside)`` consumed by
+    :func:`_obb_q_cast`; see :func:`_ray_obb_q` for the math.  Split out so
+    the Pallas kernel can read the affine coefficients A/B/C and evaluate
+    ``w = A + B·px + C·py`` for all six box axes as ONE MXU matmul
+    (render/pallas_kernel.py ``mxu`` flag) while the VPU cascade consumes
+    the planes — the affine evaluation is 24 of the 110 census ops/ray and
+    the MXU is otherwise idle during rendering.
+    """
+    fwd, right, up = basis
+    r = soa.q_to_mat(quat)
+    rel = tuple(center[i] - eye[i] for i in range(3))
+    dt = rel[0].dtype
+
+    g = tuple(
+        r[0][k] * rel[0] + r[1][k] * rel[1] + r[2][k] * rel[2] for k in range(3)
+    )
+    sg = tuple(2.0 * (g[k] >= 0.0).astype(dt) - 1.0 for k in range(3))
+    ga = tuple(sg[k] * g[k] for k in range(3))
+    lo = tuple(ga[k] - float(half_extents[k]) for k in range(3))
+    hi = tuple(ga[k] + float(half_extents[k]) for k in range(3))
+    # Sign-preserving clamp of L away from 0 (grazing poses); U ≥ he > 0.
+    sl = tuple(2.0 * (lo[k] >= 0.0).astype(dt) - 1.0 for k in range(3))
+    lo = tuple(sl[k] * jnp.maximum(sl[k] * lo[k], 1e-7) for k in range(3))
+    inv_u = tuple(1.0 / hi[k] for k in range(3))
+    inv_l = tuple(1.0 / lo[k] for k in range(3))
+    ahead = tuple(lo[k] > 0.0 for k in range(3))  # near plane ahead of eye
+    # û_k·(fwd/right/up) and the Lambert candidate −û_k·L, per env.
+    A = tuple(
+        sg[k] * (r[0][k] * fwd[0] + r[1][k] * fwd[1] + r[2][k] * fwd[2])
+        for k in range(3)
+    )
+    B = tuple(
+        sg[k] * (r[0][k] * right[0] + r[1][k] * right[1] + r[2][k] * right[2])
+        for k in range(3)
+    )
+    C = tuple(
+        sg[k] * (r[0][k] * up[0] + r[1][k] * up[1] + r[2][k] * up[2])
+        for k in range(3)
+    )
+    cand = tuple(
+        -sg[k] * (light[0] * r[0][k] + light[1] * r[1][k] + light[2] * r[2][k])
+        for k in range(3)
+    )
+    inside = ~(ahead[0] | ahead[1] | ahead[2])  # eye inside the box
+    return A, B, C, inv_u, inv_l, ahead, cand, inside
+
+
+def _obb_q_cast(px, py, setup, w=None):
+    """Per-ray vector work of the projective rasterizer.
+
+    ``setup``: from :func:`_obb_q_setup`.  ``w``: optionally the
+    pre-evaluated affine planes ``(w_0, w_1, w_2)`` (e.g. from the Pallas
+    kernel's MXU matmul); computed from the setup coefficients when None.
+    Returns ``(q, lambert, hit)`` — see :func:`_ray_obb_q`.
+    """
+    A, B, C, inv_u, inv_l, ahead, cand, inside = setup
+    if w is None:
+        w = tuple(A[k] + B[k] * px + C[k] * py for k in range(3))
+    a = tuple(w[k] * inv_u[k] for k in range(3))  # far-plane lower bounds
+    b = tuple(w[k] * inv_l[k] for k in range(3))  # near-plane bounds (routed)
+    ub = tuple(jnp.where(ahead[k], b[k], _BIG) for k in range(3))
+    lb = tuple(jnp.where(ahead[k], -_BIG, b[k]) for k in range(3))
+
+    q_lo = jnp.maximum(
+        jnp.maximum(jnp.maximum(a[0], a[1]), jnp.maximum(a[2], lb[0])),
+        jnp.maximum(lb[1], lb[2]),
+    )
+    # lam starts per-env; the first vector-pred where broadcasts it to rays.
+    q_hi, lam = ub[0], cand[0]
+    for k in (1, 2):
+        take = ub[k] < q_hi
+        q_hi = jnp.minimum(q_hi, ub[k])
+        lam = jnp.where(take, cand[k], lam)
+
+    # hit ⟺ ∃ q > 0 in [q_lo, q_hi]  ⟺  q_hi ≥ max(q_lo, 0⁺); the q = 0
+    # boundary is t = ∞, unreachable for a box at finite pose.
+    hit = q_hi >= jnp.maximum(q_lo, 1e-30)
+    q = jnp.where(inside, q_lo, q_hi)  # exit depth when inside (≡ tmax)
+    q = jnp.where(hit, q, -_BIG)
+    return q, lam, hit
+
+
 def _ray_obb_q(px, py, basis, eye, center, quat, half_extents, light):
     """Projective (inverse-depth) rasterization of one oriented box.
 
@@ -318,69 +405,14 @@ def _ray_obb_q(px, py, basis, eye, center, quat, half_extents, light):
     that state (camera engulfed by a box) renders garbage in every backend
     and never occurs with the default cameras (eyes ≥ 1.9 m from the
     workspace; see tests/test_raster_render.py for the state envelope).
+
+    Implementation lives in :func:`_obb_q_setup` (per-env scalar algebra)
+    + :func:`_obb_q_cast` (per-ray vector work) so the Pallas kernel can
+    batch the affine evaluations of both boxes into one MXU matmul.
     """
-    fwd, right, up = basis
-    r = soa.q_to_mat(quat)
-    rel = tuple(center[i] - eye[i] for i in range(3))
-    dt = px.dtype
-
-    # ---- per-env scalar algebra (columns in Mosaic, scalars under vmap) ----
-    g = tuple(
-        r[0][k] * rel[0] + r[1][k] * rel[1] + r[2][k] * rel[2] for k in range(3)
+    return _obb_q_cast(
+        px, py, _obb_q_setup(basis, eye, center, quat, half_extents, light)
     )
-    sg = tuple(2.0 * (g[k] >= 0.0).astype(dt) - 1.0 for k in range(3))
-    ga = tuple(sg[k] * g[k] for k in range(3))
-    lo = tuple(ga[k] - float(half_extents[k]) for k in range(3))
-    hi = tuple(ga[k] + float(half_extents[k]) for k in range(3))
-    # Sign-preserving clamp of L away from 0 (grazing poses); U ≥ he > 0.
-    sl = tuple(2.0 * (lo[k] >= 0.0).astype(dt) - 1.0 for k in range(3))
-    lo = tuple(sl[k] * jnp.maximum(sl[k] * lo[k], 1e-7) for k in range(3))
-    inv_u = tuple(1.0 / hi[k] for k in range(3))
-    inv_l = tuple(1.0 / lo[k] for k in range(3))
-    ahead = tuple(lo[k] > 0.0 for k in range(3))  # near plane ahead of eye
-    # û_k·(fwd/right/up) and the Lambert candidate −û_k·L, per env.
-    A = tuple(
-        sg[k] * (r[0][k] * fwd[0] + r[1][k] * fwd[1] + r[2][k] * fwd[2])
-        for k in range(3)
-    )
-    B = tuple(
-        sg[k] * (r[0][k] * right[0] + r[1][k] * right[1] + r[2][k] * right[2])
-        for k in range(3)
-    )
-    C = tuple(
-        sg[k] * (r[0][k] * up[0] + r[1][k] * up[1] + r[2][k] * up[2])
-        for k in range(3)
-    )
-    cand = tuple(
-        -sg[k] * (light[0] * r[0][k] + light[1] * r[1][k] + light[2] * r[2][k])
-        for k in range(3)
-    )
-    inside = ~(ahead[0] | ahead[1] | ahead[2])  # eye inside the box
-
-    # ---- per-ray vector work ----
-    w = tuple(A[k] + B[k] * px + C[k] * py for k in range(3))
-    a = tuple(w[k] * inv_u[k] for k in range(3))  # far-plane lower bounds
-    b = tuple(w[k] * inv_l[k] for k in range(3))  # near-plane bounds (routed)
-    ub = tuple(jnp.where(ahead[k], b[k], _BIG) for k in range(3))
-    lb = tuple(jnp.where(ahead[k], -_BIG, b[k]) for k in range(3))
-
-    q_lo = jnp.maximum(
-        jnp.maximum(jnp.maximum(a[0], a[1]), jnp.maximum(a[2], lb[0])),
-        jnp.maximum(lb[1], lb[2]),
-    )
-    # lam starts per-env; the first vector-pred where broadcasts it to rays.
-    q_hi, lam = ub[0], cand[0]
-    for k in (1, 2):
-        take = ub[k] < q_hi
-        q_hi = jnp.minimum(q_hi, ub[k])
-        lam = jnp.where(take, cand[k], lam)
-
-    # hit ⟺ ∃ q > 0 in [q_lo, q_hi]  ⟺  q_hi ≥ max(q_lo, 0⁺); the q = 0
-    # boundary is t = ∞, unreachable for a box at finite pose.
-    hit = q_hi >= jnp.maximum(q_lo, 1e-30)
-    q = jnp.where(inside, q_lo, q_hi)  # exit depth when inside (≡ tmax)
-    q = jnp.where(hit, q, -_BIG)
-    return q, lam, hit
 
 
 def pool_ray_layout(pool: int, height: int, width: int, samples: int = 0):

@@ -89,6 +89,15 @@ def add_bench_opts(parser: argparse.ArgumentParser) -> None:
                              "LLO backend compile only happens on hardware)")
     parser.add_argument("--no-render-raster", dest="render_raster",
                         action="store_false")
+    parser.add_argument("--render-mxu", action="store_true", default=False,
+                        help="with the raster kernel, evaluate the six "
+                             "affine w-planes as one f32 MXU matmul per "
+                             "camera (24 of the 110 census VPU ops/ray move "
+                             "to the otherwise-idle MXU).  Opt-in until the "
+                             "on-chip race decides (scripts/chip_queue.sh); "
+                             "w rounding differs by ~1 ULP from the VPU "
+                             "evaluation, so output can differ on exact "
+                             "silhouette ties")
     parser.add_argument("--obs-samples", type=int, default=0,
                         help="sub-pixel samples per pooled obs pixel "
                              "(0 = all obs-pool² = exact; 2/1 trade obs "
@@ -132,6 +141,7 @@ def build(opts):
         # the on-chip race) — opts shims without the attr get the fast path.
         render_recip=getattr(opts, "render_recip", True),
         render_raster=getattr(opts, "render_raster", False),
+        render_mxu=getattr(opts, "render_mxu", False),
     )
 
     if opts.sim_only:

@@ -61,6 +61,12 @@ step raster_1cam python bench.py --single --num-cameras 1 --obs-samples 0
 step slab_1cam python bench.py --single --num-cameras 1 --obs-samples 0 --no-render-raster
 step raster_cfg5 python bench.py --single --num-cameras 2 --obs-samples 2
 step slab_cfg5 python bench.py --single --num-cameras 2 --obs-samples 2 --no-render-raster
+# MXU w-plane offload race (opt-in --render-mxu): the six affine plane
+# evaluations (24 of the raster's 110 census VPU ops/ray) as one f32 MXU
+# matmul per camera.  Only the chip can decide whether Mosaic retires the
+# tiny-K dot cheaply enough to win.
+step mxu_1cam python bench.py --single --num-cameras 1 --obs-samples 0 --render-mxu
+step mxu_cfg5 python bench.py --single --num-cameras 2 --obs-samples 2 --render-mxu
 # Stage attribution for the raster kernel (updates the BASELINE stage table:
 # with render 1.47x cheaper, bookkeeping/learner may re-emerge as next cost).
 T=2700 step stages_raster python scripts/bench_stages.py --num-envs 4096

@@ -163,6 +163,57 @@ def test_raster_eye_inside_slab_routing():
     assert (diff <= 1.0).mean() > 0.9999, f"{(diff > 1.0).mean():.5%} off"
 
 
+def test_raster_mxu_matches_vpu_affine_eval():
+    """mxu=True moves the six w-plane evaluations onto one MXU matmul per
+    camera.  The matmul's K-accumulation rounds differently from the VPU's
+    sequential A + B·px + C·py (≤1 ULP of w), which can only matter on exact
+    silhouette ties — bound the differing-pixel fraction, require byte
+    equality elsewhere."""
+    cfg = CartpoleConfig(
+        use_raw_pixels=True, num_cameras=2,
+        render_width=50, render_height=50, obs_pool=2,
+    )
+    scene = cartpole_mod.scene_for(cfg)
+    rigid = _random_states(e=32, seed=3)
+
+    vpu = make_render_batched(
+        cfg, tile_e=8, interpret=True, raster=True, mxu=False
+    )(scene, rigid)
+    mxu = make_render_batched(
+        cfg, tile_e=8, interpret=True, raster=True, mxu=True
+    )(scene, rigid)
+    assert mxu.shape == vpu.shape and mxu.dtype == jnp.uint8
+    diff = np.asarray(vpu, np.int32) != np.asarray(mxu, np.int32)
+    assert diff.mean() < 1e-3, f"{diff.mean():.5%} bytes differ"
+
+
+def test_raster_mxu_in_repeats_kernel():
+    """The one-launch repeats renderer accepts mxu too (the production
+    fused-step path)."""
+    from cartpoleplusplus_tpu.render.pallas_kernel import make_render_repeats
+
+    cfg = CartpoleConfig(
+        use_raw_pixels=True, num_cameras=1,
+        render_width=50, render_height=50, obs_pool=2,
+    )
+    scene = cartpole_mod.scene_for(cfg)
+    rigid = _random_states(e=8, seed=4)
+    poses = jnp.concatenate(
+        [rigid.pos[:, 0], rigid.quat[:, 0], rigid.pos[:, 1], rigid.quat[:, 1],
+         jnp.zeros((8, 2))],
+        axis=-1,
+    )[None]  # (1, 8, 16)
+    vpu = make_render_repeats(
+        cfg, tile_e=8, interpret=True, raster=True, mxu=False
+    )(scene, poses)
+    mxu = make_render_repeats(
+        cfg, tile_e=8, interpret=True, raster=True, mxu=True
+    )(scene, poses)
+    assert mxu.shape == vpu.shape
+    diff = np.asarray(vpu, np.int32) != np.asarray(mxu, np.int32)
+    assert diff.mean() < 1e-3, f"{diff.mean():.5%} bytes differ"
+
+
 def test_raster_renderer_in_env_step():
     cfg = CartpoleConfig(
         use_raw_pixels=True, num_cameras=1, render_width=50, render_height=50,

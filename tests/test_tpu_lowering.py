@@ -88,3 +88,23 @@ def test_raster_render_lowers_for_tpu(cameras, samples):
 
     lowered = _lower_tpu(full, _rigid(1024), jnp.zeros((1024, 3)))
     assert lowered.as_text().count("tpu_custom_call") == 2
+
+
+def test_raster_mxu_render_lowers_for_tpu():
+    """The MXU w-plane matmul (tiny-K f32 dot inside the kernel) must
+    survive the Mosaic front-end — layout/shape support for (6·TILE_E, 8) ×
+    (8, width) dots is exactly what CPU interpret mode cannot check."""
+    scene = scene_from_urdf_dir(default_asset_dir())
+    cfg = CartpoleConfig(use_raw_pixels=True, num_cameras=2, obs_pool=2)
+    render = pallas_kernel.make_render_batched(cfg, raster=True, mxu=True)
+    lowered = _lower_tpu(lambda rg: render(scene, rg), _rigid(64))
+    assert "tpu_custom_call" in lowered.as_text()
+
+    rep = pallas_kernel.make_render_repeats(cfg, raster=True, mxu=True)
+
+    def full(rigid, force):
+        out, poses = step_repeats_pallas(scene, rigid, force, 5, 3)
+        return out, rep(scene, poses)
+
+    lowered = _lower_tpu(full, _rigid(1024), jnp.zeros((1024, 3)))
+    assert lowered.as_text().count("tpu_custom_call") == 2
