@@ -132,17 +132,20 @@ def _render_kernel(
     ``raster``: cast through the projective inverse-depth rasterizer
     (raycast._ray_obb_q) instead of either slab cascade — the round-3.5
     algorithm-class op diet (census 162 → 110 ops/ray); overrides ``recip``.
-    ``mxu``: with ``raster``, evaluate the six affine planes
-    ``w = A + B·px + C·py`` (both boxes × 3 axes — 24 of the 110 census
-    VPU ops/ray) as ONE f32 MXU matmul ``[B C 0 0 A 0 0 0]·rays`` per
-    camera: the static ray block IS the RHS (px/py rows + the ones bias
-    row), the per-env coefficient columns stack to a (6·TILE_E, 8) LHS.
-    Precision.HIGHEST keeps the passes f32-accurate; output can still
-    differ from the VPU evaluation by ~1 ULP of w (different rounding
-    order), which only matters on exact silhouette ties — the equivalence
-    test bounds the differing-pixel fraction.  Opt-in: the win depends on
-    the Mosaic backend overlapping/retiring the tiny-K matmul cheaply,
-    which only the on-chip race can decide (scripts/chip_queue.sh).
+    ``mxu``: with ``raster``, evaluate all 18 routed bound planes (both
+    boxes × 3 axes × {a, ub, lb} — ~48 of the 110 census VPU ops/ray:
+    affine w evaluation, the inv_u/inv_l scalings, and the near-plane
+    routing selects) as ONE f32 MXU matmul per camera: the static ray
+    block IS the RHS (px/py rows + the ones bias row), the per-env
+    coefficient columns stack to an (18·TILE_E, 8) LHS with the routing
+    folded in (scales on the screen columns, ±BIG biases on the ones
+    column).  Precision.HIGHEST keeps the passes f32-accurate; output can
+    still differ from the VPU evaluation by ~1-2 ULP of each bound
+    (different rounding order), which only matters on exact silhouette
+    ties — the equivalence test bounds the differing-pixel fraction.
+    Opt-in: the win depends on the Mosaic backend retiring the tiny-K
+    matmul and its (18·TILE_E, width) result layout cheaply, which only
+    the on-chip race can decide (scripts/chip_queue.sh).
     """
     dtype = jnp.float32
     width = p2 * stride
@@ -168,32 +171,57 @@ def _render_kernel(
             su_p = _obb_q_setup(
                 basis, eye, pole_c, pole_q, scene.pole_half_extents, LIGHT_DIR
             )
-            w_c = w_p = None
+            b_c = b_p = None
             if mxu:
-                # One MXU matmul evaluates all six affine planes; the rays
-                # block is the RHS verbatim (rows: px py gval smask 1 0 0 0 —
-                # the gval/smask rows meet exact-zero coefficients).
+                # One MXU matmul emits all 18 ROUTED bound planes of both
+                # boxes: every bound (a = w·inv_u; ub/lb = the per-env
+                # near-plane routing of w·inv_l vs ±BIG) is affine in
+                # (px, py, 1) with per-env coefficients — the routing
+                # selects fold into the coefficients (scale on the screen
+                # columns, ±BIG bias on the ones column).  The rays block
+                # is the RHS verbatim (rows: px py gval smask 1 0 0 0 — the
+                # gval/smask rows meet exact-zero coefficients).
                 te = cart_c[0].shape[0]
                 zc = jnp.zeros_like(cart_c[0])
-                lhs_rows = []
-                for A3, B3, C3, *_ in (su_c, su_p):
-                    # LHS columns follow the RHS row layout:
-                    # [B, C, 0, 0, A, 0, 0, 0].
-                    for k in range(3):
-                        lhs_rows.append(jnp.concatenate(
-                            [B3[k], C3[k], zc, zc, A3[k], zc, zc, zc], axis=1
+
+                def lhs_row(b, c, a):
+                    return jnp.concatenate([b, c, zc, zc, a, zc, zc, zc],
+                                           axis=1)
+
+                def bound_rows(su):
+                    A3, B3, C3, iu, il, ahead, _, _ = su
+                    fa = tuple(ahead[k].astype(dtype) for k in range(3))
+                    rows = [
+                        lhs_row(B3[k] * iu[k], C3[k] * iu[k], A3[k] * iu[k])
+                        for k in range(3)
+                    ]
+                    for k in range(3):  # ub: ahead ? w·il : BIG
+                        c1 = fa[k] * il[k]
+                        rows.append(lhs_row(
+                            B3[k] * c1, C3[k] * c1,
+                            A3[k] * c1 + (1.0 - fa[k]) * 1e9,
                         ))
-                lhs = jnp.concatenate(lhs_rows, axis=0)  # (6·TILE_E, 8)
+                    for k in range(3):  # lb: ahead ? -BIG : w·il
+                        c2 = (1.0 - fa[k]) * il[k]
+                        rows.append(lhs_row(
+                            B3[k] * c2, C3[k] * c2, A3[k] * c2 - fa[k] * 1e9,
+                        ))
+                    return rows
+
+                lhs = jnp.concatenate(
+                    bound_rows(su_c) + bound_rows(su_p), axis=0
+                )  # (18·TILE_E, 8)
                 rhs = rays_ref[:, base : base + width].astype(dtype)
                 W = jax.lax.dot_general(
                     lhs, rhs, (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,
                 )
-                w_all = [W[i * te : (i + 1) * te] for i in range(6)]
-                w_c, w_p = tuple(w_all[:3]), tuple(w_all[3:])
-            nc, lam_c, hit_c = _obb_q_cast(px, py, su_c, w=w_c)
-            np_, lam_p, hit_p = _obb_q_cast(px, py, su_p, w=w_p)
+                p9 = [W[i * te : (i + 1) * te] for i in range(18)]
+                b_c = (tuple(p9[0:3]), tuple(p9[3:6]), tuple(p9[6:9]))
+                b_p = (tuple(p9[9:12]), tuple(p9[12:15]), tuple(p9[15:18]))
+            nc, lam_c, hit_c = _obb_q_cast(px, py, su_c, bounds=b_c)
+            np_, lam_p, hit_p = _obb_q_cast(px, py, su_p, bounds=b_p)
         else:
             nc, dc, lam_c, hit_c = _ray_obb_affine(
                 px, py, basis, eye, cart_c, cart_q, scene.cart_half_extents,

@@ -337,21 +337,28 @@ def _obb_q_setup(basis, eye, center, quat, half_extents, light):
     return A, B, C, inv_u, inv_l, ahead, cand, inside
 
 
-def _obb_q_cast(px, py, setup, w=None):
+def _obb_q_cast(px, py, setup, bounds=None):
     """Per-ray vector work of the projective rasterizer.
 
-    ``setup``: from :func:`_obb_q_setup`.  ``w``: optionally the
-    pre-evaluated affine planes ``(w_0, w_1, w_2)`` (e.g. from the Pallas
-    kernel's MXU matmul); computed from the setup coefficients when None.
-    Returns ``(q, lambert, hit)`` — see :func:`_ray_obb_q`.
+    ``setup``: from :func:`_obb_q_setup`.  ``bounds``: optionally the
+    pre-evaluated-and-routed bound planes ``(a, ub, lb)`` (each a 3-tuple) —
+    every one is affine in (px, py, 1) with per-env coefficients (the
+    routing selects fold into the coefficients: scale ``ahead·inv_l`` /
+    ``(1−ahead)·inv_l`` on the screen columns, bias ``(1−ahead)·BIG`` /
+    ``−ahead·BIG`` on the ones column), which is how the Pallas kernel's
+    MXU matmul emits all 18 planes of both boxes in one dot.  Computed on
+    the VPU when None.  Returns ``(q, lambert, hit)`` — see
+    :func:`_ray_obb_q`.
     """
     A, B, C, inv_u, inv_l, ahead, cand, inside = setup
-    if w is None:
+    if bounds is None:
         w = tuple(A[k] + B[k] * px + C[k] * py for k in range(3))
-    a = tuple(w[k] * inv_u[k] for k in range(3))  # far-plane lower bounds
-    b = tuple(w[k] * inv_l[k] for k in range(3))  # near-plane bounds (routed)
-    ub = tuple(jnp.where(ahead[k], b[k], _BIG) for k in range(3))
-    lb = tuple(jnp.where(ahead[k], -_BIG, b[k]) for k in range(3))
+        a = tuple(w[k] * inv_u[k] for k in range(3))  # far plane: lower bound
+        b = tuple(w[k] * inv_l[k] for k in range(3))  # near plane (routed)
+        ub = tuple(jnp.where(ahead[k], b[k], _BIG) for k in range(3))
+        lb = tuple(jnp.where(ahead[k], -_BIG, b[k]) for k in range(3))
+    else:
+        a, ub, lb = bounds
 
     q_lo = jnp.maximum(
         jnp.maximum(jnp.maximum(a[0], a[1]), jnp.maximum(a[2], lb[0])),
