@@ -154,16 +154,72 @@ def _per_ray_pipeline(variant: str, num_cams=1, p2=4, stride=640):
       'recip'       - r3 kernel with one-op approx reciprocal slab times
       'qraster'     - r3.5 projective inverse-depth rasterizer: all slab
                       bounds affine in screen coords (raycast._ray_obb_q)
+      'qraster-mxu' - the VPU-RESIDENT remainder of the raster kernel when
+                      --render-mxu moves the 18 routed bound planes onto
+                      the MXU matmul: bounds arrive as inputs (rays rows
+                      4-21), so the census counts only the cascades, hit
+                      fold, shading, and epilogue the VPU still executes
     Returns fn(poses(16,), rays(R, W)) -> (3*stride,) colors.
     """
     from cartpoleplusplus_tpu.render.raycast import (
         CART_COLOR, LIGHT_DIR, POLE_COLOR, SKY_COLOR, _AMBIENT,
-        _ray_obb_affine, _ray_obb_q, _ray_obb_ratio,
+        _obb_q_cast, _obb_q_setup, _ray_obb_affine, _ray_obb_q,
+        _ray_obb_ratio,
     )
 
     W = p2 * stride
     che = (0.25, 0.25, 0.1)
     phe = (0.05, 0.05, 0.5)
+
+    if variant == "qraster-mxu":
+        basis = ((0.0, 0.9, -0.3), (1.0, 0.0, 0.0), (0.0, 0.3, 0.9))
+        eye = (0.0, -2.4, 1.1)
+
+        def fn(poses, rays):
+            col = lambda j: poses[j : j + 1]
+            cart_c = (col(0), col(1), col(2))
+            cart_q = (col(3), col(4), col(5), col(6))
+            pole_c = (col(7), col(8), col(9))
+            pole_q = (col(10), col(11), col(12), col(13))
+            px, py, gval, smask = rays[0], rays[1], rays[2], rays[3]
+            f32 = jnp.float32
+
+            su_c = _obb_q_setup(basis, eye, cart_c, cart_q, che, LIGHT_DIR)
+            su_p = _obb_q_setup(basis, eye, pole_c, pole_q, phe, LIGHT_DIR)
+            b = lambda i: rays[4 + i]
+            b_c = ((b(0), b(1), b(2)), (b(3), b(4), b(5)), (b(6), b(7), b(8)))
+            b_p = (
+                (b(9), b(10), b(11)),
+                (b(12), b(13), b(14)),
+                (b(15), b(16), b(17)),
+            )
+            nc, lam_c, hit_c = _obb_q_cast(px, py, su_c, bounds=b_c)
+            np_, lam_p, hit_p = _obb_q_cast(px, py, su_p, bounds=b_p)
+            f_c = hit_c.astype(f32) * (nc >= np_).astype(f32)
+            f_p = hit_p.astype(f32) * (1.0 - f_c)
+            lambert = jnp.maximum(f_c * lam_c + (1.0 - f_c) * lam_p, 0.0)
+            shade = _AMBIENT + (1.0 - _AMBIENT) * lambert
+            bgm = 1.0 - f_c - f_p
+            a, bb = f_c * shade, f_p * shade
+            g, s = bgm * gval, bgm * smask
+
+            def pool(f):
+                acc = f[0:stride]
+                for i in range(1, p2):
+                    acc = acc + f[i * stride : (i + 1) * stride]
+                return acc * (1.0 / p2)
+
+            if p2 > 1:
+                a, bb, g, s = pool(a), pool(bb), pool(g), pool(s)
+            outs = []
+            for k in range(3):
+                color = (
+                    CART_COLOR[k] * a + POLE_COLOR[k] * bb + g + SKY_COLOR[k] * s
+                )
+                outs.append(jnp.floor(jnp.clip(color * 255.0 + 0.5, 0.0, 255.0)))
+            return jnp.concatenate(outs)
+
+        return fn, W
 
     if variant in ("affine", "recip", "qraster"):
         basis = ((0.0, 0.9, -0.3), (1.0, 0.0, 0.0), (0.0, 0.3, 0.9))
@@ -264,8 +320,9 @@ def _per_ray_pipeline(variant: str, num_cams=1, p2=4, stride=640):
 def census(variant="current", p2=4, stride=640):
     """Element-weighted op count per shaded ray, from the traced jaxpr."""
     fn, W = _per_ray_pipeline(variant, p2=p2, stride=stride)
+    rows = 22 if variant == "qraster-mxu" else 9
     jaxpr = jax.make_jaxpr(fn)(
-        jnp.zeros((16,), jnp.float32), jnp.zeros((9, W), jnp.float32)
+        jnp.zeros((16,), jnp.float32), jnp.zeros((rows, W), jnp.float32)
     )
 
     total_el = 0
@@ -552,12 +609,12 @@ def main():
     ops_per_ray = None
     if opts.census or opts.ceiling or run_all:
         print("== per-ray op census (traced jaxpr, element-weighted) ==")
-        for variant in ("current", "affine", "recip", "qraster"):
+        for variant in ("current", "affine", "recip", "qraster", "qraster-mxu"):
             ops, prims = census(variant)
             if variant == "qraster":  # the production/bench default kernel
                 ops_per_ray = ops
             top = ", ".join(f"{k}={v:.0f}" for k, v in list(prims.items())[:6])
-            print(f"  {variant:<8} {ops:6.1f} VPU ops/shaded ray   ({top})")
+            print(f"  {variant:<11} {ops:6.1f} VPU ops/shaded ray   ({top})")
 
     if opts.physics_census or run_all:
         print("== physics op census (soa._substep, element-weighted) ==")
