@@ -250,9 +250,11 @@ def eval_rollout(
 def record_eval_episodes(
     config,
     act_fn: Callable,
+    params,
     path: str,
     num_episodes: int = 3,
     seed: int = 0,
+    raster: bool = False,
 ) -> list[int]:
     """Record greedy-policy eval episodes to an event log (host loop).
 
@@ -264,12 +266,15 @@ def record_eval_episodes(
     GIFs then come from the standard CLI:
     ``python -m cartpoleplusplus_tpu.utils.event_log --log-file X --gif-out d``.
 
-    ``act_fn(obs) → action``: greedy policy bound to trained params, taking
-    ONE unbatched observation (the helper adds/strips the batch dim).
+    ``act_fn(params, obs) → action``: greedy policy over a BATCHED
+    observation (the helper adds/strips the batch dim).  ``params`` are the
+    trained weights, passed through as a jit *argument* — never close the
+    jit over device-resident params (the axon tunnel rejects the D2H copy
+    that embedding them as compile-time constants requires).
+    ``raster`` mirrors the training-time ``--render-raster`` backend so
+    pixel policies are recorded on the frames they were trained on.
     Returns the episode lengths.
     """
-    import numpy as np
-
     from cartpoleplusplus_tpu.utils import event_log as event_log_mod
 
     scene = cartpole_mod.scene_for(config)
@@ -279,36 +284,25 @@ def record_eval_episodes(
         # observation pipeline (make_venv wires the same renderer/dtype).
         from cartpoleplusplus_tpu.render import make_observe_pixels
 
-        observe_fn = make_observe_pixels(config, dtype=jnp.uint8)
+        observe_fn = make_observe_pixels(config, dtype=jnp.uint8, raster=raster)
     reset_fn = jax.jit(lambda k: cartpole_mod.reset(config, scene, k, observe_fn))
     step_fn = jax.jit(lambda s, a: cartpole_mod.step(config, scene, s, a, observe_fn))
-    act1 = jax.jit(lambda o: act_fn(o[None])[0])
+    act1 = jax.jit(lambda p, o: act_fn(p, o[None])[0])
+
+    # The host episode loop + event assembly live in random_agent.run_episode
+    # (one owner for the pose/velocity event convention the fidelity
+    # resimulator depends on); here we only swap its random draws for the
+    # trained greedy policy.
+    from cartpoleplusplus_tpu.agents.random_agent import run_episode
 
     log = event_log_mod.EventLog(path)
     rng = jax.random.PRNGKey(seed)
     lengths = []
     for _ in range(num_episodes):
-        rng, k = jax.random.split(rng)
-        state, obs = reset_fn(k)
-        events, done, steps = [], False, 0
-        while not done and steps < config.max_episode_len:
-            action = act1(obs)
-            state, obs, reward, done_arr = step_fn(state, action)
-            done = bool(done_arr)
-            steps += 1
-            pose = np.asarray(
-                jnp.concatenate([state.rigid.pos, state.rigid.quat], axis=-1)
-            )
-            vels = np.concatenate(
-                [np.asarray(state.rigid.vel), np.asarray(state.rigid.ang)],
-                axis=-1,
-            )
-            events.append(
-                event_log_mod.make_event(
-                    pose[0], pose[1], np.asarray(action), float(reward), done,
-                    velocities=vels,
-                )
-            )
+        rng, steps, _, events = run_episode(
+            config, scene, step_fn, reset_fn, rng, collect=True,
+            policy=lambda o: act1(params, o),
+        )
         log.add_episode(events)
         lengths.append(steps)
     log.close()

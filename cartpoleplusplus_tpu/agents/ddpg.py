@@ -211,6 +211,12 @@ def make_segment(
             q, new_aux = jax.vmap(
                 lambda p, x: _apply_train(critic, p, x, s1, a)
             )(c_params, c_aux)
+            # Mean over BOTH axes (canonical TD3 sums the two per-critic
+            # MSEs, i.e. 2x this loss).  The constant factor is absorbed by
+            # Adam's per-parameter normalization, so per-critic update scale
+            # matches the single-critic branch at the same lr; it only
+            # shifts the --grad-clip threshold.  Kept as mean deliberately —
+            # the validated TD3 pixel recipe (BASELINE.md) was tuned here.
             return jnp.mean((q - y[None]) ** 2), new_aux
         q, new_aux = _apply_train(critic, c_params, c_aux, s1, a)
         return jnp.mean((q - y) ** 2), new_aux
@@ -587,8 +593,8 @@ def train(opts) -> float:
         # Reference README-GIF evidence path (SURVEY.md §6): greedy eval
         # episodes → event log; GIFs via utils.event_log --gif-out.
         lens = common.record_eval_episodes(
-            config, lambda o: greedy_act(actor)(st.actor_params, o),
-            opts.event_log_out, seed=opts.seed,
+            config, greedy_act(actor), st.actor_params,
+            opts.event_log_out, seed=opts.seed, raster=opts.render_raster,
         )
         logger.log("event_log", episodes=len(lens), lengths=lens)
     logger.close()

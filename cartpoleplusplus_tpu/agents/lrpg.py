@@ -248,8 +248,8 @@ def train(opts) -> float:
         # Reference README-GIF evidence path (SURVEY.md §6): greedy eval
         # episodes → event log; GIFs via utils.event_log --gif-out.
         lens = common.record_eval_episodes(
-            config, lambda o: greedy_act(policy)(ts.params, o),
-            opts.event_log_out, seed=opts.seed,
+            config, greedy_act(policy), ts.params,
+            opts.event_log_out, seed=opts.seed, raster=opts.render_raster,
         )
         logger.log("event_log", episodes=len(lens), lengths=lens)
     logger.close()

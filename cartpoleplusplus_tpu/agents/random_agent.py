@@ -24,14 +24,18 @@ from cartpoleplusplus_tpu.utils.metrics import MetricsLogger
 
 
 def run_episode(config, scene, step_fn, reset_fn, rng, collect=False,
-                render_fn=None):
-    """Roll one episode with random actions on the host loop.
+                render_fn=None, policy=None):
+    """Roll one episode on the host loop (random actions, or ``policy``).
 
     Host-driven (not fused) on purpose: this tool exists to inspect per-step
     data, matching the reference's usage.  ``render_fn`` (rigid → list of
     (H, W, 3) images) attaches per-camera PNG renders to each event — the
     reference's render-to-event-log path (random_action_agent.py +
-    event_log.py --img-output-dir).
+    event_log.py --img-output-dir).  ``policy(obs) → action`` substitutes a
+    trained greedy policy for the random draws; the event-assembly
+    convention (post-step pose + (2, 6) velocity rows, done-flag alignment)
+    that the fidelity resimulator depends on lives ONLY here —
+    common.record_eval_episodes reuses this loop rather than copying it.
     """
     events = []
     rng, k = jax.random.split(rng)
@@ -39,10 +43,13 @@ def run_episode(config, scene, step_fn, reset_fn, rng, collect=False,
     total_reward, steps = 0.0, 0
     done = False
     while not done and steps < config.max_episode_len:
-        rng, k = jax.random.split(rng)
-        if config.discrete_actions:
+        if policy is not None:
+            action = policy(obs)
+        elif config.discrete_actions:
+            rng, k = jax.random.split(rng)
             action = jax.random.randint(k, (), 0, NUM_DISCRETE_ACTIONS)
         else:
+            rng, k = jax.random.split(rng)
             action = jax.random.uniform(k, (2,), minval=-1.0, maxval=1.0)
         state, obs, reward, done_arr = step_fn(state, action)
         done = bool(done_arr)

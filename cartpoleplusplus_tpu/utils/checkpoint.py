@@ -39,7 +39,10 @@ def strip_replay(tree: Any) -> Any:
 
     def f(x):
         if isinstance(x, ReplayState):
-            empty = lambda a: np.zeros((0,), np.asarray(jax.device_get(a)).dtype)
+            # .dtype reads array metadata only — no device_get here, or the
+            # skip saves the serialization but still pays the multi-GB D2H
+            # fetch the flag exists to avoid.
+            empty = lambda a: np.zeros((0,), np.dtype(a.dtype))
             zero = np.zeros((), np.int32)
             return x.replace(
                 s1=empty(x.s1), action=empty(x.action), reward=empty(x.reward),

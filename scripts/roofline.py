@@ -161,6 +161,11 @@ def _per_ray_pipeline(variant: str, num_cams=1, p2=4, stride=640):
                       fold, shading, and epilogue the VPU still executes
     Returns fn(poses(16,), rays(R, W)) -> (3*stride,) colors.
     """
+    known = ("current", "affine", "recip", "qraster", "qraster-mxu")
+    if variant not in known:
+        # No silent fallthrough: a typo'd variant must not census the
+        # retired r2 pipeline and pass a CI pin against the wrong kernel.
+        raise ValueError(f"unknown census variant {variant!r}; one of {known}")
     from cartpoleplusplus_tpu.render.raycast import (
         CART_COLOR, LIGHT_DIR, POLE_COLOR, SKY_COLOR, _AMBIENT,
         _obb_q_cast, _obb_q_setup, _ray_obb_affine, _ray_obb_q,

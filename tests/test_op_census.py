@@ -28,8 +28,9 @@ import roofline  # noqa: E402
 
 # variant -> (measured census, what would regress it)
 RENDER_PINS = {
-    "slab": 247.3,     # r2 division-free ratio cascade (fallback lineage)
-    "recip": 162.4,    # r3 affine + approx-reciprocal slabs (agents' default)
+    "current": 247.3,  # r2 ratio cascade (historical; census baseline)
+    "recip": 162.4,    # r3 affine + approx-reciprocal slabs (the shipped
+                       # slab-kernel fallback + agents' default)
     "qraster": 110.5,  # r3.5 projective inverse-depth raster (bench default)
     "qraster-mxu": 62.5,  # r3.5 + 18-plane MXU offload (--render-mxu VPU rest)
 }
@@ -48,11 +49,17 @@ def test_render_census_pinned(variant):
 
 def test_render_census_generations_monotonic():
     """Each kernel generation must stay cheaper than its predecessor."""
-    slab, _ = roofline.census("slab")
+    r2, _ = roofline.census("current")
     recip, _ = roofline.census("recip")
     qraster, _ = roofline.census("qraster")
     mxu, _ = roofline.census("qraster-mxu")
-    assert mxu < qraster < recip < slab
+    assert mxu < qraster < recip < r2
+
+
+def test_census_rejects_unknown_variant():
+    """A typo'd variant must raise, not census the wrong pipeline."""
+    with pytest.raises(ValueError):
+        roofline.census("slab")
 
 
 def test_physics_census_pinned():
