@@ -32,8 +32,16 @@ NUM_BODIES = 2
 class SceneParams:
     """All physical constants of the 3-body scene.
 
-    Array fields are leaves (traced), so a single compiled step can serve any
-    parameter setting; in practice they are compile-time constants via closure.
+    Calling convention differs by path.  The AoS reference engine
+    (engine.py) treats every field as a traceable leaf, so a scene may be
+    passed as a jit argument.  The SoA/Pallas HOT paths (soa.py,
+    pallas_step.py) require a HOST-CONCRETE scene: they specialize the
+    compiled program on scalar fields via Python-level branches
+    (``float(scene.linear_damping) != 0`` gates, slot-group constants) —
+    deliberately, both for the op diet and for the axon-tunnel rule that
+    jits must not close over device arrays (CLAUDE.md).  In practice every
+    scene is host numpy from make_scene()/urdf, so this only matters if you
+    try to trace a scene THROUGH the SoA step.
     """
 
     # Geometry (half extents of the two boxes; ground is the z=0 plane).

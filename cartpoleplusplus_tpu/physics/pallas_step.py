@@ -100,9 +100,11 @@ def _phys_repeats_kernel(scene: SceneParams, substeps_per_repeat: int,
             for c in getattr(s, name):
                 poses_ref[row] = c
                 row += 1
-        # Zero the 2 pad columns — the render kernel derives its
-        # layout-anchoring one_col from column 14 (x·0+1), which must not
-        # read uninitialized (possibly NaN) VMEM.
+        # Zero the 2 pad columns.  (Historical: the render kernel once
+        # derived a layout-anchoring ones column from column 14; it now
+        # reads only columns 0-13 and takes its ones row from the rays
+        # block.  Kept zeroed so the 16-wide pose slab never carries
+        # uninitialized VMEM into downstream consumers.)
         poses_ref[row] = zero
         poses_ref[row + 1] = zero
     _pack(out_ref, s)

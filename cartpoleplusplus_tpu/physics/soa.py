@@ -237,6 +237,14 @@ def _substep(scene: SceneParams, s: SoAState, force) -> SoAState:
         s.cart_vel[2] + dt * (g[2] + inv_m[0] * force[2]),
     )
     pole_vel = (s.pole_vel[0], s.pole_vel[1], s.pole_vel[2] + dt * g[2])
+    if float(g[0]) != 0.0 or float(g[1]) != 0.0:
+        # Tilted gravity (URDF/replace_scene can set it; engine.substep
+        # applies the full vector).  Python-gated so the standard vertical-g
+        # scene pays zero extra ops (the census pin holds).
+        cart_vel = (cart_vel[0] + dt * g[0], cart_vel[1] + dt * g[1],
+                    cart_vel[2])
+        pole_vel = (pole_vel[0] + dt * g[0], pole_vel[1] + dt * g[1],
+                    pole_vel[2])
     cart_ang, pole_ang = s.cart_ang, s.pole_ang
     if float(scene.linear_damping) != 0.0:
         d = 1.0 - scene.linear_damping

@@ -2,7 +2,8 @@
 
 Rebuild of the reference's ``p.getCameraImage`` path (Bullet TinyRenderer,
 SURVEY.md §2.2): analytic ray casting in XLA (raycast.py) with a hand-tiled
-Pallas TPU kernel for the hot path (pallas.py), fixed cameras (camera.py).
+Pallas TPU kernel for the hot path (pallas_kernel.py), fixed cameras
+(camera.py).
 """
 
 from cartpoleplusplus_tpu.render.camera import DEFAULT_CAMERAS, Camera, ray_grid

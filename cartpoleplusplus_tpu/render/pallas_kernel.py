@@ -332,7 +332,8 @@ def make_render_repeats(
         frames = planes.reshape(e, r, len(cams) * 3 * n)
         if quantize:
             return frames.astype(jnp.uint8)
-        return frames
+        # Match the XLA float convention ([0,1]); see make_render_batched.
+        return frames * jnp.asarray(1.0 / 255.0, frames.dtype)
 
     return render
 
@@ -350,9 +351,12 @@ def make_render_batched(
     """Batched pallas renderer: (scene, rigid[E]) → flat frames
     (E, C·3·n) with n = pooled pixels per camera (config.obs_pool applied).
 
-    Output layout and quantization match raycast.make_observe_pixels with
-    ``dtype=jnp.uint8`` (plane-major per camera) so the two paths are
-    interchangeable.  E must be a multiple of ``tile_e``.
+    Output layout and quantization match raycast.make_observe_pixels
+    (plane-major per camera) so the two paths are interchangeable: uint8 is
+    bit-matched; float dtypes return [0,1] colors like the XLA path but
+    snapped to the kernel's 1/255 quantization grid (the kernel always
+    rounds in f32 — see the epilogue comment).  E must be a multiple of
+    ``tile_e``.
     """
     cams = (cameras or DEFAULT_CAMERAS)[: config.num_cameras]
     h, w = config.render_height, config.render_width
@@ -402,6 +406,8 @@ def make_render_batched(
         if quantize:
             # Kernel already scaled+rounded to [0,255]; just narrow.
             return frames.astype(jnp.uint8)
-        return frames
+        # Float request: rescale the kernel's [0,255] grid to the XLA
+        # float convention ([0,1] colors) so the backends stay swappable.
+        return frames * jnp.asarray(1.0 / 255.0, frames.dtype)
 
     return render

@@ -401,7 +401,7 @@ def _ray_obb_q(px, py, basis, eye, center, quat, half_extents, light):
     lands on is a PER-ENV decision, so the per-ray work collapses to three
     affine evaluations plus two scaled copies and pure min/max cascades —
     the per-ray sign tests, nudges, and reciprocals of the slab kernel all
-    vanish (census: 162 → ~116 ops/ray; scripts/roofline.py 'qraster').
+    vanish (census: 162 → 110.4 ops/ray; scripts/roofline.py 'qraster').
 
     Returns ``(q, lambert, hit)``: ``q`` is the entry inverse depth (LARGER
     is nearer; exit inverse depth when the eye is inside the box, matching
@@ -462,14 +462,18 @@ def pool_ray_layout(pool: int, height: int, width: int, samples: int = 0):
 def static_background(
     dirs: tuple[np.ndarray, np.ndarray, np.ndarray],
     eye: tuple[float, float, float],
-) -> tuple[np.ndarray, np.ndarray]:
+    return_depth: bool = False,
+):
     """Host-side static background planes: (ground_value, sky_mask), (P,) f32.
 
     The ground-plane depth, checker pattern, and Lambert shade depend only on
     the static rays/eye, so the whole background collapses to two constant
     planes baked at trace time; the compiled per-step work touches only the
     two dynamic boxes.  (Direction length does not matter — the ground hit
-    POINT is scale-invariant.)
+    POINT is scale-invariant.)  ``return_depth`` additionally returns the
+    ground-hit parameter t_g (same direction scale as ``dirs``) for the
+    legacy slab path's ground-occlusion tests — the ONE owner of this math;
+    every backend (ratio/affine/raster/Pallas) bakes its background here.
     """
     ndx, ndy, ndz = (np.asarray(d, np.float32) for d in dirs)
     e = (float(eye[0]), float(eye[1]), float(eye[2]))
@@ -485,6 +489,8 @@ def static_background(
         gvalid, np.where(checker, GROUND_B[0], GROUND_A[0]) * shade_g, 0.0
     ).astype(np.float32)
     sky_mask = (~gvalid).astype(np.float32)
+    if return_depth:
+        return ground_val, sky_mask, t_g
     return ground_val, sky_mask
 
 
@@ -519,7 +525,7 @@ def _render_fields_affine(
     :func:`_ray_obb_affine`.
     ``raster``: cast through the projective inverse-depth rasterizer
     :func:`_ray_obb_q` instead (the round-3.5 algorithm-class op diet —
-    ~116 ops/ray vs 162; ``recip`` is ignored).  Depths compare as inverse
+    110.4 ops/ray vs 162.3, tests/test_op_census.py pins it; ``recip`` is ignored).  Depths compare as inverse
     depth (larger = nearer), already miss-folded inside the cascade.
     """
     gval = jnp.asarray(np.asarray(bg[0], np.float32), dtype)
@@ -606,31 +612,15 @@ def _render_fields(
     axis forced sublane-padded relayouts.  An optimization_barrier pins the
     shared fields so consumer fusions cannot re-duplicate the cascade.
     """
-    # --- Static background, computed host-side in numpy at trace time. ---
-    # Ground-plane depth, checker, and Lambert shade depend only on the
-    # static rays/eye, so the background collapses to two constant planes
-    # (gray ground value + sky indicator); the compiled per-step work
-    # touches only the two dynamic boxes.
-    ndx, ndy, ndz = (np.asarray(d, np.float32) for d in dirs)
-    e = (float(eye[0]), float(eye[1]), float(eye[2]))
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t_g = np.where(np.abs(ndz) > 1e-9, -e[2] / ndz, _BIG)
-    t_g = np.where(t_g > 0.0, t_g, _BIG).astype(np.float32)
-    gx = e[0] + t_g * ndx
-    gy = e[1] + t_g * ndy
-    checker = np.mod(np.floor(gx) + np.floor(gy), 2.0) > 0.5
-    gvalid = t_g < _BIG * 0.5
-    shade_g = _AMBIENT + (1.0 - _AMBIENT) * max(LIGHT_DIR[2], 0.0)
-    # Ground albedo is gray (equal channels), so one static value plane
-    # covers all three channels; sky contributes SKY_k · sky-mask.
-    ground_val = jnp.asarray(
-        np.where(
-            gvalid, np.where(checker, GROUND_B[0], GROUND_A[0]) * shade_g, 0.0
-        ).astype(np.float32),
-        dtype,
-    )
-    sky_mask = jnp.asarray((~gvalid).astype(np.float32), dtype)
-    t_g = jnp.asarray(t_g, dtype)
+    # --- Static background, baked host-side by static_background (the one
+    # owner of the ground/checker/sky model; see its docstring).  Ground
+    # albedo is gray (equal channels), so one static value plane covers all
+    # three channels; sky contributes SKY_k · sky-mask.
+    ground_np, sky_np, t_g_np = static_background(dirs, eye, return_depth=True)
+    ground_val = jnp.asarray(ground_np, dtype)
+    sky_mask = jnp.asarray(sky_np, dtype)
+    t_g = jnp.asarray(t_g_np, dtype)
+    e = (float(eye[0]), float(eye[1]), float(eye[2]))  # ray origin scalars
 
     dx, dy, dz = (jnp.asarray(d, dtype) for d in dirs)
     d = (dx, dy, dz)

@@ -212,3 +212,26 @@ def test_obs_samples_sparse_sampling():
             # Sparse sampling is close to the exact average on this scene.
             d = np.abs(np.asarray(got, np.int32) - np.asarray(exact, np.int32))
             assert d.mean() < 12.0, f"samples={samples} mean diff {d.mean()}"
+
+
+def test_pallas_float_dtype_matches_xla_scale():
+    """Float-dtype Pallas output uses the XLA [0,1] color convention (it was
+    once left on the kernel's internal [0,255] grid — 255x off).  Values
+    agree with the float XLA path up to the kernel's 1/255 quantization."""
+    cfg = CartpoleConfig(
+        use_raw_pixels=True, num_cameras=1,
+        render_width=20, render_height=20,
+    )
+    scene = cartpole_mod.scene_for(cfg)
+    rigid = _pose_batch(scene)
+
+    pallas_f32 = make_render_batched(cfg, dtype=jnp.float32, tile_e=8,
+                                     interpret=True)
+    out = np.asarray(pallas_f32(scene, rigid), np.float32)
+    xla_f32 = make_observe_pixels(cfg, dtype=jnp.float32)
+    ref = np.asarray(jax.vmap(lambda r: xla_f32(scene, r))(rigid), np.float32)
+
+    assert out.max() <= 1.0 + 1e-6
+    diff = np.abs(out - ref)
+    # Quantization grid is 1/255; allow a few silhouette-tie pixels wider.
+    assert (diff <= 1.5 / 255.0).mean() > 0.999

@@ -156,3 +156,32 @@ def test_soa_matches_aos_randomized_fuzz(scene):
             atol=tol,
             err_msg=field,
         )
+
+
+def test_soa_matches_aos_tilted_gravity():
+    """SceneParams.gravity is a public (3,) field; a tilted vector must move
+    cart AND pole identically in both paths (the x/y components were once
+    silently dropped by the SoA substep)."""
+    from cartpoleplusplus_tpu.physics.bodies import make_scene, replace_scene
+
+    tilted = replace_scene(
+        make_scene(), gravity=np.array([1.5, -0.8, -9.81], np.float32)
+    )
+    states, forces = make_cases(tilted)
+    n = 30
+    aos = jax.jit(
+        jax.vmap(lambda s, f: engine.step_substeps(tilted, s, f, n))
+    )(states, forces)
+    out = jax.jit(lambda s, f: soa.step_substeps_batched(tilted, s, f, n))(
+        states, forces
+    )
+    # The free-fall case must show lateral drift (gravity x/y actually
+    # applied), not just match a gravity-less trajectory.
+    assert float(jnp.abs(out.vel[0, :, 0]).min()) > 0.05
+    for field, tol in (("pos", 1e-4), ("quat", 1e-4), ("vel", 5e-3)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, field)),
+            np.asarray(getattr(aos, field)),
+            atol=tol,
+            err_msg=field,
+        )
