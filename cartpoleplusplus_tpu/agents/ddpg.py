@@ -372,8 +372,16 @@ def make_segment(
                 st.target_actor_params, st.target_critic_params,
                 st.actor_opt, st.critic_opt,
             )
+            # Gate on the buffer actually being warm, not just the step
+            # counter: after a --ckpt-skip-replay resume env_steps restores
+            # large but the buffer is empty — without the size check the
+            # first post-resume updates would train on unwritten zero rows.
+            # Fresh runs are unaffected (size >= min_fill exactly when
+            # env_steps > warmup_steps).
+            min_fill = min(warmup_steps * venv.num_envs,
+                           st.replay.capacity - venv.num_envs)
             bundle, losses = jax.lax.cond(
-                st.env_steps > warmup_steps,
+                (st.env_steps > warmup_steps) & (st.replay.size >= min_fill),
                 lambda b: train_once(b, batch, k_aug, st.env_steps),
                 lambda b: (b, {"critic_loss": jnp.zeros(()), "actor_loss": jnp.zeros(())}),
                 bundle,
@@ -521,7 +529,8 @@ def train(opts) -> float:
         mesh = make_mesh(opts.num_devices)
         local_venv = common.make_venv(
             config, opts.num_envs // opts.num_devices,
-            pallas_render=False, pallas_physics=False,
+            pallas_render=getattr(opts, "pallas_render", False),
+            pallas_physics=getattr(opts, "pallas_physics", False),
             render_raster=getattr(opts, "render_raster", False),
         )
         build, shard_state = make_distributed_segment(

@@ -180,8 +180,13 @@ def make_segment(
             )
             batch = replay_mod.sample(st.replay, k_sample, batch_size)
             bundle = (st.params, st.target_params, st.opt)
+            # Replay-warm gate (see ddpg.py): after a --ckpt-skip-replay
+            # resume the buffer is empty though env_steps is large; don't
+            # train until it refills.  Fresh runs unaffected.
+            min_fill = min(warmup_steps * venv.num_envs,
+                           st.replay.capacity - venv.num_envs)
             bundle, losses = jax.lax.cond(
-                st.env_steps > warmup_steps,
+                (st.env_steps > warmup_steps) & (st.replay.size >= min_fill),
                 lambda b: train_once(b, batch),
                 lambda b: (b, {"loss": jnp.zeros(())}),
                 bundle,

@@ -61,7 +61,8 @@ def rollout_batch(venv: VectorCartpole, policy: DiscretePolicy, params, rng):
         logits = policy.apply(params, obs)
         action = jax.random.categorical(k, logits)
         nstates, nobs, reward, done = cartpole_mod.step_batched(
-            venv.config, venv.scene, states, action, venv.observe_fn
+            venv.config, venv.scene, states, action, venv.observe_fn,
+            venv.observe_batched_fn, venv.physics_fn, venv.sim_fn,
         )
         out = (obs, action, reward, alive)
         return (nstates, nobs, alive & ~done), out

@@ -121,7 +121,9 @@ class CartpoleConfig:
     def pixel_obs_shape(self) -> tuple[int, int]:
         """(repeats, cameras·H'·W'·3) flat RGB, H'/W' = render dims ÷ obs_pool.
 
-        Flat per-frame layout (pixel-major per camera, cameras concatenated)
+        Flat per-frame layout (PLANE-major per camera:
+        [cam0 R plane | cam0 G | cam0 B | cam1 R | …], row-major pixels
+        within each plane, cameras concatenated)
         — image-shaped observations would be lane-padded 3→128 by TPU tiling
         on every materialization in the fused loop; see render/raycast.py.
         Use render.frame_to_images for host-side viewing.

@@ -31,6 +31,7 @@ Two storage modes:
 
 from __future__ import annotations
 
+import sys
 from typing import Tuple
 
 import jax
@@ -75,6 +76,24 @@ def create(
     """
     if block < 0 or block >= capacity:
         raise ValueError(f"block {block} must be in [0, capacity={capacity})")
+    if block and capacity % block:
+        trimmed = (capacity // block) * block
+        if trimmed > block:
+            # Keep the aligned in-place write path (see add_batch): a
+            # capacity that isn't a block multiple would push EVERY insert
+            # onto the scatter path — for pixel buffers that is a
+            # whole-buffer materialization per env step.  Trimming loses
+            # <1 block of capacity; the default agent capacities (100000)
+            # are not multiples of num_envs, so this fires routinely.
+            print(
+                f"# replay: capacity {capacity} -> {trimmed} "
+                f"(multiple of insertion block {block}; aligned write path)",
+                file=sys.stderr,
+            )
+            capacity = trimmed
+        # else: only one block fits after trimming — keep the requested
+        # capacity and let add_batch's scatter path handle it (correct,
+        # just not in-place).
     s2_shape = (0,) if block else (capacity,) + obs_shape
     return ReplayState(
         s1=jnp.zeros((capacity,) + obs_shape, obs_dtype),
@@ -111,19 +130,23 @@ def add_batch(
     cap = replay.capacity
     updates = {"cursor": (replay.cursor + b) % cap,
                "size": jnp.minimum(replay.size + b, cap)}
-    if cap % b == 0:
-        # Aligned fast path: the cursor starts at 0 and advances by b, so a
-        # batch never wraps mid-write — one contiguous dynamic_update_slice
-        # per field.  This is what keeps the fused loop fast: XLA updates the
+    if replay.block and cap % b == 0:
+        # Aligned fast path: in s2-free mode every insert is exactly one
+        # ``block`` (enforced above) and create() trims capacity to a block
+        # multiple, so the cursor is always a multiple of b and a batch
+        # never wraps mid-write — one contiguous dynamic_update_slice per
+        # field.  This is what keeps the fused loop fast: XLA updates the
         # donated buffer in place, whereas a general scatter with computed
         # indices can force a full-buffer materialisation per step (for
         # pixel observations that is hundreds of MB per env step).
+        # Explicit-s2 mode (block=0) always scatters: its public add()/
+        # add_batch mix can leave the cursor unaligned, and a clamped
+        # dynamic_update_slice at an unaligned cursor would silently
+        # overwrite the wrong slots instead of wrapping.
         def upd(buf, val):
             start = (replay.cursor,) + (jnp.zeros((), jnp.int32),) * (buf.ndim - 1)
             return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype), start)
 
-        if not replay.block:
-            updates["s2"] = upd(replay.s2, s2)
         return replay.replace(
             s1=upd(replay.s1, s1),
             action=upd(replay.action, action),

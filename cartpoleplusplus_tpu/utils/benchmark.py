@@ -218,16 +218,19 @@ def run(opts) -> dict:
     except Exception as e:
         if not (getattr(opts, "render_raster", False) and not opts.lowdim):
             raise
-        print(f"# raster kernel failed on this backend ({type(e).__name__}); "
-              "falling back to the slab kernel", file=sys.stderr)
+        print(f"# warmup failed with the raster kernel enabled "
+              f"({type(e).__name__}: {e}); retrying with the slab kernel",
+              file=sys.stderr)
         import copy
 
-        _RASTER_REJECTED = True  # don't pay a failed compile per bench row
         opts = copy.copy(opts)
         opts.render_raster = False
         st, segment = build(opts)
-        st, m = segment(st)
-        float(m["reward"])
+        st, m = segment(st)  # an unrelated failure re-raises HERE with its
+        float(m["reward"])   # real traceback, and no sticky flag is set
+        # Only a SUCCESSFUL slab rerun proves the raster kernel was the
+        # problem; now skip the failed compile on later rows this process.
+        _RASTER_REJECTED = True
 
     if opts.trace_dir:
         jax.profiler.start_trace(opts.trace_dir)

@@ -144,6 +144,10 @@ def read_records(path: str, force_python: bool = False) -> Iterator[bytes]:
                 header = f.read(4)
                 if not header:
                     return
+                if len(header) < 4:
+                    # Writer died mid-header: surface the same IOError the
+                    # native reader maps its -4 to, not a struct.error.
+                    raise IOError("truncated record")
                 (n,) = _U32.unpack(header)
                 data = f.read(n)
                 if len(data) < n:

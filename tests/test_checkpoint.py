@@ -170,3 +170,40 @@ def test_sharded_save_restores_onto_fresh_mesh(tmp_path):
     st2 = shard_state(st2)
     st2, metrics = segment(st2)
     assert np.isfinite(float(np.asarray(metrics["reward"])))
+
+
+def test_skip_replay_resume_rewarms_before_training(tmp_path):
+    """After a --ckpt-skip-replay resume the buffer is empty even though
+    env_steps restored large; the train gate must wait for the buffer to
+    actually re-fill (min_fill transitions) instead of taking gradient
+    steps on unwritten zero rows (review finding, round 3)."""
+    from cartpoleplusplus_tpu.agents import ddpg
+
+    opts = _ddpg_opts(tmp_path, 2)
+    opts.ckpt_skip_replay = True
+    opts.warmup_steps = 5  # min_fill = 5 steps x 4 envs = 20 transitions
+    ddpg.train(opts)
+    before = ckpt.load_raw(str(tmp_path), 2)
+
+    # One resumed segment = 3 steps x 4 envs = 12 < 20 transitions: the
+    # buffer is not warm yet, so params must come through bit-identical.
+    opts3 = _ddpg_opts(tmp_path, 3)
+    opts3.ckpt_skip_replay = True
+    opts3.warmup_steps = 5
+    ddpg.train(opts3)
+    after = ckpt.load_raw(str(tmp_path), 3)
+    a0 = jax.tree.leaves(before["actor_params"])
+    a1 = jax.tree.leaves(after["actor_params"])
+    for x, y in zip(a0, a1):
+        np.testing.assert_array_equal(x, y)
+
+    # Two more segments push the refill past min_fill: training resumes.
+    opts5 = _ddpg_opts(tmp_path, 5)
+    opts5.ckpt_skip_replay = True
+    opts5.warmup_steps = 5
+    ddpg.train(opts5)
+    final = ckpt.load_raw(str(tmp_path), 5)
+    f = jax.tree.leaves(final["actor_params"])
+    assert any(
+        not np.array_equal(x, y) for x, y in zip(a0, f)
+    ), "training never resumed after the buffer re-warmed"
