@@ -192,8 +192,11 @@ class NAFNetwork(nn.Module):
     # runaway mode seen in round 1 (loss 2.8 → 17 across seeds).  A clamp
     # preserves the NAF parameterization (P stays PD) while capping the
     # advantage's sharpness; gradients still flow inside the bounds.
-    LOG_DIAG_MIN: float = -5.0
-    LOG_DIAG_MAX: float = 2.0
+    # Deliberately UNannotated: an annotation would make these linen
+    # dataclass fields, accepting per-instance overrides that the static
+    # clamp below would silently ignore.
+    LOG_DIAG_MIN = -5.0
+    LOG_DIAG_MAX = 2.0
 
     @staticmethod
     def lower_triangular(l_flat: jnp.ndarray, action_dim: int) -> jnp.ndarray:

@@ -157,9 +157,13 @@ class ObsEncoder(nn.Module):
             if self.pixel_encoder == "conv":
                 # height/width are the dims the obs pipeline carries — after
                 # env-side config.obs_pool (thread config.obs_height/width).
-                x = pixels_to_nhwc(
-                    obs, batched=True, height=self.height, width=self.width
-                )
+                h, w = self.height, self.width
+                if self.pixel_pool > 1:
+                    # Same network-side pool as the dense branch (it was
+                    # once silently ignored here — a dead knob).
+                    obs = self._pool(obs.astype(self.dtype))
+                    h, w = h // self.pixel_pool, w // self.pixel_pool
+                x = pixels_to_nhwc(obs, batched=True, height=h, width=w)
                 x = ConvTrunk(self.conv_features, dtype=self.dtype)(x)
             else:
                 if self.pixel_pool > 1:

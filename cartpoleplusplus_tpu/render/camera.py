@@ -76,28 +76,15 @@ def ray_grid(camera: Camera, height: int, width: int) -> tuple[np.ndarray, np.nd
     """Static (H*W, 3) ray directions + (3,) origin, host-side numpy.
 
     Rays pass through pixel centers; the image is row-major with row 0 at the
-    TOP of the image (matching PNG/Bullet conventions).
+    TOP of the image (matching PNG/Bullet conventions).  Derived from
+    :func:`ray_coords` (the one owner of the camera-basis math) by expanding
+    the affine form ``d = fwd + px·right + py·up`` and normalizing.
     """
-    eye = np.asarray(camera.eye, np.float32)
-    target = np.asarray(camera.target, np.float32)
-    up = np.asarray(camera.up, np.float32)
-
-    fwd = target - eye
-    fwd = fwd / np.linalg.norm(fwd)
-    right = np.cross(fwd, up)
-    right = right / np.linalg.norm(right)
-    cam_up = np.cross(right, fwd)
-
-    tan_half = np.tan(np.radians(camera.fov_deg) * 0.5)
-    aspect = width / height
-    # Pixel-center NDC coords in [-1, 1].
-    ys = (1.0 - 2.0 * (np.arange(height) + 0.5) / height) * tan_half
-    xs = (2.0 * (np.arange(width) + 0.5) / width - 1.0) * tan_half * aspect
-    gx, gy = np.meshgrid(xs, ys)  # (H, W)
+    px, py, (fwd, right, cam_up), eye = ray_coords(camera, height, width)
     dirs = (
-        fwd[None, None]
-        + gx[..., None] * right[None, None]
-        + gy[..., None] * cam_up[None, None]
+        np.asarray(fwd, np.float32)[None]
+        + px[:, None] * np.asarray(right, np.float32)[None]
+        + py[:, None] * np.asarray(cam_up, np.float32)[None]
     )
     dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
-    return dirs.reshape(-1, 3).astype(np.float32), eye
+    return dirs.astype(np.float32), np.asarray(eye, np.float32)

@@ -114,8 +114,11 @@ def main():
         rigid = states.rigid
         force = jnp.zeros((num_envs, 3), jnp.float32)
 
+        # force is an ARGUMENT, not a closure constant: jits must not close
+        # over device arrays (CLAUDE.md — the tunnel rejects the D2H copy
+        # that embedding them as compile-time constants requires).
         @jax.jit
-        def physics_only(rigid):
+        def physics_only(rigid, force):
             def body(r, _):
                 r = physics(scene, r, force, substeps_per_step)
                 return r, None
@@ -128,7 +131,14 @@ def main():
                 rigid, acc = carry
                 def rep(r2, _):
                     frame = observe_b(scene, r2)
-                    return r2, jnp.sum(frame[:, :8].astype(jnp.float32))
+                    s = jnp.sum(frame[:, :8].astype(jnp.float32))
+                    # Feed the frame back into the pose so the 3-repeat
+                    # scan body is NOT loop-invariant — otherwise XLA's
+                    # while-loop LICM hoists the render and this row
+                    # measures ~1 frame instead of action_repeats frames
+                    # (same trap bench_render_micro.py documents).
+                    r2 = r2.replace(pos=r2.pos + s * 1e-12)
+                    return r2, s
                 _, accs = jax.lax.scan(rep, rigid, None,
                                        length=cfg.action_repeats)
                 acc = jnp.sum(accs) * 1e-12
@@ -173,7 +183,7 @@ def main():
             return st, m["reward"]
         t_full = _time(full_fn, st_f, opts.iters)
 
-        t_phys = _time(physics_only, rigid, opts.iters)
+        t_phys = _time(lambda r: physics_only(r, force), rigid, opts.iters)
         t_rend = 0.0 if opts.lowdim else _time(render_only, rigid, opts.iters)
 
         def row(name, t):

@@ -47,9 +47,13 @@ step() {
 }
 
 # --- 1. low-dim op-diet remeasure + env-scaling race -----------------------
-step lowdim_4096 python bench.py --lowdim --num-envs 4096
-step lowdim_8192 python bench.py --lowdim --num-envs 8192
-step lowdim_16384 python bench.py --lowdim --num-envs 16384
+# --replay-capacity scales with envs (2 blocks): the default 8192 would
+# silently drop the 8192/16384-env rows off the s2-free aligned replay
+# path (common.replay_block needs envs < capacity), confounding the
+# scaling race with a replay-configuration change.
+step lowdim_4096 python bench.py --lowdim --num-envs 4096 --replay-capacity 8192
+step lowdim_8192 python bench.py --lowdim --num-envs 8192 --replay-capacity 16384
+step lowdim_16384 python bench.py --lowdim --num-envs 16384 --replay-capacity 32768
 
 # --- 1.5 raster-vs-slab render kernel race (round-3.5 op diet) --------------
 # The projective inverse-depth rasterizer (raycast._ray_obb_q) is the new
@@ -128,21 +132,9 @@ step cell_2cam_s1 python bench.py --single --num-cameras 2 --obs-samples 1
 # Same compiled shapes as the sweep (warm cache), longer horizon: the cosine
 # lr + OU anneal stretch with --num-train-batches, and the 15000-segment runs
 # were still climbing at cutoff (finals 127/110, peaks 133).  Seeded from the
-# best completed final.
-BEST2=$(python - <<'PY'
-import glob, json
-best, bseed = -1.0, 0
-for f in glob.glob("runs/ddpg_pixels_td3_s[0-9].jsonl"):
-    last = None
-    for line in open(f):
-        rec = json.loads(line)
-        if rec.get("event") == "train":
-            last = rec
-    if last and last["eval_ep_rew"] > best:
-        best, bseed = last["eval_ep_rew"], int(f[-7])
-print(bseed)
-PY
-)
+# best completed final — same selection as step 5 (no sweep files are
+# written between them), so reuse $BEST rather than duplicating the logic.
+BEST2=$BEST
 note "push seed: $BEST2"
 T=5400 step td3_push timeout 5300 python -m cartpoleplusplus_tpu.agents.ddpg \
   --use-raw-pixels --num-cameras 2 --obs-pool 2 --pixel-encoder conv \

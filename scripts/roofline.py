@@ -91,9 +91,21 @@ def measure_vpu(iters=60000, shape=(512, 1280)):
             return run
 
         x = jnp.full(shape, 1.001, dtype)
-        t1 = _time_call(make(n_iters), x)
-        t2 = _time_call(make(2 * n_iters), x)
-        rate = ops_per_iter * n_iters * el / max(t2 - t1, 1e-9)
+        # Differential timing cancels launch/enqueue overhead, but a jitter
+        # spike can make the 2N run no slower than the N run — retry rather
+        # than divide by a clamped epsilon and report an absurd rate.
+        for attempt in range(4):
+            t1 = _time_call(make(n_iters), x)
+            t2 = _time_call(make(2 * n_iters), x)
+            if t2 - t1 > 0.2 * t1:
+                break
+            print(f"#   non-positive/noisy delta (t1={t1:.4f}s t2={t2:.4f}s),"
+                  f" retry {attempt + 1}", file=sys.stderr)
+        else:
+            raise RuntimeError(
+                f"VPU timing never stabilized (t1={t1:.4f}s t2={t2:.4f}s)"
+            )
+        rate = ops_per_iter * n_iters * el / (t2 - t1)
         return ops_per_iter, rate
 
     # 2 ops/el/iter: the classic fma chain.
@@ -453,8 +465,11 @@ def cull_dynamic(num_envs=256, steps=200, pool=2, verbose=True):
     )  # (8, 3)
 
     def q_to_mat(q):
-        # (E, 4) xyzw → (E, 3, 3)
-        x, y, z, w_ = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        # (E, 4) WXYZ → (E, 3, 3); the repo stores quats wxyz everywhere
+        # (physics/soa.q_to_mat, event_log 'quat wxyz').  An earlier xyzw
+        # unpack here misrotated every box and corrupted the published
+        # cullable-fraction numbers (re-measured below after the fix).
+        w_, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
         return np.stack([
             np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w_), 2 * (x * z + y * w_)], -1),
             np.stack([2 * (x * y + z * w_), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w_)], -1),
