@@ -290,48 +290,70 @@ def main(argv=None):
 
     import copy
 
+    def run_retry(o, attempts=3, wait=60):
+        """One bench row, retried on transient failures.
+
+        The driver's round-end BENCH run is one-shot over the remote
+        tunnel; a single enqueue hiccup must cost a retry, not the whole
+        headline JSON.  A row that still fails after ``attempts`` is
+        dropped (reported on stderr) and the remaining rows are emitted.
+        """
+        for i in range(attempts):
+            try:
+                return run(copy.copy(o))
+            except Exception as e:  # tunnel flake, transient OOM, …
+                print(f"# bench row failed (attempt {i + 1}/{attempts}): "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+                if i + 1 < attempts:
+                    time.sleep(wait)
+        return None
+
     # Headline: BASELINE.json config 5 — dual camera, samples=2 antialiased
     # pooled obs (learning-equivalence evidence in BASELINE.md round 2).
     o5 = copy.copy(opts)
     o5.num_cameras, o5.obs_samples = 2, 2
-    r5 = run(o5)
+    r5 = run_retry(o5)
     # Secondary: the single-camera exact-average render (rounds 1-2 headline).
     o1 = copy.copy(opts)
     o1.num_cameras, o1.obs_samples = 1, 0
-    r1 = run(o1)
+    r1 = run_retry(o1)
     # Speed row: point-sampled pooled obs — the sanctioned ray-count lever
     # (BASELINE.md round-3 roofline: throughput is VPU-bound and linear in
     # shaded rays; 10M at exact 50×50 is infeasible in this algorithm class).
     os1 = copy.copy(opts)
     os1.num_cameras, os1.obs_samples = 1, 1
-    rs1 = run(os1)
+    rs1 = run_retry(os1)
     # Low-dim row: the sim+learn loop with no renderer — the other half of
     # the north star ("batched env steps/sec"), where the round-3 physics
     # op diet moved the ceiling (BASELINE.md physics-census section).
     old = copy.copy(opts)
     old.lowdim = True
-    rld = run(old)
+    rld = run_retry(old)
 
+    labeled = [
+        (r5, "2cam_samples2 (BASELINE config 5, production)", "_2cam_s2"),
+        (r1, "1cam_exact (r1/r2 headline)", "_1cam_exact"),
+        (rs1, "1cam_samples1 (ray-count speed config)", "_1cam_s1"),
+        (rld, "lowdim (sim+learn, no renderer)", "_lowdim"),
+    ]
+    done = [(r, label, tag) for r, label, tag in labeled if r is not None]
+    if not done:
+        raise SystemExit("all bench rows failed")
+    head, _, head_tag = done[0]  # config-5 headline; best surviving row else
     out = {
-        "metric": r5["metric"] + "_2cam_s2",
-        "value": r5["value"],
-        "unit": r5["unit"],
-        "vs_baseline": r5["vs_baseline"],
+        "metric": head["metric"] + head_tag,
+        "value": head["value"],
+        "unit": head["unit"],
+        "vs_baseline": head["vs_baseline"],
         "rows": [
-            {"config": "2cam_samples2 (BASELINE config 5, production)",
-             "value": r5["value"], "vs_baseline": r5["vs_baseline"]},
-            {"config": "1cam_exact (r1/r2 headline)",
-             "value": r1["value"], "vs_baseline": r1["vs_baseline"]},
-            {"config": "1cam_samples1 (ray-count speed config)",
-             "value": rs1["value"], "vs_baseline": rs1["vs_baseline"]},
-            {"config": "lowdim (sim+learn, no renderer)",
-             "value": rld["value"], "vs_baseline": rld["vs_baseline"]},
+            {"config": label, "value": r["value"],
+             "vs_baseline": r["vs_baseline"]}
+            for r, label, _ in done
         ],
     }
     print(json.dumps(out))
     meta = {
-        k: v for d in (r5, r1, rs1, rld) for k, v in d.items()
-        if k.startswith("_")
+        k: v for d, _, _ in done for k, v in d.items() if k.startswith("_")
     }
     print(f"# {meta}", file=sys.stderr)
 
