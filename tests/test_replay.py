@@ -156,3 +156,25 @@ def test_s2_free_block_mismatch_raises():
     with pytest.raises(ValueError):
         add_batch(replay, jnp.zeros((2, 1)), jnp.zeros(2), jnp.zeros(2),
                   None, jnp.zeros(2, bool))
+
+
+def test_create_trims_capacity_to_block_multiple():
+    """create() trims capacity down to a block multiple so the aligned
+    in-place write path engages (default agent capacities like 100000 are
+    not multiples of num_envs); one-block edge keeps the requested size."""
+    r = create(capacity=100, obs_shape=(3,), action_shape=(), block=8)
+    assert r.capacity == 96
+    # Still works end to end across the trimmed ring.
+    for t in range(14):  # 14 * 8 = 112 > 96: wraps
+        r = add_batch(
+            r,
+            jnp.full((8, 3), float(t)),
+            jnp.zeros(8), jnp.full((8,), float(t)), None,
+            jnp.zeros(8, bool),
+        )
+    assert int(r.size) == 96 and int(r.cursor) == 112 % 96
+
+    # Fewer than two blocks after trimming: capacity is kept as requested
+    # (scatter path, still correct).
+    r2 = create(capacity=12, obs_shape=(3,), action_shape=(), block=8)
+    assert r2.capacity == 12
