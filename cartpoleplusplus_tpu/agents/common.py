@@ -208,6 +208,23 @@ def replay_block(opts, num_envs: int) -> int:
     return local_envs if 0 < local_envs < local_cap else 0
 
 
+def replay_min_fill(warmup_steps: int, num_envs: int, capacity: int) -> int:
+    """Transitions the replay must hold before the train gate may open.
+
+    The agents gate each update on BOTH the step counter and this fill
+    level, so a --ckpt-skip-replay resume (env_steps large, buffer empty)
+    re-warms for the fresh-run warmup duration instead of training on
+    unwritten rows.  (warmup_steps + 1)·num_envs matches a fresh run's
+    first train step exactly — env_steps > warmup first holds at
+    warmup_steps + 1 steps — and keeps the resumed gate from opening one
+    vector-step early, where s2-free sampling's clamped index 0 would pair
+    a real s1 with an unwritten zero successor.  Capped at one block below
+    capacity so small buffers can still train (the newest block is always
+    excluded from sampling).
+    """
+    return min((warmup_steps + 1) * num_envs, capacity - num_envs)
+
+
 def eval_rollout(
     venv: VectorCartpole,
     act_fn: Callable,  # (params, obs[E, ...]) -> greedy action[E, ...]

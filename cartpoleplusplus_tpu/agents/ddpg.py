@@ -373,13 +373,10 @@ def make_segment(
                 st.actor_opt, st.critic_opt,
             )
             # Gate on the buffer actually being warm, not just the step
-            # counter: after a --ckpt-skip-replay resume env_steps restores
-            # large but the buffer is empty — without the size check the
-            # first post-resume updates would train on unwritten zero rows.
-            # Fresh runs are unaffected (size >= min_fill exactly when
-            # env_steps > warmup_steps).
-            min_fill = min(warmup_steps * venv.num_envs,
-                           st.replay.capacity - venv.num_envs)
+            # counter (--ckpt-skip-replay resume; see replay_min_fill).
+            min_fill = common.replay_min_fill(
+                warmup_steps, venv.num_envs, st.replay.capacity
+            )
             bundle, losses = jax.lax.cond(
                 (st.env_steps > warmup_steps) & (st.replay.size >= min_fill),
                 lambda b: train_once(b, batch, k_aug, st.env_steps),
@@ -603,7 +600,8 @@ def train(opts) -> float:
         # episodes → event log; GIFs via utils.event_log --gif-out.
         lens = common.record_eval_episodes(
             config, greedy_act(actor), st.actor_params,
-            opts.event_log_out, seed=opts.seed, raster=opts.render_raster,
+            opts.event_log_out, seed=opts.seed,
+            raster=getattr(opts, "render_raster", False),
         )
         logger.log("event_log", episodes=len(lens), lengths=lens)
     logger.close()

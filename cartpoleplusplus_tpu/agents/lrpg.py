@@ -250,7 +250,8 @@ def train(opts) -> float:
         # episodes → event log; GIFs via utils.event_log --gif-out.
         lens = common.record_eval_episodes(
             config, greedy_act(policy), ts.params,
-            opts.event_log_out, seed=opts.seed, raster=opts.render_raster,
+            opts.event_log_out, seed=opts.seed,
+            raster=getattr(opts, "render_raster", False),
         )
         logger.log("event_log", episodes=len(lens), lengths=lens)
     logger.close()

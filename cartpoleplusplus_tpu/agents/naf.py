@@ -171,11 +171,11 @@ def make_segment(
             )
             batch = replay_mod.sample(st.replay, k_sample, batch_size)
             bundle = (st.variables, st.target_variables, st.opt)
-            # Replay-warm gate (see ddpg.py): after a --ckpt-skip-replay
-            # resume the buffer is empty though env_steps is large; don't
-            # train until it refills.  Fresh runs unaffected.
-            min_fill = min(warmup_steps * venv.num_envs,
-                           st.replay.capacity - venv.num_envs)
+            # Replay-warm gate (--ckpt-skip-replay resume; see
+            # common.replay_min_fill).
+            min_fill = common.replay_min_fill(
+                warmup_steps, venv.num_envs, st.replay.capacity
+            )
             bundle, losses = jax.lax.cond(
                 (st.env_steps > warmup_steps) & (st.replay.size >= min_fill),
                 lambda b: train_once(b, batch),
@@ -354,7 +354,8 @@ def train(opts) -> float:
         # episodes → event log; GIFs via utils.event_log --gif-out.
         lens = common.record_eval_episodes(
             config, greedy_act(net), st.variables,
-            opts.event_log_out, seed=opts.seed, raster=opts.render_raster,
+            opts.event_log_out, seed=opts.seed,
+            raster=getattr(opts, "render_raster", False),
         )
         logger.log("event_log", episodes=len(lens), lengths=lens)
     logger.close()

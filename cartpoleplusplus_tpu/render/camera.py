@@ -48,6 +48,27 @@ def ray_coords(camera: Camera, height: int, width: int):
     normalized direction rows, and the box-frame direction becomes
     ``A + B·px + C·py`` with per-env scalar coefficients.
     """
+    gx, gy, (fwd, right, cam_up), eye = _basis_and_coords(
+        camera, height, width
+    )
+    basis = (tuple(float(v) for v in fwd), tuple(float(v) for v in right),
+             tuple(float(v) for v in cam_up))
+    return (
+        gx.astype(np.float32),
+        gy.astype(np.float32),
+        basis,
+        tuple(float(v) for v in eye),
+    )
+
+
+def _basis_and_coords(camera: Camera, height: int, width: int):
+    """Shared camera-basis derivation (the ONE owner of this math).
+
+    Returns ``(px, py, (fwd, right, cam_up), eye)`` with ``px``/``py``
+    float64 flattened tan-scaled screen coords and the basis rows float32
+    (matching the historical per-function derivations bit-for-bit: the
+    basis was always computed in f32, the screen coords in f64).
+    """
     eye = np.asarray(camera.eye, np.float32)
     target = np.asarray(camera.target, np.float32)
     up = np.asarray(camera.up, np.float32)
@@ -62,14 +83,7 @@ def ray_coords(camera: Camera, height: int, width: int):
     ys = (1.0 - 2.0 * (np.arange(height) + 0.5) / height) * tan_half
     xs = (2.0 * (np.arange(width) + 0.5) / width - 1.0) * tan_half * aspect
     gx, gy = np.meshgrid(xs, ys)
-    basis = (tuple(float(v) for v in fwd), tuple(float(v) for v in right),
-             tuple(float(v) for v in cam_up))
-    return (
-        gx.reshape(-1).astype(np.float32),
-        gy.reshape(-1).astype(np.float32),
-        basis,
-        tuple(float(v) for v in eye),
-    )
+    return gx.reshape(-1), gy.reshape(-1), (fwd, right, cam_up), eye
 
 
 def ray_grid(camera: Camera, height: int, width: int) -> tuple[np.ndarray, np.ndarray]:
@@ -77,14 +91,18 @@ def ray_grid(camera: Camera, height: int, width: int) -> tuple[np.ndarray, np.nd
 
     Rays pass through pixel centers; the image is row-major with row 0 at the
     TOP of the image (matching PNG/Bullet conventions).  Derived from
-    :func:`ray_coords` (the one owner of the camera-basis math) by expanding
-    the affine form ``d = fwd + px·right + py·up`` and normalizing.
+    :func:`_basis_and_coords` (the one owner of the camera-basis math) by
+    expanding the affine form ``d = fwd + px·right + py·up`` in float64 —
+    the historical accumulation precision, so baked rays stay bit-identical
+    to previously recorded goldens — and normalizing.
     """
-    px, py, (fwd, right, cam_up), eye = ray_coords(camera, height, width)
+    px, py, (fwd, right, cam_up), eye = _basis_and_coords(
+        camera, height, width
+    )
     dirs = (
-        np.asarray(fwd, np.float32)[None]
-        + px[:, None] * np.asarray(right, np.float32)[None]
-        + py[:, None] * np.asarray(cam_up, np.float32)[None]
+        fwd[None]
+        + px[:, None] * right[None]
+        + py[:, None] * cam_up[None]
     )
     dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
-    return dirs.astype(np.float32), np.asarray(eye, np.float32)
+    return dirs.astype(np.float32), eye

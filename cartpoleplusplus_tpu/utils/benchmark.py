@@ -199,48 +199,63 @@ _RASTER_REJECTED = False  # sticky: one backend rejection skips later retries
 
 def run(opts) -> dict:
     global _RASTER_REJECTED
-    if _RASTER_REJECTED and getattr(opts, "render_raster", False):
-        import copy
+    import copy
 
+    if _RASTER_REJECTED and getattr(opts, "render_raster", False):
         opts = copy.copy(opts)
         opts.render_raster = False
-    st, segment = build(opts)
 
-    # Warm up (compile + one segment); synchronize by FETCHING a scalar —
-    # under remote-execution runtimes block_until_ready returns at enqueue.
-    # The raster render kernel's Mosaic BACKEND compile only happens here on
-    # real hardware (its front-end lowering is pinned in CI); if the chip
-    # rejects it, fall back to the validated slab kernel rather than brick
-    # the bench.
-    try:
+    def build_and_warm(o):
+        # Build + warm one segment; synchronize by FETCHING a scalar —
+        # under remote-execution runtimes block_until_ready returns at
+        # enqueue.  The raster kernel's Mosaic BACKEND compile can fire
+        # during build() too (init_state's eager reset renders), so both
+        # stages live inside the fallback scope.
+        st, segment = build(o)
         st, m = segment(st)
         float(m["reward"])
+        return st, segment
+
+    # The raster kernel's backend compile only happens on real hardware
+    # (its front-end lowering is pinned in CI); if the chip rejects it,
+    # fall back to the validated slab kernel rather than brick the bench.
+    # One raster RE-try first, so a transient tunnel hiccup doesn't get
+    # misattributed and sticky-downgrade every later row to slab.
+    try:
+        st, segment = build_and_warm(opts)
     except Exception as e:
         if not (getattr(opts, "render_raster", False) and not opts.lowdim):
             raise
         print(f"# warmup failed with the raster kernel enabled "
-              f"({type(e).__name__}: {e}); retrying with the slab kernel",
+              f"({type(e).__name__}: {e}); retrying raster once",
               file=sys.stderr)
-        import copy
-
-        opts = copy.copy(opts)
-        opts.render_raster = False
-        st, segment = build(opts)
-        st, m = segment(st)  # an unrelated failure re-raises HERE with its
-        float(m["reward"])   # real traceback, and no sticky flag is set
-        # Only a SUCCESSFUL slab rerun proves the raster kernel was the
-        # problem; now skip the failed compile on later rows this process.
-        _RASTER_REJECTED = True
+        try:
+            st, segment = build_and_warm(opts)
+        except Exception as e2:
+            print(f"# raster retry failed too ({type(e2).__name__}); "
+                  "falling back to the slab kernel", file=sys.stderr)
+            opts = copy.copy(opts)
+            opts.render_raster = False
+            st, segment = build_and_warm(opts)
+            # An unrelated failure re-raises from the line above with its
+            # real traceback and no sticky flag; two consecutive raster
+            # failures + a slab success is treated as a real rejection —
+            # skip the failed compile on later rows this process.
+            _RASTER_REJECTED = True
 
     if opts.trace_dir:
         jax.profiler.start_trace(opts.trace_dir)
-    t0 = time.perf_counter()
-    for _ in range(opts.segments):
-        st, m = segment(st)
-    float(m["reward"])
-    dt = time.perf_counter() - t0
-    if opts.trace_dir:
-        jax.profiler.stop_trace()
+    try:
+        t0 = time.perf_counter()
+        for _ in range(opts.segments):
+            st, m = segment(st)
+        float(m["reward"])
+        dt = time.perf_counter() - t0
+    finally:
+        # Always close the trace: a mid-row failure that leaks an active
+        # profiler would make every retry/later row die at start_trace.
+        if opts.trace_dir:
+            jax.profiler.stop_trace()
 
     env_steps = opts.segments * opts.steps_per_segment * opts.num_envs
     sps = env_steps / dt

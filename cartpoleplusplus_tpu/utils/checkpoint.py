@@ -93,17 +93,37 @@ def load_raw(ckpt_dir: str, step: int) -> Any:
         return serialization.msgpack_restore(f.read())
 
 
+_REPLAY_SIG = {"s1", "action", "reward", "terminal", "cursor", "size"}
+_REPLAY_DATA = ("s1", "action", "reward", "s2", "terminal")
+
+
 def _merge_state_dict(target_sd: Any, raw: Any, skipped: list, path: str = ""):
     """Recursively take ``raw`` leaves whose shape+dtype match the target's;
-    keep the target's (fresh) value otherwise, recording the skip."""
+    keep the target's (fresh) value otherwise, recording the skip.
+
+    A ReplayState subtree merges as a UNIT: if any of its data arrays is
+    kept fresh (shape mismatch — a --ckpt-skip-replay file, a capacity
+    trim, a changed env count), its cursor/size scalars reset to the
+    target's fresh zeros too.  Restoring a stale nonzero size over a fresh
+    zero buffer would open the agents' replay-warm train gate against
+    unwritten rows."""
     if isinstance(target_sd, dict):
+        local: list = []
         out = {}
         for k, v in target_sd.items():
             if isinstance(raw, dict) and k in raw:
-                out[k] = _merge_state_dict(v, raw[k], skipped, f"{path}/{k}")
+                out[k] = _merge_state_dict(v, raw[k], local, f"{path}/{k}")
             else:
-                skipped.append(f"{path}/{k}")
+                local.append(f"{path}/{k}")
                 out[k] = v
+        if _REPLAY_SIG <= set(target_sd) and any(
+            loc[len(path) + 1:].split(" ")[0].split("/")[0] in _REPLAY_DATA
+            for loc in local
+        ):
+            out["cursor"] = target_sd["cursor"]
+            out["size"] = target_sd["size"]
+            local.append(f"{path}/cursor,size (reset with unrestored replay data)")
+        skipped.extend(local)
         return out
     t, r = np.asarray(target_sd), np.asarray(raw)
     if t.shape == r.shape and t.dtype == r.dtype:

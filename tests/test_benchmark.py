@@ -43,7 +43,9 @@ def test_raster_rejection_falls_back_to_slab(monkeypatch):
     monkeypatch.setattr(B, "_RASTER_REJECTED", False)
     monkeypatch.setattr(B, "build", _fake_build(calls))
     result = B.run(_opts())
-    assert calls == [True, False]  # one raster attempt, one slab rebuild
+    # Raster attempt, ONE raster retry (so a transient tunnel hiccup isn't
+    # misattributed as a backend rejection), then the slab rebuild.
+    assert calls == [True, True, False]
     assert result["_render_raster"] is False
     assert result["value"] > 0
 
@@ -54,7 +56,37 @@ def test_raster_rejection_is_sticky_across_rows(monkeypatch):
     monkeypatch.setattr(B, "build", _fake_build(calls))
     B.run(_opts())
     B.run(_opts())  # second bench row: must NOT retry the rejected kernel
-    assert calls == [True, False, False]
+    assert calls == [True, True, False, False]
+
+
+def test_raster_transient_failure_recovers(monkeypatch):
+    """A single transient warmup failure with raster on must NOT downgrade
+    the process to the slab kernel — the retry succeeds and raster stays."""
+    calls = []
+    fail_once = [True]
+
+    def build(opts):
+        raster = bool(getattr(opts, "render_raster", False))
+        calls.append(raster)
+        if fail_once and raster:
+            fail_once.pop()
+
+            def flaky(st):
+                raise RuntimeError("transient tunnel hiccup")
+
+            return 0, flaky
+
+        def ok(st):
+            return st, {"reward": 1.0}
+
+        return 0, ok
+
+    monkeypatch.setattr(B, "_RASTER_REJECTED", False)
+    monkeypatch.setattr(B, "build", build)
+    result = B.run(_opts())
+    assert calls == [True, True]  # raster, failed; raster retry, succeeded
+    assert result["_render_raster"] is True
+    assert B._RASTER_REJECTED is False
 
 
 def test_lowdim_failure_propagates(monkeypatch):

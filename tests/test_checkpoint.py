@@ -207,3 +207,38 @@ def test_skip_replay_resume_rewarms_before_training(tmp_path):
     assert any(
         not np.array_equal(x, y) for x, y in zip(a0, f)
     ), "training never resumed after the buffer re-warmed"
+
+
+def test_replay_subtree_restores_as_unit(tmp_path):
+    """If replay data arrays can't restore (capacity trim between versions,
+    changed env count, or a skip-replay file), the cursor/size scalars must
+    reset WITH them — a stale nonzero size over a fresh zero buffer would
+    open the replay-warm train gate against unwritten rows."""
+    from cartpoleplusplus_tpu.replay.buffer import add_batch, create
+
+    old = create(capacity=96, obs_shape=(3,), action_shape=(), block=8)
+    for t in range(12):  # fill completely: size=96, cursor wraps to 0... use 11
+        old = add_batch(old, jnp.full((8, 3), float(t)), jnp.zeros(8),
+                        jnp.zeros(8), None, jnp.zeros(8, bool))
+    assert int(old.size) == 96
+    ckpt.save(str(tmp_path), 1, {"replay": old, "env_steps": jnp.int32(500)})
+
+    # New-version target: different capacity (e.g. trimmed differently).
+    fresh = create(capacity=80, obs_shape=(3,), action_shape=(), block=8)
+    restored, step = ckpt.restore_latest(
+        str(tmp_path), {"replay": fresh, "env_steps": jnp.int32(0)}
+    )
+    assert step == 1
+    assert int(restored["env_steps"]) == 500  # unrelated leaves restore
+    assert int(restored["replay"].size) == 0  # reset with the dropped data
+    assert int(restored["replay"].cursor) == 0
+
+    # Same-shape replay still restores fully (cursor/size come through).
+    same = create(capacity=96, obs_shape=(3,), action_shape=(), block=8)
+    restored2, _ = ckpt.restore_latest(
+        str(tmp_path), {"replay": same, "env_steps": jnp.int32(0)}
+    )
+    assert int(restored2["replay"].size) == 96
+    np.testing.assert_array_equal(
+        np.asarray(restored2["replay"].s1), np.asarray(old.s1)
+    )
