@@ -106,3 +106,70 @@ def test_lowdim_failure_propagates(monkeypatch):
 
     with pytest.raises(RuntimeError):
         B.run(_opts(lowdim=True, render_raster=False))
+
+
+def test_census_ceiling_matches_baseline_table():
+    """Pin the ceiling formula to BASELINE.md round-3 roofline numbers:
+    7500-ray configs (1cam exact / config-5) and the low-dim bound."""
+    raster = _opts(num_cameras=1, obs_samples=0, obs_pool=2,
+                   action_repeats=3, steps_per_repeat=5)
+    c = B.census_ceiling(raster)
+    assert abs(c - 1.59e12 / (110.4 * 7500 + 6780 * 15)) < 1.0
+    cfg5 = _opts(num_cameras=2, obs_samples=2, obs_pool=2,
+                 action_repeats=3, steps_per_repeat=5)
+    assert abs(B.census_ceiling(cfg5) - c) < 1.0  # same 7500 rays/step
+    slab = _opts(num_cameras=1, obs_samples=0, obs_pool=2, render_raster=False,
+                 render_recip=True, action_repeats=3, steps_per_repeat=5)
+    assert B.census_ceiling(slab) < c  # 162.3 > 110.4 ops/ray
+    lowdim = _opts(lowdim=True, action_repeats=3, steps_per_repeat=5)
+    assert abs(B.census_ceiling(lowdim) - 1.59e12 / (6780 * 15)) < 1.0
+
+
+def test_run_reports_ceiling_of_fallback_kernel(monkeypatch):
+    """After a raster->slab fallback the row's ceiling must be the SLAB
+    census bound, not the requested raster's."""
+    calls = []
+    monkeypatch.setattr(B, "_RASTER_REJECTED", False)
+    monkeypatch.setattr(B, "build", _fake_build(calls))
+    result = B.run(_opts(num_cameras=1, obs_samples=0, obs_pool=2,
+                         action_repeats=3, steps_per_repeat=5))
+    assert result["_render_raster"] is False
+    slab = 1.59e12 / (162.3 * 7500 + 6780 * 15)
+    assert abs(result["ceiling"] - slab) < 1.0
+
+
+def test_child_argv_roundtrips_through_parser():
+    """The suite's subprocess argv must reproduce the parent's opts (plus
+    per-row overrides) when parsed by the --single CLI itself."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    B.add_bench_opts(parser)
+    parser.add_argument("--single", action="store_true")
+    base = parser.parse_args(["--num-envs", "128", "--no-fused-step",
+                              "--no-pallas-render"])
+    argv = B._child_argv(base, {"num_cameras": 2, "obs_samples": 2})
+    child = parser.parse_args(argv[3:])  # skip python -m module
+    assert child.single and child.num_envs == 128
+    assert child.num_cameras == 2 and child.obs_samples == 2
+    assert child.fused_step is False and child.pallas_render is False
+    assert child.pallas_physics is None  # tristate auto preserved
+    assert child.render_raster is True
+    # lowdim row override flows through as a flag
+    argv = B._child_argv(base, {"lowdim": True})
+    assert parser.parse_args(argv[3:]).lowdim is True
+
+
+def test_probe_backend_times_out_fast(monkeypatch):
+    """A hung backend must cost the probe timeout, not minutes."""
+    import sys as _sys
+    import time as _time
+
+    real = _sys.executable
+    monkeypatch.setattr(B.sys, "executable", real)
+    monkeypatch.setattr(B, "_PROBE_CODE", "import time; time.sleep(60)")
+    t0 = _time.perf_counter()
+    assert B.probe_backend(timeout_s=2) is False
+    assert _time.perf_counter() - t0 < 30
+    monkeypatch.setattr(B, "_PROBE_CODE", "pass")
+    assert B.probe_backend(timeout_s=30) is True
