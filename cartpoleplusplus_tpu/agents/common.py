@@ -9,6 +9,7 @@ block factored once.  Each agent keeps the reference's CLI shape:
 from __future__ import annotations
 
 import argparse
+import sys
 from typing import Callable
 
 import jax
@@ -147,6 +148,45 @@ def make_venv(
         observe_batched_fn=observe_batched_fn, physics_fn=physics_fn,
         sim_fn=sim_fn,
     )
+
+
+def probe_raster_or_downgrade(config, opts) -> None:
+    """Validate the raster render kernel's BACKEND compile; downgrade on
+    rejection (mutates ``opts.render_raster``).
+
+    The projective raster kernel's Mosaic FRONT-END lowering is CI-pinned
+    (tests/test_tpu_lowering.py), but the LLO backend compile only happens on
+    real hardware — without this probe a backend rejection would kill a
+    training run minutes into its first segment compile with no recourse
+    (ADVICE r3: agents had no fallback, only the bench did).  One tiny
+    single-frame render (tile_e envs) answers in seconds; the persistent
+    compile cache makes later runs free.  Mutating ``opts`` before any
+    ``make_venv`` call keeps every downstream consumer (venv, record/eval
+    renderers) on the SAME kernel.
+    """
+    if not (getattr(opts, "pallas_render", False)
+            and getattr(opts, "render_raster", False)
+            and config.use_raw_pixels):
+        return
+    try:
+        from cartpoleplusplus_tpu.physics.bodies import rest_state
+        from cartpoleplusplus_tpu.render.pallas_kernel import make_render_batched
+
+        tile_e = getattr(opts, "render_tile_e", 32)
+        scene = cartpole_mod.scene_for(config)
+        rigid = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (tile_e,) + x.shape),
+            rest_state(scene),
+        )
+        render = make_render_batched(config, tile_e=tile_e, raster=True)
+        # Fetch a scalar: under remote-execution runtimes block_until_ready
+        # returns at enqueue; only a D2H read proves the compile landed.
+        int(jnp.asarray(render(scene, rigid)).sum())
+    except Exception as e:
+        print(f"[common] raster render kernel rejected by the backend "
+              f"({type(e).__name__}: {e}); falling back to the slab kernel",
+              file=sys.stderr)
+        opts.render_raster = False
 
 
 def add_ou_anneal_opts(parser) -> None:

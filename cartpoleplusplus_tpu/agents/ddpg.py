@@ -468,6 +468,7 @@ def init_state(opts, config, venv, actor, critic, actor_tx, critic_tx) -> DDPGSt
 
 def train(opts) -> float:
     config = config_from_opts(opts, discrete_actions=False)
+    common.probe_raster_or_downgrade(config, opts)
     venv = common.make_venv(
         config, opts.num_envs,
         pallas_render=getattr(opts, "pallas_render", False),

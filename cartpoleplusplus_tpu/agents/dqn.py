@@ -226,6 +226,7 @@ def greedy_act(qnet: QNetwork):
 
 def train(opts) -> float:
     config = config_from_opts(opts, discrete_actions=True)
+    common.probe_raster_or_downgrade(config, opts)
     venv = common.make_venv(
         config, opts.num_envs,
         pallas_render=getattr(opts, "pallas_render", False),

@@ -159,6 +159,7 @@ def greedy_act(policy: DiscretePolicy):
 def train(opts) -> float:
     """Full training run; returns final eval mean episode length."""
     config = config_from_opts(opts, discrete_actions=True)
+    common.probe_raster_or_downgrade(config, opts)
     venv = common.make_venv(
         config, opts.num_envs,
         pallas_render=getattr(opts, "pallas_render", False),

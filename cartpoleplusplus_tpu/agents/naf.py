@@ -220,6 +220,7 @@ def greedy_act(net: NAFNetwork):
 
 def train(opts) -> float:
     config = config_from_opts(opts, discrete_actions=False)
+    common.probe_raster_or_downgrade(config, opts)
     venv = common.make_venv(
         config, opts.num_envs,
         pallas_render=getattr(opts, "pallas_render", False),

@@ -53,6 +53,7 @@ from cartpoleplusplus_tpu.render.raycast import (
     POLE_COLOR,
     SKY_COLOR,
     _AMBIENT,
+    _BIG,
     _obb_q_cast,
     _obb_q_setup,
     _ray_obb_affine,
@@ -199,12 +200,12 @@ def _render_kernel(
                         c1 = fa[k] * il[k]
                         rows.append(lhs_row(
                             B3[k] * c1, C3[k] * c1,
-                            A3[k] * c1 + (1.0 - fa[k]) * 1e9,
+                            A3[k] * c1 + (1.0 - fa[k]) * _BIG,
                         ))
                     for k in range(3):  # lb: ahead ? -BIG : w·il
                         c2 = (1.0 - fa[k]) * il[k]
                         rows.append(lhs_row(
-                            B3[k] * c2, C3[k] * c2, A3[k] * c2 - fa[k] * 1e9,
+                            B3[k] * c2, C3[k] * c2, A3[k] * c2 - fa[k] * _BIG,
                         ))
                     return rows
 

@@ -55,8 +55,13 @@ class MetricsLogger:
         if self._tb is not None:
             self._n += 1
             step = fields.get("step", fields.get("segment", self._n))
+            if not isinstance(step, (int, float)) or isinstance(step, bool):
+                step = self._n  # non-numeric step label: fall back, don't die
             for k, v in fields.items():
-                if isinstance(v, (int, float)) and k != "segment":
+                # bool is an int subclass — a True/False field is a label,
+                # not a scalar curve.
+                if (isinstance(v, (int, float)) and not isinstance(v, bool)
+                        and k != "segment"):
                     self._tb.add_scalar(f"{event}/{k}", v, int(step))
         if not self._quiet:
             kv = " ".join(f"{k}={_fmt(v)}" for k, v in fields.items())
