@@ -75,6 +75,16 @@ step mxu_cfg5 python bench.py --single --num-cameras 2 --obs-samples 2 --render-
 # with render 1.47x cheaper, bookkeeping/learner may re-emerge as next cost).
 T=2700 step stages_raster python scripts/bench_stages.py --num-envs 4096
 
+# --- 1.75 pixel 16384-env HBM-cliff attribution (VERDICT r3 item 7) ---------
+# Round 3 measured 16384 pixel envs ~20% below 4096/8192 and attributed it
+# to HBM pressure without a profile.  Re-race at the raster op diet (smaller
+# render ops stress memory relatively more), then attribute: per-stage
+# timings and a profiler trace for the slow cell.
+step pix_8192 python bench.py --single --num-envs 8192 --replay-capacity 16384 --num-cameras 1 --obs-samples 0
+step pix_16384 python bench.py --single --num-envs 16384 --replay-capacity 32768 --num-cameras 1 --obs-samples 0
+T=2700 step stages_16384 python scripts/bench_stages.py --num-envs 16384
+step trace_16384 python bench.py --single --num-envs 16384 --replay-capacity 32768 --num-cameras 1 --obs-samples 0 --trace-dir /tmp/trace16k
+
 # --- 2. unmeasured roofline cells (now measure the raster default) ----------
 step cell_1cam_s2 python bench.py --single --num-cameras 1 --obs-samples 2
 step cell_2cam_exact python bench.py --single --num-cameras 2 --obs-samples 0
