@@ -20,6 +20,13 @@ LOG=/tmp/chipq
 mkdir -p "$LOG"
 note() { echo "[$(date -u '+%H:%M:%S')] $*" | tee -a "$LOG/queue.log"; }
 
+# The chip serves ONE process: the queue must be off it before the driver's
+# round-end BENCH/entry checks run, or they'd contend with a half-finished
+# TD3 cell.  DEADLINE_TS (epoch seconds; the watcher can pass the round-end
+# estimate) defaults to queue start + 9 h; steps launched after it are
+# skipped, already-running steps still bound their own `timeout`.
+DEADLINE_TS=${DEADLINE_TS:-$(($(date +%s) + 32400))}
+
 probe() {
   timeout 90 python -c "
 import jax, jax.numpy as jnp
@@ -40,6 +47,10 @@ ensure_up() {  # block until the tunnel answers (re-probe every 3 min, <=4 h)
 step() {
   local name=$1 t=${T:-1800}
   shift
+  if [ "$(date +%s)" -gt "$DEADLINE_TS" ]; then
+    note "SKIP $name (past deadline; freeing the chip for the driver)"
+    return 0
+  fi
   ensure_up
   note "START $name: $*"
   timeout "$t" "$@" >"$LOG/$name.log" 2>&1
