@@ -60,7 +60,8 @@ class EnvState:
 
 def scene_for(config: CartpoleConfig) -> SceneParams:
     """Scene constants matching the config's physics cadence."""
-    return make_scene(dt=config.dt)
+    return make_scene(dt=config.dt,
+                      solver_iterations=config.solver_iterations)
 
 
 def observe_lowdim(scene: SceneParams, rigid: RigidState) -> jnp.ndarray:

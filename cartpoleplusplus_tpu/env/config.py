@@ -80,6 +80,16 @@ class CartpoleConfig:
     obs_samples: int = 0
     # Physics cadence (Bullet default 1/240 s substeps).
     dt: float = 1.0 / 240.0
+    # Jacobi contact-solver iterations per substep (physics/solver.py).  5 is
+    # the validated default (tracks a 30-iteration reference to ~2 mm over a
+    # 1 s topple+push).  3 passes every external-fidelity arbiter with
+    # margin (topple time IDENTICAL at 12.5 ms granularity; settle pose
+    # within 4 mm of the 30-iteration reference vs the 80 mm MuJoCo
+    # agreement bound — tests/test_solver_iters.py) and cuts the physics
+    # census 6780 → 4932 ops/substep (924/iteration), lifting the low-dim
+    # census ceiling 15.6M → 21.5M steps/s/chip.  Default stays 5 until the
+    # on-chip race lands (scripts/chip_queue.sh lowdim_4096_it3).
+    solver_iterations: int = 5
 
     def __post_init__(self):
         if self.reward_calc not in REWARD_CALCS:
@@ -173,6 +183,11 @@ def add_opts(parser: argparse.ArgumentParser) -> None:
                              "render cost scale linearly)")
     parser.add_argument("--pos-threshold", type=float, default=2.0)
     parser.add_argument("--angle-threshold", type=float, default=0.3)
+    parser.add_argument("--solver-iters", type=int, default=5,
+                        help="Jacobi contact-solver iterations per physics "
+                             "substep (5 = validated default; 3 passes the "
+                             "fidelity arbiters and cuts the physics op "
+                             "census 27%% — see CartpoleConfig)")
 
 
 def config_from_opts(opts: argparse.Namespace, discrete_actions: bool) -> CartpoleConfig:
@@ -193,4 +208,5 @@ def config_from_opts(opts: argparse.Namespace, discrete_actions: bool) -> Cartpo
         obs_samples=getattr(opts, "obs_samples", 0),
         pos_threshold=opts.pos_threshold,
         angle_threshold=opts.angle_threshold,
+        solver_iterations=getattr(opts, "solver_iters", 5),
     )

@@ -46,7 +46,14 @@ RENDER_OPS_PER_RAY = {  # traced-jaxpr census, element-weighted, per shaded ray
     "slab_recip": 162.3,  # affine slab cascade + one-op approx reciprocal
     "slab_ratio": 188.3,  # division-free cross-multiplied ratio cascade
 }
-PHYS_OPS_PER_SUBSTEP = 6780  # trip-weighted census of soa._substep (r3 diet)
+# Trip-weighted census of soa._substep (r3 diet): 2160 fixed (manifold,
+# integration, corners) + 924 per Jacobi solver iteration → 6780 at the
+# validated 5-iteration default, 4932 at --solver-iters 3
+# (scripts/roofline.py physics_census(iterations=…), pinned in
+# tests/test_solver_iters.py).
+PHYS_OPS_FIXED = 2160
+PHYS_OPS_PER_ITER = 924
+PHYS_OPS_PER_SUBSTEP = PHYS_OPS_FIXED + 5 * PHYS_OPS_PER_ITER  # default-5
 
 
 def census_ceiling(opts) -> float:
@@ -61,7 +68,8 @@ def census_ceiling(opts) -> float:
     """
     repeats = getattr(opts, "action_repeats", 3)
     substeps = repeats * getattr(opts, "steps_per_repeat", 5)
-    ops = PHYS_OPS_PER_SUBSTEP * substeps
+    phys = PHYS_OPS_FIXED + getattr(opts, "solver_iters", 5) * PHYS_OPS_PER_ITER
+    ops = phys * substeps
     if not getattr(opts, "lowdim", False):
         pool = max(1, getattr(opts, "obs_pool", 2))
         samples = getattr(opts, "obs_samples", 0) or pool * pool
@@ -158,6 +166,11 @@ def add_bench_opts(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--pixel-pool", type=int, default=1,
                         help="encoder-side pool (agents' --pixel-pool); "
                              "superseded by --obs-pool for the bench path")
+    parser.add_argument("--solver-iters", type=int, default=5,
+                        help="Jacobi contact-solver iterations per substep "
+                             "(5 = validated default; 3 passes the fidelity "
+                             "arbiters at 27%% fewer physics census ops — "
+                             "env/config.py)")
     parser.add_argument("--trace-dir", type=str, default=None,
                         help="capture a jax.profiler trace to this dir")
 
@@ -177,6 +190,7 @@ def build(opts):
         steps_per_repeat=opts.steps_per_repeat,
         obs_pool=getattr(opts, "obs_pool", 1) if not opts.lowdim else 1,
         obs_samples=getattr(opts, "obs_samples", 0) if not opts.lowdim else 0,
+        solver_iterations=getattr(opts, "solver_iters", 5),
     )
     pallas_physics = getattr(opts, "pallas_physics", None)
     if pallas_physics is None:  # auto: kernel needs 1024-env tiles
@@ -396,6 +410,7 @@ def _child_argv(opts, overrides: dict) -> list:
         replay_capacity=opts.replay_capacity, segments=opts.segments,
         obs_pool=opts.obs_pool, obs_samples=opts.obs_samples,
         render_tile_e=opts.render_tile_e, pixel_pool=opts.pixel_pool,
+        solver_iters=opts.solver_iters,
     )
     flags = dict(
         lowdim=opts.lowdim, sim_only=opts.sim_only,

@@ -65,6 +65,10 @@ step() {
 step lowdim_4096 python bench.py --lowdim --num-envs 4096 --replay-capacity 8192
 step lowdim_8192 python bench.py --lowdim --num-envs 8192 --replay-capacity 16384
 step lowdim_16384 python bench.py --lowdim --num-envs 16384 --replay-capacity 32768
+# Round-4 solver-iteration race: 3 Jacobi iterations pass every fidelity
+# arbiter (tests/test_solver_iters.py) at 4932 vs 6780 census ops/substep —
+# ceiling 21.5M vs 15.6M.  Default flips only on a measured win here.
+step lowdim_4096_it3 python bench.py --lowdim --num-envs 4096 --replay-capacity 8192 --solver-iters 3
 
 # --- 1.5 raster-vs-slab render kernel race (round-3.5 op diet) --------------
 # The projective inverse-depth rasterizer (raycast._ray_obb_q) is the new

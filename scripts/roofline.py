@@ -551,7 +551,7 @@ def ceilings(vpu, ops_per_ray, repeats=3, pool=2, hw=50):
     return rate, rows
 
 
-def physics_census(num_envs=256):
+def physics_census(num_envs=256, iterations=None):
     """Element-weighted op count per env SUBSTEP of soa._substep (the shared
     body of all three physics paths), from the traced jaxpr — the physics
     analogue of :func:`census`.  Loop bodies (the Jacobi fori_loop lowers to
@@ -569,6 +569,8 @@ def physics_census(num_envs=256):
     from cartpoleplusplus_tpu.physics.bodies import RigidState
 
     scene = cp.scene_for(CartpoleConfig(discrete_actions=False))
+    if iterations is not None:  # --solver-iters sensitivity (round 4)
+        scene = scene.replace(solver_iterations=iterations)
     E = num_envs
     rig = RigidState(
         pos=jnp.zeros((E, 2, 3)),
