@@ -56,10 +56,15 @@ def main():
         if not rows:
             print(f"{step:18s} [{tag}] (no bench line)")
         for r in rows:
+            extra = ""
+            if r.get("vs_ceiling") is not None:
+                extra = f"  vs_ceiling={r['vs_ceiling']}"
+            if r.get("error"):
+                extra += f"  ERROR: {r['error']}"
             print(
                 f"{step:18s} [{tag}] {r.get('metric', '?'):34s} "
                 f"{r.get('value', 0):>12,.0f} {r.get('unit', '')}"
-                f"  vs_baseline={r.get('vs_baseline', '')}"
+                f"  vs_baseline={r.get('vs_baseline', '')}{extra}"
             )
 
     print("\n== TD3 pixel finals (runs/ddpg_pixels_td3*.jsonl) ==")
