@@ -170,7 +170,10 @@ def probe_raster_or_downgrade(config, opts) -> None:
         return
     try:
         from cartpoleplusplus_tpu.physics.bodies import rest_state
-        from cartpoleplusplus_tpu.render.pallas_kernel import make_render_batched
+        from cartpoleplusplus_tpu.render.pallas_kernel import (
+            make_render_batched,
+            make_render_repeats,
+        )
 
         tile_e = getattr(opts, "render_tile_e", 32)
         scene = cartpole_mod.scene_for(config)
@@ -182,6 +185,18 @@ def probe_raster_or_downgrade(config, opts) -> None:
         # Fetch a scalar: under remote-execution runtimes block_until_ready
         # returns at enqueue; only a D2H read proves the compile landed.
         int(jnp.asarray(render(scene, rigid)).sum())
+        if getattr(opts, "pallas_physics", False):
+            # The fused step path (make_venv sim_fn) renders through the
+            # DIFFERENT one-launch repeats kernel — bigger VMEM slab, its
+            # own backend compile.  Probe it too or the downgrade misses
+            # the kernel the training loop actually runs.
+            poses = jnp.concatenate(
+                [rigid.pos[:, 0], rigid.quat[:, 0],
+                 rigid.pos[:, 1], rigid.quat[:, 1],
+                 jnp.zeros((tile_e, 2))], axis=-1,
+            )[None]  # (1 repeat, tile_e, 16)
+            rep = make_render_repeats(config, tile_e=tile_e, raster=True)
+            int(jnp.asarray(rep(scene, poses)).sum())
     except Exception as e:
         print(f"[common] raster render kernel rejected by the backend "
               f"({type(e).__name__}: {e}); falling back to the slab kernel",

@@ -53,7 +53,6 @@ RENDER_OPS_PER_RAY = {  # traced-jaxpr census, element-weighted, per shaded ray
 # tests/test_solver_iters.py).
 PHYS_OPS_FIXED = 2160
 PHYS_OPS_PER_ITER = 924
-PHYS_OPS_PER_SUBSTEP = PHYS_OPS_FIXED + 5 * PHYS_OPS_PER_ITER  # default-5
 
 
 def census_ceiling(opts) -> float:
@@ -420,8 +419,11 @@ def _child_argv(opts, overrides: dict) -> list:
     )
     for k, v in overrides.items():
         (flags if isinstance(v, bool) else merged)[k] = v
+    # --probe-timeout 0: the parent already probes and the row watchdog
+    # bounds a child that hits a mid-row outage; a per-child probe would
+    # just add latency.
     argv = [sys.executable, "-m", "cartpoleplusplus_tpu.utils.benchmark",
-            "--single"]
+            "--single", "--probe-timeout", "0"]
     for k, v in merged.items():
         argv += [f"--{k.replace('_', '-')}", str(v)]
     for k, v in flags.items():
@@ -438,6 +440,37 @@ def _child_argv(opts, overrides: dict) -> list:
     return argv
 
 
+def _parse_last_json(text):
+    for line in reversed((text or "").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    return None
+
+
+def _child_env():
+    """Child env with the package's parent dir on PYTHONPATH.
+
+    The parent may be running as ``python /path/to/bench.py`` from any cwd
+    (script-dir sys.path entry, no installed package); the ``-m`` child has
+    no such entry, and every row dying with ModuleNotFoundError against a
+    healthy backend would be a new artifact-loss mode.
+    """
+    import cartpoleplusplus_tpu
+
+    pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.abspath(cartpoleplusplus_tpu.__file__))
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [pkg_parent] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
+    return env
+
+
 def _run_row_subprocess(argv, timeout_s):
     """One row attempt in a watchdogged child → parsed JSON dict or None.
 
@@ -450,8 +483,18 @@ def _run_row_subprocess(argv, timeout_s):
     try:
         proc = subprocess.run(
             argv, timeout=timeout_s, capture_output=True, text=True,
+            env=_child_env(),
         )
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        # The child may have PRINTED its finished result and then hung in
+        # teardown (trace flush / D2H over a flaky tunnel).  Salvage the
+        # completed measurement rather than re-paying the whole row.
+        out = e.stdout.decode() if isinstance(e.stdout, bytes) else e.stdout
+        salvaged = _parse_last_json(out)
+        if salvaged is not None and "value" in salvaged:
+            print(f"# row child hung after printing its result "
+                  f"(killed at {timeout_s:.0f}s); salvaged", file=sys.stderr)
+            return salvaged
         print(f"# row attempt timed out after {timeout_s:.0f}s (killed)",
               file=sys.stderr)
         return None
@@ -460,15 +503,10 @@ def _run_row_subprocess(argv, timeout_s):
     if proc.returncode != 0:
         print(f"# row attempt failed rc={proc.returncode}", file=sys.stderr)
         return None
-    for line in reversed(proc.stdout.splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                return json.loads(line)
-            except json.JSONDecodeError:
-                pass
-    print("# row attempt printed no JSON line", file=sys.stderr)
-    return None
+    result = _parse_last_json(proc.stdout)
+    if result is None:
+        print("# row attempt printed no JSON line", file=sys.stderr)
+    return result
 
 
 def _emit(obj) -> None:
@@ -506,7 +544,23 @@ def main(argv=None):
         help="attempts per suite row before dropping it")
     opts = parser.parse_args(argv)
 
+    def emit_backend_down():
+        _emit({
+            "metric": "batched_env_steps_per_sec_per_chip_pixel_render",
+            "value": 0.0, "unit": "env_steps/sec/chip", "vs_baseline": 0.0,
+            "error": f"backend unavailable: {opts.probe_timeout:.0f}s "
+                     "liveness probe failed before any compile",
+            "north_star": NORTH_STAR_NOTE,
+        })
+
     if opts.single or opts.lowdim:
+        # Same fail-fast contract as the suite: a dead backend costs the
+        # probe timeout, not a hang until the caller's external timeout
+        # (every chip-queue cell is a --single/--lowdim invocation).
+        # --probe-timeout 0 skips the probe.
+        if opts.probe_timeout > 0 and not probe_backend(opts.probe_timeout):
+            emit_backend_down()
+            return
         result = run(opts)
         # Meta keys stay inline so the suite parent (and the chip-queue
         # logs) see per-row provenance — e.g. _render_raster after a
@@ -516,13 +570,7 @@ def main(argv=None):
         return
 
     if not probe_backend(opts.probe_timeout):
-        _emit({
-            "metric": "batched_env_steps_per_sec_per_chip_pixel_render",
-            "value": 0.0, "unit": "env_steps/sec/chip", "vs_baseline": 0.0,
-            "error": f"backend unavailable: {opts.probe_timeout:.0f}s "
-                     "liveness probe failed before any compile",
-            "north_star": NORTH_STAR_NOTE,
-        })
+        emit_backend_down()
         return
 
     raster_rejected = False

@@ -52,6 +52,12 @@ step() {
     return 0
   fi
   ensure_up
+  # Re-check AFTER ensure_up: its wait loop can block up to 4 h, and a
+  # tunnel that returns past the deadline must not launch the cell anyway.
+  if [ "$(date +%s)" -gt "$DEADLINE_TS" ]; then
+    note "SKIP $name (deadline passed while waiting for the tunnel)"
+    return 0
+  fi
   note "START $name: $*"
   timeout "$t" "$@" >"$LOG/$name.log" 2>&1
   note "END $name exit=$?"

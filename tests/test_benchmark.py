@@ -146,6 +146,7 @@ def test_child_argv_roundtrips_through_parser():
     parser = argparse.ArgumentParser()
     B.add_bench_opts(parser)
     parser.add_argument("--single", action="store_true")
+    parser.add_argument("--probe-timeout", type=float, default=90)
     base = parser.parse_args(["--num-envs", "128", "--no-fused-step",
                               "--no-pallas-render"])
     argv = B._child_argv(base, {"num_cameras": 2, "obs_samples": 2})
@@ -173,3 +174,21 @@ def test_probe_backend_times_out_fast(monkeypatch):
     assert _time.perf_counter() - t0 < 30
     monkeypatch.setattr(B, "_PROBE_CODE", "pass")
     assert B.probe_backend(timeout_s=30) is True
+
+
+def test_child_env_prepends_package_parent():
+    """Suite row children run `python -m cartpoleplusplus_tpu...`; when the
+    parent was launched as a script path from an arbitrary cwd (no installed
+    package), the child needs the package's parent dir on PYTHONPATH or every
+    row dies with ModuleNotFoundError against a healthy backend."""
+    import os
+
+    import cartpoleplusplus_tpu
+
+    env = B._child_env()
+    first = env["PYTHONPATH"].split(os.pathsep)[0]
+    pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.abspath(cartpoleplusplus_tpu.__file__))
+    )
+    assert first == pkg_parent
+    assert os.path.isdir(os.path.join(first, "cartpoleplusplus_tpu"))
