@@ -73,8 +73,17 @@ step lowdim_8192 python bench.py --lowdim --num-envs 8192 --replay-capacity 1638
 step lowdim_16384 python bench.py --lowdim --num-envs 16384 --replay-capacity 32768
 # Round-4 solver-iteration race: 3 Jacobi iterations pass every fidelity
 # arbiter (tests/test_solver_iters.py) at 4932 vs 6780 census ops/substep —
-# ceiling 21.5M vs 15.6M.  Default flips only on a measured win here.
+# ceiling 21.5M vs 15.6M.  Default flips only on a measured win here PLUS
+# the learning validation below (the validated DDPG recipe at iters=3 must
+# still solve; sweep.sh COMMON shape, ~3 min chip time).
 step lowdim_4096_it3 python bench.py --lowdim --num-envs 4096 --replay-capacity 8192 --solver-iters 3
+T=2700 step ddpg_it3_learn python -m cartpoleplusplus_tpu.agents.ddpg \
+  --solver-iters 3 \
+  --num-envs 128 --num-eval 64 --eval-freq 100 \
+  --steps-per-segment 25 --batch-size 256 --replay-capacity 131072 \
+  --warmup-steps 40 --num-train-batches 1500 \
+  --reward-scale 0.1 --grad-clip 10 \
+  --seed 0 --metrics-jsonl runs/ddpg_it3_s0.jsonl
 
 # --- 1.5 raster-vs-slab render kernel race (round-3.5 op diet) --------------
 # The projective inverse-depth rasterizer (raycast._ray_obb_q) is the new
