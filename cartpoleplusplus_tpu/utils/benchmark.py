@@ -545,11 +545,36 @@ def main(argv=None):
     opts = parser.parse_args(argv)
 
     def emit_backend_down():
+        # Distinguish "the chip is gone" from "the harness is broken": one
+        # tiny low-dim row on the CPU backend (fresh child, forced platform,
+        # like __graft_entry__'s re-exec) proves the measurement code runs.
+        smoke = None
+        try:
+            env = _child_env()
+            env["JAX_PLATFORMS"] = "cpu"
+            env.pop("JAX_COMPILATION_CACHE_DIR", None)
+            env["PYTHONPATH"] = env["PYTHONPATH"].split(os.pathsep)[0]
+            proc = subprocess.run(
+                [sys.executable, "-m", "cartpoleplusplus_tpu.utils.benchmark",
+                 "--single", "--probe-timeout", "0", "--lowdim",
+                 "--num-envs", "32", "--segments", "1",
+                 "--steps-per-segment", "2", "--batch-size", "8",
+                 "--replay-capacity", "64"],
+                timeout=300, capture_output=True, text=True, env=env,
+            )
+            parsed = _parse_last_json(proc.stdout)
+            if proc.returncode == 0 and parsed and "value" in parsed:
+                smoke = {"ok": True, "backend": parsed.get("_backend")}
+            else:
+                smoke = {"ok": False, "rc": proc.returncode}
+        except Exception as e:
+            smoke = {"ok": False, "rc": f"{type(e).__name__}"}
         _emit({
             "metric": "batched_env_steps_per_sec_per_chip_pixel_render",
             "value": 0.0, "unit": "env_steps/sec/chip", "vs_baseline": 0.0,
             "error": f"backend unavailable: {opts.probe_timeout:.0f}s "
                      "liveness probe failed before any compile",
+            "cpu_smoke": smoke,
             "north_star": NORTH_STAR_NOTE,
         })
 
