@@ -7,6 +7,7 @@ from cartpoleplusplus_tpu.models.networks import (
     Actor,
     Critic,
     DiscretePolicy,
+    GaussianActor,
     NAFNetwork,
     QNetwork,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "Actor",
     "Critic",
     "DiscretePolicy",
+    "GaussianActor",
     "NAFNetwork",
     "QNetwork",
     "hard_target_update",

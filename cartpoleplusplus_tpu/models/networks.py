@@ -104,6 +104,51 @@ class Actor(nn.Module):
         )
 
 
+class GaussianActor(nn.Module):
+    """Stochastic tanh-squashed Gaussian policy π(a|s) (SAC).
+
+    Beyond reference parity: the upstream agent zoo (SURVEY.md §2.1) stops at
+    DDPG/NAF for continuous control; SAC (Haarnoja et al. 2018) is the modern
+    maximum-entropy successor and reuses this framework's encoder/critic/
+    replay stack unchanged.  Same ObsEncoder trunk as :class:`Actor`; two
+    heads emit the pre-squash mean and a clamped log-std.  Sampling and the
+    tanh log-prob correction live in agents/sac.py (pure jnp — the module
+    stays a deterministic function of (params, obs)).
+    """
+
+    action_dim: int = 2
+    use_raw_pixels: bool = False
+    pixel_encoder: str = "dense"
+    pixel_pool: int = 1
+    height: int = 50
+    width: int = 50
+    hidden: Sequence[int] = DEFAULT_HIDDEN
+    use_batch_norm: bool = False
+    log_std_min: float = -20.0
+    log_std_max: float = 2.0
+
+    @nn.compact
+    def __call__(
+        self, obs: jnp.ndarray, train: bool = False
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        h = ObsEncoder(
+            self.use_raw_pixels, self.hidden,
+            pixel_encoder=self.pixel_encoder,
+            pixel_pool=self.pixel_pool,
+            height=self.height, width=self.width,
+            use_batch_norm=self.use_batch_norm,
+        )(obs, train)
+        mu = nn.Dense(
+            self.action_dim, name="mu",
+            kernel_init=final_layer_init(), bias_init=final_layer_init(),
+        )(h)
+        log_std = nn.Dense(
+            self.action_dim, name="log_std",
+            kernel_init=final_layer_init(), bias_init=final_layer_init(),
+        )(h)
+        return mu, jnp.clip(log_std, self.log_std_min, self.log_std_max)
+
+
 class Critic(nn.Module):
     """Q(s, a) with the action injected at a late hidden layer (DDPG).
 

@@ -188,4 +188,16 @@ T=5400 step td3_push timeout 5300 python -m cartpoleplusplus_tpu.agents.ddpg \
   --pallas-render \
   --seed "$BEST2" --metrics-jsonl runs/ddpg_pixels_td3_push.jsonl
 
+# --- 8. (opportunistic) SAC solve evidence ----------------------------------
+# Beyond-parity agent landed round 4 (agents/sac.py, CPU gate green); a
+# chip run with the NAF-shaped recipe gives it the same time-to-solve
+# evidence the other agents carry.  Lowest priority: runs only if the
+# deadline hasn't hit.
+T=2700 step sac_lowdim python -m cartpoleplusplus_tpu.agents.sac \
+  --num-envs 128 --num-eval 64 --eval-freq 100 \
+  --steps-per-segment 25 --batch-size 256 --replay-capacity 131072 \
+  --warmup-steps 40 --num-train-batches 5000 \
+  --reward-scale 0.1 --grad-clip 10 --lr-schedule cosine \
+  --seed 0 --metrics-jsonl runs/sac_lowdim_s0.jsonl
+
 note "QUEUE DONE"
