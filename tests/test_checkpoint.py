@@ -242,3 +242,36 @@ def test_replay_subtree_restores_as_unit(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored2["replay"].s1), np.asarray(old.s1)
     )
+
+
+def test_sac_agent_resume(tmp_path):
+    """SAC checkpoints carry the extra temperature state (log_alpha +
+    alpha_opt) and resume exactly like the other agents: monotonic segment
+    numbering, env_steps continuity."""
+    from cartpoleplusplus_tpu.agents import common as C
+    from cartpoleplusplus_tpu.agents import sac
+
+    def opts(n):
+        parser = C.make_parser("t")
+        sac.add_sac_opts(parser)
+        return parser.parse_args([
+            "--num-envs", "4", "--num-eval", "4", "--eval-freq", "100",
+            "--action-repeats", "2", "--steps-per-repeat", "2",
+            "--max-episode-len", "10", "--steps-per-segment", "3",
+            "--batch-size", "4", "--replay-capacity", "64",
+            "--warmup-steps", "1", "--seed", "0",
+            "--ckpt-dir", str(tmp_path), "--ckpt-freq", "1",
+            "--num-train-batches", str(n),
+        ])
+
+    sac.train(opts(2))
+    assert ckpt.latest_step(str(tmp_path)) == 2
+    raw1 = ckpt.load_raw(str(tmp_path), 2)
+    assert "log_alpha" in raw1 and "alpha_opt" in raw1
+    steps_run1 = int(raw1["env_steps"])
+    assert steps_run1 == 2 * 3
+
+    sac.train(opts(4))
+    assert ckpt.latest_step(str(tmp_path)) == 4
+    raw2 = ckpt.load_raw(str(tmp_path), 4)
+    assert int(raw2["env_steps"]) == steps_run1 + 2 * 3
