@@ -86,6 +86,10 @@ def add_sac_opts(parser):
                         help="scale rewards in the TD target")
     parser.add_argument("--grad-clip", type=float, default=0.0,
                         help="global-norm gradient clip (0 = off)")
+    parser.add_argument("--aug-shift", type=int, default=0,
+                        help="pixel-only: DrQ random-shift augmentation on "
+                             "replay batches (one-hot MXU matmuls — see "
+                             "agents/ddpg.py aug_random_shift; try 2-4)")
     common.add_lr_schedule_opt(parser)
 
 
@@ -128,9 +132,11 @@ def make_segment(
     steps_per_segment: int,
     target_entropy: float,
     reward_scale: float = 1.0,
+    aug_shift: int = 0,
 ):
     """Build the jitted K-step fused SAC train segment (agents/ddpg.py's
     lazy-obs / s2-free-replay / warm-gate skeleton, SAC losses)."""
+    from cartpoleplusplus_tpu.agents.ddpg import aug_random_shift
 
     def critic_loss_fn(c_params, s1, a, y):
         q = jax.vmap(lambda p: critic.apply({"params": p}, s1, a))(c_params)
@@ -148,7 +154,12 @@ def make_segment(
         actor_vars, critic_vars, target_c, aopt, copt, log_alpha, alopt = bundle
         s1, a, r, s2, term = batch
         s1, s2 = replay_mod.decode_obs(s1), replay_mod.decode_obs(s2)
-        k_next, k_new = jax.random.split(k_train)
+        k_next, k_new, k_aug = jax.random.split(k_train, 3)
+        if aug_shift > 0 and venv.config.use_raw_pixels:
+            h, w = venv.config.obs_height, venv.config.obs_width
+            k1, k2 = jax.random.split(k_aug)
+            s1 = aug_random_shift(s1, k1, aug_shift, h, w)
+            s2 = aug_random_shift(s2, k2, aug_shift, h, w)
         alpha = jnp.exp(log_alpha)
 
         # Soft TD target: fresh policy sample at s2, clipped double-Q minus
@@ -351,6 +362,7 @@ def train(opts) -> float:
             steps_per_segment=opts.steps_per_segment,
             target_entropy=target_entropy,
             reward_scale=opts.reward_scale,
+            aug_shift=opts.aug_shift,
         ),
         donate_argnums=0,
     )
