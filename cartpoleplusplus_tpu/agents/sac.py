@@ -19,10 +19,10 @@ Algorithm (standard SAC with learned temperature):
   * temperature α = exp(log α) trained toward a target entropy of
     −dim(A) = −2 (the SAC-v2 auto-tuning rule).
 
-Exploration is the policy's own sampling — no OU process.  Multi-chip DP:
-not wired for SAC yet (the shard_map wrapper in parallel/distributed.py is
-DDPG-shaped); single-chip covers the reference workload, and the 4096-env
-fused loop saturates one chip's VPU regardless of agent.
+Exploration is the policy's own sampling — no OU process.  ``--num-devices``
+shards envs+replay over a mesh exactly like the other agents
+(parallel/distributed.make_distributed): params AND the scalar temperature
+replicate, their gradients pmean over ICI.
 """
 
 from __future__ import annotations
@@ -90,6 +90,11 @@ def add_sac_opts(parser):
                         help="pixel-only: DrQ random-shift augmentation on "
                              "replay batches (one-hot MXU matmuls — see "
                              "agents/ddpg.py aug_random_shift; try 2-4)")
+    parser.add_argument("--num-devices", type=int, default=1,
+                        help="shard envs+replay over this many devices "
+                             "(shard_map data parallelism; params replicate, "
+                             "grads — incl. the temperature's — pmean over "
+                             "ICI)")
     common.add_lr_schedule_opt(parser)
 
 
@@ -133,9 +138,16 @@ def make_segment(
     target_entropy: float,
     reward_scale: float = 1.0,
     aug_shift: int = 0,
+    axis_name: str | None = None,
 ):
     """Build the jitted K-step fused SAC train segment (agents/ddpg.py's
-    lazy-obs / s2-free-replay / warm-gate skeleton, SAC losses)."""
+    lazy-obs / s2-free-replay / warm-gate skeleton, SAC losses).
+
+    ``axis_name``: set when running per-chip under ``shard_map``
+    (parallel/distributed.make_distributed) — gradients (incl. the scalar
+    temperature gradient) and metrics pmean over the env-shard axis,
+    per-device RNG streams decorrelate via fold_in, exactly the DDPG DP
+    design."""
     from cartpoleplusplus_tpu.agents.ddpg import aug_random_shift
 
     def critic_loss_fn(c_params, s1, a, y):
@@ -177,12 +189,16 @@ def make_segment(
         closs, cgrads = jax.value_and_grad(critic_loss_fn)(
             critic_vars["params"], s1, a, jax.lax.stop_gradient(y)
         )
+        if axis_name is not None:
+            cgrads = jax.lax.pmean(cgrads, axis_name)
         cupd, copt = critic_tx.update(cgrads, copt, critic_vars["params"])
         critic_vars = {"params": optax.apply_updates(critic_vars["params"], cupd)}
 
         (aloss, logp), agrads = jax.value_and_grad(actor_loss_fn, has_aux=True)(
             actor_vars["params"], critic_vars["params"], alpha, s1, k_new
         )
+        if axis_name is not None:
+            agrads = jax.lax.pmean(agrads, axis_name)
         aupd, aopt = actor_tx.update(agrads, aopt, actor_vars["params"])
         actor_vars = {"params": optax.apply_updates(actor_vars["params"], aupd)}
 
@@ -192,6 +208,8 @@ def make_segment(
             return -la * jnp.mean(jax.lax.stop_gradient(logp) + target_entropy)
 
         alloss, algrad = jax.value_and_grad(alpha_loss_fn)(log_alpha)
+        if axis_name is not None:
+            algrad = jax.lax.pmean(algrad, axis_name)
         alupd, alopt = alpha_tx.update(algrad, alopt, log_alpha)
         log_alpha = optax.apply_updates(log_alpha, alupd)
 
@@ -210,6 +228,10 @@ def make_segment(
     }
 
     def segment(st: SACState):
+        if axis_name is not None:
+            st = st.replace(
+                rng=jax.random.fold_in(st.rng, jax.lax.axis_index(axis_name))
+            )
         rng, k_pool = jax.random.split(st.rng)
         st = st.replace(rng=rng)
         reset_pool = venv.reset(k_pool)
@@ -270,9 +292,19 @@ def make_segment(
         metrics["double_reset_frac"] = (
             jnp.sum(jnp.maximum(counts - 1.0, 0.0)) / total
         )
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+            st = st.replace(
+                rng=jax.lax.all_gather(st.rng, axis_name, axis=0)[0]
+            )
         return st, metrics
 
     return segment
+
+
+SAC_SHARDED_FIELDS = ("replay", "env_states", "obs")
+SAC_METRIC_KEYS = ("critic_loss", "actor_loss", "alpha", "entropy",
+                   "reward", "done_frac", "double_reset_frac")
 
 
 def init_state(opts, config, venv, actor, critic, actor_tx, critic_tx,
@@ -354,18 +386,52 @@ def train(opts) -> float:
             start_segment = restored
             logger.log("restore", step=restored)
 
-    segment = jax.jit(
-        make_segment(
-            venv, actor, critic, actor_tx, critic_tx, alpha_tx,
-            gamma=opts.gamma, tau=opts.tau, batch_size=opts.batch_size,
+    if getattr(opts, "num_devices", 1) > 1:
+        # Multi-chip DP: env/replay shards, replicated params + temperature,
+        # gradient pmean over ICI (parallel/distributed.make_distributed is
+        # agent-generic; only the sharded-field names are SAC-specific).
+        from cartpoleplusplus_tpu.parallel import make_distributed, make_mesh
+
+        if opts.num_envs % opts.num_devices or opts.replay_capacity % opts.num_devices:
+            raise SystemExit(
+                "--num-envs and --replay-capacity must be divisible by "
+                "--num-devices"
+            )
+        mesh = make_mesh(opts.num_devices)
+        local_venv = common.make_venv(
+            config, opts.num_envs // opts.num_devices,
+            pallas_render=getattr(opts, "pallas_render", False),
+            pallas_physics=getattr(opts, "pallas_physics", False),
+            render_raster=getattr(opts, "render_raster", False),
+        )
+        per_chip = make_segment(
+            local_venv, actor, critic, actor_tx, critic_tx, alpha_tx,
+            gamma=opts.gamma, tau=opts.tau,
+            batch_size=opts.batch_size // opts.num_devices or 1,
             warmup_steps=opts.warmup_steps,
             steps_per_segment=opts.steps_per_segment,
             target_entropy=target_entropy,
             reward_scale=opts.reward_scale,
             aug_shift=opts.aug_shift,
-        ),
-        donate_argnums=0,
-    )
+            axis_name=mesh.axis_names[0],
+        )
+        segment, shard_state = make_distributed(
+            mesh, per_chip, st, SAC_SHARDED_FIELDS, SAC_METRIC_KEYS
+        )
+        st = shard_state(st)
+    else:
+        segment = jax.jit(
+            make_segment(
+                venv, actor, critic, actor_tx, critic_tx, alpha_tx,
+                gamma=opts.gamma, tau=opts.tau, batch_size=opts.batch_size,
+                warmup_steps=opts.warmup_steps,
+                steps_per_segment=opts.steps_per_segment,
+                target_entropy=target_entropy,
+                reward_scale=opts.reward_scale,
+                aug_shift=opts.aug_shift,
+            ),
+            donate_argnums=0,
+        )
     eval_fn = jax.jit(
         lambda p, k: common.eval_rollout(eval_venv, greedy_act(actor), p, k)
     )

@@ -219,7 +219,8 @@ def _agent_cli_multidevice(module, extra=()):
     from cartpoleplusplus_tpu.agents import common as common_mod
 
     parser = common_mod.make_parser("t")
-    for name in ("add_dqn_opts", "add_naf_opts", "add_ddpg_opts", "add_lrpg_opts"):
+    for name in ("add_dqn_opts", "add_naf_opts", "add_ddpg_opts",
+                 "add_lrpg_opts", "add_sac_opts"):
         if hasattr(module, name):
             getattr(module, name)(parser)
     argv = [
@@ -247,6 +248,16 @@ def test_naf_multidevice_cli():
 
     _agent_cli_multidevice(
         naf,
+        ["--steps-per-segment", "3", "--batch-size", "16",
+         "--replay-capacity", "128", "--warmup-steps", "1"],
+    )
+
+
+def test_sac_multidevice_cli():
+    from cartpoleplusplus_tpu.agents import sac
+
+    _agent_cli_multidevice(
+        sac,
         ["--steps-per-segment", "3", "--batch-size", "16",
          "--replay-capacity", "128", "--warmup-steps", "1"],
     )
