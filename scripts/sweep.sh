@@ -31,3 +31,14 @@ for seed in 0 1 2; do
     --seed "$seed" --metrics-jsonl "$OUT/sweep_naf_s${seed}.jsonl" &
   wait $!
 done
+
+for seed in 0 1 2; do
+  # SAC (beyond-parity, round 4): no OU annealing needed — the learned
+  # temperature handles late-training exploration decay on its own.
+  python -m cartpoleplusplus_tpu.agents.sac $COMMON \
+    --num-train-batches "${BATCHES:-5000}" \
+    --lr-schedule cosine \
+    --reward-scale 0.1 --grad-clip 10 \
+    --seed "$seed" --metrics-jsonl "$OUT/sweep_sac_s${seed}.jsonl" &
+  wait $!
+done
