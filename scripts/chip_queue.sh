@@ -199,5 +199,16 @@ T=2700 step sac_lowdim python -m cartpoleplusplus_tpu.agents.sac \
   --warmup-steps 40 --num-train-batches 5000 \
   --reward-scale 0.1 --grad-clip 10 --lr-schedule cosine \
   --seed 0 --metrics-jsonl runs/sac_lowdim_s0.jsonl
+# Pixel SAC with the TD3-pixel-recipe shape (conv encoder, pooled obs, DrQ
+# aug): does max-entropy exploration beat the OU-annealed TD3 curve?
+T=3700 step sac_pixels python -m cartpoleplusplus_tpu.agents.sac \
+  --use-raw-pixels --num-cameras 2 --obs-pool 2 --pixel-encoder conv \
+  --num-envs 512 --num-eval 64 --eval-freq 500 \
+  --steps-per-segment 25 --batch-size 256 --replay-capacity 65536 \
+  --warmup-steps 40 --num-train-batches 15000 \
+  --actor-learning-rate 1e-4 --critic-learning-rate 3e-4 --lr-schedule cosine \
+  --reward-scale 0.1 --grad-clip 10 --aug-shift 2 \
+  --pallas-render \
+  --seed 0 --metrics-jsonl runs/sac_pixels_s0.jsonl
 
 note "QUEUE DONE"
