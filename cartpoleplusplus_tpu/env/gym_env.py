@@ -26,6 +26,7 @@ from cartpoleplusplus_tpu.env.config import (
     CartpoleConfig,
 )
 from cartpoleplusplus_tpu.env.config import add_opts as add_opts  # re-export
+from cartpoleplusplus_tpu.env.config import config_from_opts
 from cartpoleplusplus_tpu.physics.bodies import SceneParams
 
 try:  # pragma: no cover - exercised implicitly by import
@@ -77,8 +78,24 @@ class Cartpole(_GymBase):
         observe_fn: Optional[ObserveFn] = None,
         seed: int = 0,
     ):
+        if config is not None and not isinstance(config, CartpoleConfig):
+            # The reference constructs the env straight from parsed args
+            # (``env = BulletCartpole(opts)``, ddpg_cartpole.py:~L280) —
+            # accept an ``add_opts`` argparse Namespace the same way.
+            config = config_from_opts(
+                config,
+                discrete_actions=not getattr(config, "continuous", False),
+            )
         self.config = config or CartpoleConfig()
         self.scene = scene if scene is not None else cartpole.scene_for(self.config)
+        if observe_fn is None and self.config.use_raw_pixels:
+            # Pixel observations need the camera observer (reference:
+            # state assembly calls getCameraImage, bullet_cartpole.py:
+            # ~L120-150); without this, --use-raw-pixels silently fell
+            # back to low-dim poses.
+            from cartpoleplusplus_tpu.render import make_observe_pixels
+
+            observe_fn = make_observe_pixels(self.config, dtype=jnp.uint8)
         self._observe_fn = observe_fn
         self._rng = jax.random.PRNGKey(seed)
         self._state = None
@@ -90,13 +107,19 @@ class Cartpole(_GymBase):
         self._step_fn = jax.jit(lambda s, a: cartpole.step(cfg, scn, s, a, obs_fn))
 
         # Spaces (reference: bullet_cartpole.py ctor builds gym spaces).
+        # Pixel observations are uint8 in [0, 255]; low-dim poses are
+        # unbounded float32.
+        if self.config.use_raw_pixels:
+            obs_lo, obs_hi, obs_dtype = 0, 255, np.uint8
+        else:
+            obs_lo, obs_hi, obs_dtype = -np.inf, np.inf, np.float32
         if _spaces is not None:
             if self.config.discrete_actions:
                 self.action_space = _spaces.Discrete(NUM_DISCRETE_ACTIONS)
             else:
                 self.action_space = _spaces.Box(-1.0, 1.0, shape=(2,), dtype=np.float32)
             self.observation_space = _spaces.Box(
-                -np.inf, np.inf, shape=self.config.obs_shape, dtype=np.float32
+                obs_lo, obs_hi, shape=self.config.obs_shape, dtype=obs_dtype
             )
         else:
             if self.config.discrete_actions:
@@ -104,8 +127,9 @@ class Cartpole(_GymBase):
             else:
                 self.action_space = _BoxSpace(-1.0, 1.0, (2,))
             self.observation_space = _BoxSpace(
-                -np.inf, np.inf, self.config.obs_shape
+                obs_lo, obs_hi, self.config.obs_shape
             )
+            self.observation_space.dtype = obs_dtype
 
     def _next_key(self) -> jax.Array:
         self._rng, key = jax.random.split(self._rng)

@@ -45,6 +45,36 @@ def test_gym_spaces_contract():
     assert isinstance(reward, float) and isinstance(done, bool)
 
 
+def test_gym_env_from_opts_namespace():
+    """The reference pattern ``env = BulletCartpole(opts)`` (ddpg_cartpole.py
+    :~L280) works with a raw add_opts Namespace, including pixel obs —
+    round 4 fix: the wrapper previously required a CartpoleConfig, and
+    --use-raw-pixels silently fell back to low-dim poses."""
+    import argparse
+
+    from cartpoleplusplus_tpu.env.gym_env import BulletCartpole, add_opts
+
+    parser = argparse.ArgumentParser()
+    add_opts(parser)
+    opts = parser.parse_args(
+        ["--use-raw-pixels", "--action-repeats", "2", "--steps-per-repeat", "2",
+         "--render-width", "20", "--render-height", "20"]
+    )
+    env = BulletCartpole(opts)
+    assert env.config.use_raw_pixels
+    obs = env.reset()
+    assert obs.shape == env.observation_space.shape
+    assert obs.dtype == np.uint8 == env.observation_space.dtype
+    assert obs.max() > 100  # rendered pixels, not poses
+    obs2, reward, done, info = env.step(env.action_space.sample())
+    assert obs2.shape == obs.shape and obs2.dtype == np.uint8
+
+    lowdim = BulletCartpole(parser.parse_args(
+        ["--action-repeats", "2", "--steps-per-repeat", "2"]))
+    o = lowdim.reset()
+    assert o.shape == (2, 2, 7) and o.dtype == np.float32
+
+
 def test_gym_render_rgb_array():
     """env.render() returns an (H, W, 3) uint8 image of the live state
     (reference --gui analogue; was a NotImplementedError in round 1)."""
