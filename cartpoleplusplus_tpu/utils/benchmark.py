@@ -172,6 +172,13 @@ def add_bench_opts(parser: argparse.ArgumentParser) -> None:
                              "env/config.py)")
     parser.add_argument("--trace-dir", type=str, default=None,
                         help="capture a jax.profiler trace to this dir")
+    parser.add_argument("--min-wall-s", type=float, default=0.5,
+                        help="auto-extend the timed window (same compiled "
+                             "program, doubling) until it spans at least "
+                             "this much wall time — short windows are "
+                             "dominated by fixed remote-dispatch overhead "
+                             "(~48 ms measured; a 72 ms low-dim row under- "
+                             "reported 2.1x in round 4)")
 
 
 def build(opts):
@@ -309,21 +316,35 @@ def run(opts) -> dict:
             # skip the failed compile on later rows this process.
             _RASTER_REJECTED = True
 
+    min_wall = getattr(opts, "min_wall_s", 0.5)
     if opts.trace_dir:
         jax.profiler.start_trace(opts.trace_dir)
     try:
+        segs_run = 0
+        batch = opts.segments
         t0 = time.perf_counter()
-        for _ in range(opts.segments):
-            st, m = segment(st)
-        float(m["reward"])
-        dt = time.perf_counter() - t0
+        while True:
+            for _ in range(batch):
+                st, m = segment(st)
+            float(m["reward"])  # sync: fetch a scalar through the tunnel
+            dt = time.perf_counter() - t0
+            segs_run += batch
+            # Auto-extend short windows: fixed dispatch overhead through the
+            # remote tunnel (~48 ms, measured round 4) dominated the default
+            # 100-step low-dim row — it read 5.7M steps/s where a 500-step
+            # window of the SAME compiled program reads 12.1M.  Doubling the
+            # window costs no recompiles; cap at 64x the requested segments
+            # so a stubbed/instant segment fn can't spin.
+            if dt >= min_wall or segs_run >= opts.segments * 64:
+                break
+            batch = segs_run  # double the window each pass
     finally:
         # Always close the trace: a mid-row failure that leaks an active
         # profiler would make every retry/later row die at start_trace.
         if opts.trace_dir:
             jax.profiler.stop_trace()
 
-    env_steps = opts.segments * opts.steps_per_segment * opts.num_envs
+    env_steps = segs_run * opts.steps_per_segment * opts.num_envs
     sps = env_steps / dt
     name = "batched_env_steps_per_sec_per_chip"
     if not opts.lowdim:
@@ -409,7 +430,7 @@ def _child_argv(opts, overrides: dict) -> list:
         replay_capacity=opts.replay_capacity, segments=opts.segments,
         obs_pool=opts.obs_pool, obs_samples=opts.obs_samples,
         render_tile_e=opts.render_tile_e, pixel_pool=opts.pixel_pool,
-        solver_iters=opts.solver_iters,
+        solver_iters=opts.solver_iters, min_wall_s=opts.min_wall_s,
     )
     flags = dict(
         lowdim=opts.lowdim, sim_only=opts.sim_only,
