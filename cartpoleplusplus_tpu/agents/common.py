@@ -74,11 +74,18 @@ def add_agent_opts(parser: argparse.ArgumentParser) -> None:
                              "requires num-envs (per device) to be a "
                              "multiple of 32.  With both kernels on, the "
                              "fully-fused one-launch step path engages")
-    parser.add_argument("--render-raster", action="store_true",
+    parser.add_argument("--render-raster", action="store_true", default=None,
                         help="render via the projective inverse-depth "
                              "rasterizer instead of the slab cascade "
                              "(110 vs 162 census ops/ray; applies to both "
-                             "the XLA and Pallas renderers)")
+                             "the XLA and Pallas renderers).  Default: auto "
+                             "per config from the round-4 on-chip race "
+                             "(render.prefer_raster — raster for exact-"
+                             "sampling configs, slab for multi-camera "
+                             "sampled ones)")
+    parser.add_argument("--no-render-raster", dest="render_raster",
+                        action="store_false",
+                        help="force the slab cascade")
 
 
 def make_parser(description: str) -> argparse.ArgumentParser:
@@ -92,14 +99,24 @@ def make_venv(
     config, num_envs: int, pallas_render: bool = False,
     pallas_physics: bool = False, fused_step: bool = True,
     render_tile_e: int = 32, render_recip: bool = True,
-    render_raster: bool = False, render_mxu: bool = False,
+    render_raster: bool | None = None, render_mxu: bool = False,
 ) -> VectorCartpole:
     """Vector env with the right observation fn (pixels iff --use-raw-pixels).
 
     ``pallas_render``: use the hand-tiled Pallas camera kernel
     (render/pallas_kernel.py) instead of the XLA ray caster for the batched
     path.  Requires num_envs to be a multiple of the kernel's env tile.
+
+    ``render_raster=None`` picks the measured per-config winner
+    (render.prefer_raster).  Callers that probe the backend first
+    (probe_raster_or_downgrade) resolve it on ``opts`` before this call.
     """
+    if render_raster is None:
+        from cartpoleplusplus_tpu.render import prefer_raster
+
+        render_raster = prefer_raster(
+            config.num_cameras, getattr(config, "obs_pool", 1),
+            getattr(config, "obs_samples", 0))
     observe_fn = None
     observe_batched_fn = None
     physics_fn = None
@@ -163,7 +180,18 @@ def probe_raster_or_downgrade(config, opts) -> None:
     compile cache makes later runs free.  Mutating ``opts`` before any
     ``make_venv`` call keeps every downstream consumer (venv, record/eval
     renderers) on the SAME kernel.
+
+    Also resolves the ``--render-raster`` tristate (None = auto) to the
+    measured per-config winner (render.prefer_raster), so every later
+    ``getattr(opts, "render_raster", False)`` consumer sees one concrete
+    decision.
     """
+    if getattr(opts, "render_raster", None) is None:
+        from cartpoleplusplus_tpu.render import prefer_raster
+
+        opts.render_raster = config.use_raw_pixels and prefer_raster(
+            config.num_cameras, getattr(config, "obs_pool", 1),
+            getattr(config, "obs_samples", 0))
     if not (getattr(opts, "pallas_render", False)
             and getattr(opts, "render_raster", False)
             and config.use_raw_pixels):

@@ -137,16 +137,19 @@ def add_bench_opts(parser: argparse.ArgumentParser) -> None:
                              "see BASELINE.md round-3 roofline)")
     parser.add_argument("--no-render-recip", dest="render_recip",
                         action="store_false")
-    parser.add_argument("--render-raster", action="store_true", default=True,
+    parser.add_argument("--render-raster", action="store_true", default=None,
                         help="cast via the projective inverse-depth "
                              "rasterizer (raycast._ray_obb_q) instead of a "
                              "slab cascade: every bound is affine in screen "
                              "coords, census 110 vs 162 ops/ray (round-3.5 "
                              "algorithm-class diet; overrides --render-recip)."
-                             "  Default ON for the bench; run() falls back to "
-                             "the slab kernel if the Mosaic backend rejects "
-                             "it (AOT front-end lowering is CI-tested, the "
-                             "LLO backend compile only happens on hardware)")
+                             "  Default: auto per config from the round-4 "
+                             "on-chip race (render.prefer_raster — raster "
+                             "won 1-cam exact +9%%, slab won config-5 +7%%); "
+                             "run() falls back to the slab kernel if the "
+                             "Mosaic backend rejects it (AOT front-end "
+                             "lowering is CI-tested, the LLO backend compile "
+                             "only happens on hardware)")
     parser.add_argument("--no-render-raster", dest="render_raster",
                         action="store_false")
     parser.add_argument("--render-mxu", action="store_true", default=False,
@@ -198,6 +201,14 @@ def build(opts):
         obs_samples=getattr(opts, "obs_samples", 0) if not opts.lowdim else 0,
         solver_iterations=getattr(opts, "solver_iters", 5),
     )
+    if getattr(opts, "render_raster", None) is None:
+        # Tristate auto: resolve onto opts (not just locally) so run()'s
+        # ceiling, fallback, and _render_raster provenance all see the
+        # same concrete pick as the venv built here.
+        from cartpoleplusplus_tpu.render import prefer_raster
+
+        opts.render_raster = (not opts.lowdim) and prefer_raster(
+            config.num_cameras, config.obs_pool, config.obs_samples)
     pallas_physics = getattr(opts, "pallas_physics", None)
     if pallas_physics is None:  # auto: kernel needs 1024-env tiles
         pallas_physics = opts.num_envs % 1024 == 0
@@ -274,7 +285,9 @@ def run(opts) -> dict:
     global _RASTER_REJECTED
     import copy
 
-    if _RASTER_REJECTED and getattr(opts, "render_raster", False):
+    # None (tristate auto) could resolve to raster in build(): pin it to
+    # slab too once the backend has rejected the raster kernel.
+    if _RASTER_REJECTED and getattr(opts, "render_raster", False) is not False:
         opts = copy.copy(opts)
         opts.render_raster = False
 
@@ -623,7 +636,15 @@ def main(argv=None):
     done = []  # (result, label, tag)
     aborted = None
     for label, tag, overrides in ROW_SPECS:
-        want_raster = (opts.render_raster and not raster_rejected
+        row_raster = opts.render_raster
+        if row_raster is None:  # auto: per-row pick, same rule as the child
+            from cartpoleplusplus_tpu.render import prefer_raster
+
+            row_raster = prefer_raster(
+                overrides.get("num_cameras", opts.num_cameras),
+                opts.obs_pool,
+                overrides.get("obs_samples", opts.obs_samples))
+        want_raster = (row_raster and not raster_rejected
                        and not overrides.get("lowdim", False))
         row_over = dict(overrides)
         if raster_rejected:

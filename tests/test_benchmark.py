@@ -155,7 +155,7 @@ def test_child_argv_roundtrips_through_parser():
     assert child.num_cameras == 2 and child.obs_samples == 2
     assert child.fused_step is False and child.pallas_render is False
     assert child.pallas_physics is None  # tristate auto preserved
-    assert child.render_raster is True
+    assert child.render_raster is None   # tristate auto preserved (round 4)
     # lowdim row override flows through as a flag
     argv = B._child_argv(base, {"lowdim": True})
     assert parser.parse_args(argv[3:]).lowdim is True

@@ -1,0 +1,101 @@
+"""Per-config render-algorithm auto-pick (render.prefer_raster).
+
+Round 4 decided the raster/slab race on chip (BASELINE.md): the projective
+raster wins where rays per camera frame are high (1-cam exact +9%), the
+slab cascade wins multi-camera sampled configs (config-5 +7%).  The rule
+and its plumbing (agent tristate flag, probe resolution, bench child argv)
+are pinned here so a flag-default edit can't silently flip a measured
+winner.
+"""
+
+from types import SimpleNamespace
+
+from cartpoleplusplus_tpu.agents import common
+from cartpoleplusplus_tpu.env.config import CartpoleConfig
+from cartpoleplusplus_tpu.render import prefer_raster
+
+
+def test_rule_matches_measured_race():
+    # Measured winners (BASELINE.md round 4).
+    assert prefer_raster(1, 2, 0) is True       # 1-cam exact: raster +9%
+    assert prefer_raster(2, 2, 2) is False      # config-5: slab +7%
+    # Monotonicity: fewer rays/camera amortize raster precompute worse.
+    assert prefer_raster(2, 2, 1) is False
+    # 2-cam exact: raster at 90% of a ceiling the slab census can't reach.
+    assert prefer_raster(2, 2, 0) is True
+    # obs_samples == pool**2 is exact sampling, same as 0.
+    assert prefer_raster(2, 2, 4) is True
+    # Single-camera sampled rows keep raster pending their slab race cells.
+    assert prefer_raster(1, 2, 2) is True
+    assert prefer_raster(1, 2, 1) is True
+    # No pooling: samples can only be exact.
+    assert prefer_raster(1, 1, 0) is True
+
+
+def _opts(**kw):
+    base = dict(pallas_render=False, render_raster=None, render_tile_e=8)
+    base.update(kw)
+    return SimpleNamespace(**base)
+
+
+def test_probe_resolves_tristate_to_config_winner():
+    opts = _opts()
+    common.probe_raster_or_downgrade(
+        CartpoleConfig(use_raw_pixels=True, num_cameras=1,
+                       render_width=50, render_height=50, obs_pool=2), opts)
+    assert opts.render_raster is True
+
+    opts = _opts()
+    common.probe_raster_or_downgrade(
+        CartpoleConfig(use_raw_pixels=True, num_cameras=2,
+                       render_width=50, render_height=50,
+                       obs_pool=2, obs_samples=2), opts)
+    assert opts.render_raster is False
+
+    # Low-dim: no renderer, auto resolves to slab-off so downstream
+    # raster consumers (record/eval) never see a truthy leftover.
+    opts = _opts()
+    common.probe_raster_or_downgrade(CartpoleConfig(), opts)
+    assert opts.render_raster is False
+
+
+def test_probe_keeps_explicit_choice():
+    for forced in (True, False):
+        opts = _opts(render_raster=forced)
+        common.probe_raster_or_downgrade(
+            CartpoleConfig(use_raw_pixels=True, num_cameras=2,
+                           render_width=50, render_height=50,
+                           obs_pool=2, obs_samples=2), opts)
+        assert opts.render_raster is forced
+
+
+def test_make_venv_resolves_tristate():
+    cfg = CartpoleConfig(use_raw_pixels=True, num_cameras=2,
+                         render_width=50, render_height=50,
+                         obs_pool=2, obs_samples=2)
+    venv = common.make_venv(cfg, 4, render_raster=None)
+    assert venv is not None  # resolved without error (slab pick)
+
+
+def test_bench_child_argv_passes_auto_through():
+    """A tristate parent must NOT pin the child: each row resolves auto
+    against its own camera/sampling overrides."""
+    from cartpoleplusplus_tpu.utils import benchmark as B
+
+    opts = SimpleNamespace(
+        num_envs=64, num_cameras=2, action_repeats=3, steps_per_repeat=5,
+        steps_per_segment=2, batch_size=8, replay_capacity=128, segments=1,
+        obs_pool=2, obs_samples=2, render_tile_e=32, pixel_pool=1,
+        solver_iters=5, min_wall_s=0.5, lowdim=False, sim_only=False,
+        pallas_render=True, pallas_physics=True, fused_step=True,
+        render_recip=True, render_raster=None, render_mxu=False,
+        trace_dir=None,
+    )
+    argv = B._child_argv(opts, {})
+    assert "--render-raster" not in argv
+    assert "--no-render-raster" not in argv
+    # Explicit choices still propagate.
+    opts.render_raster = False
+    assert "--no-render-raster" in B._child_argv(opts, {})
+    opts.render_raster = True
+    assert "--render-raster" in B._child_argv(opts, {})
