@@ -105,6 +105,62 @@ def _build_ray_planes(cameras, h, w, pool: int = 1, samples: int = 0):
     return np.concatenate(cols, axis=1), cam_meta, (p2, n, stride)
 
 
+_SETUP_W = 22  # per box: A(3) B(3) C(3) inv_u(3) inv_l(3) ahead(3) cand(3) inside
+
+
+def _pack_setups(scene: SceneParams, cam_meta, poses: jnp.ndarray) -> jnp.ndarray:
+    """Hoist the raster's per-env scalar setup out of the Mosaic kernel.
+
+    ``_obb_q_setup`` is ~300 element ops per (box × camera × env) including
+    six true divides — cheap per ray when amortized over a full 2500-ray
+    camera frame, but the kernel evaluates it on (TILE_E, 1) columns (one
+    VPU lane in 128) once per camera per env-tile, which round 4 measured
+    as the dominant per-frame overhead at low rays-per-camera configs
+    (config-5 raster at 0.57 of its census ceiling vs 0.88 for 1-cam exact;
+    BASELINE.md round-4 race).  Evaluating it here, batched over ALL envs
+    (and repeats) at full lane occupancy, costs microseconds and shrinks
+    the kernel's per-frame work to the per-ray cascades.
+
+    ``poses``: (..., 16) with any leading batch dims ((E,) or (R, E)).
+    Returns f32 (..., n_cams · 2 · _SETUP_W): per camera, the cart box then
+    the pole box, each the exact ``_obb_q_setup`` output tuple flattened in
+    order (bool fields as 0.0/1.0).  Same IEEE expression tree as the
+    in-kernel evaluation, so results are bit-identical.
+    """
+    f32 = poses.astype(jnp.float32)
+    comp = lambda j: f32[..., j]
+    boxes = (
+        ((comp(0), comp(1), comp(2)),
+         (comp(3), comp(4), comp(5), comp(6)), scene.cart_half_extents),
+        ((comp(7), comp(8), comp(9)),
+         (comp(10), comp(11), comp(12), comp(13)), scene.pole_half_extents),
+    )
+    cols = []
+    for basis, eye in cam_meta:
+        for center, quat, he in boxes:
+            a3, b3, c3, iu, il, ahead, cand, inside = _obb_q_setup(
+                basis, eye, center, quat, he, LIGHT_DIR
+            )
+            cols += [*a3, *b3, *c3, *iu, *il,
+                     *(a.astype(jnp.float32) for a in ahead),
+                     *cand, inside.astype(jnp.float32)]
+    return jnp.stack(cols, axis=-1)
+
+
+def _unpack_setup(scol):
+    """Rebuild an ``_obb_q_setup`` tuple from packed (TILE_E, 1) columns."""
+    g = lambda j: scol(j)
+    a3 = (g(0), g(1), g(2))
+    b3 = (g(3), g(4), g(5))
+    c3 = (g(6), g(7), g(8))
+    iu = (g(9), g(10), g(11))
+    il = (g(12), g(13), g(14))
+    ahead = tuple(g(15 + k) > 0.5 for k in range(3))
+    cand = (g(18), g(19), g(20))
+    inside = g(21) > 0.5
+    return a3, b3, c3, iu, il, ahead, cand, inside
+
+
 def _render_kernel(
     scene: SceneParams,
     cam_meta,
@@ -116,6 +172,7 @@ def _render_kernel(
     poses_ref,
     rays_ref,
     out_ref,
+    setups_ref=None,
 ):
     """One env tile: cast + shade + pool all cameras' rays for TILE_E envs.
 
@@ -166,12 +223,27 @@ def _render_kernel(
 
         # Screen-affine cascades (shared with the XLA path).
         if raster:
-            su_c = _obb_q_setup(
-                basis, eye, cart_c, cart_q, scene.cart_half_extents, LIGHT_DIR
-            )
-            su_p = _obb_q_setup(
-                basis, eye, pole_c, pole_q, scene.pole_half_extents, LIGHT_DIR
-            )
+            if setups_ref is not None:
+                # Per-env setup hoisted to batched XLA (_pack_setups):
+                # the kernel reads packed (TILE_E, 1) coefficient columns
+                # instead of burning ~300 one-lane VPU ops per box per
+                # camera per tile (round-4 per-frame overhead fix).
+                sbase = c * 2 * _SETUP_W
+                scol_c = lambda j: setups_ref[:, sbase + j : sbase + j + 1]
+                scol_p = (lambda j:
+                          setups_ref[:, sbase + _SETUP_W + j
+                                     : sbase + _SETUP_W + j + 1])
+                su_c = _unpack_setup(scol_c)
+                su_p = _unpack_setup(scol_p)
+            else:
+                su_c = _obb_q_setup(
+                    basis, eye, cart_c, cart_q, scene.cart_half_extents,
+                    LIGHT_DIR,
+                )
+                su_p = _obb_q_setup(
+                    basis, eye, pole_c, pole_q, scene.pole_half_extents,
+                    LIGHT_DIR,
+                )
             b_c = b_p = None
             if mxu:
                 # One MXU matmul emits all 18 ROUTED bound planes of both
@@ -310,24 +382,40 @@ def make_render_repeats(
         body = functools.partial(
             _render_kernel, scene, cam_meta, p2, stride, recip, raster, mxu
         )
-        out = pl.pallas_call(
-            lambda poses_ref, rays_ref, out_ref: body(
+        inputs = [poses, jnp.asarray(rays)]
+        in_specs = [
+            pl.BlockSpec((1, tile_e, 16), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, rays.shape[1]), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if raster:
+            # Per-env setup hoisted to batched XLA over all (R, E) at
+            # full lane occupancy (see _pack_setups).
+            setups = _pack_setups(scene, cam_meta, poses)
+            sw = setups.shape[-1]
+            inputs.append(setups)
+            in_specs.append(
+                pl.BlockSpec((1, tile_e, sw), lambda i, j: (j, i, 0),
+                             memory_space=pltpu.VMEM))
+            kernel = lambda poses_ref, rays_ref, setups_ref, out_ref: body(
+                poses_ref[0], rays_ref, out_ref, setups_ref=setups_ref[0]
+            )
+        else:
+            kernel = lambda poses_ref, rays_ref, out_ref: body(
                 poses_ref[0], rays_ref, out_ref
-            ),
+            )
+        out = pl.pallas_call(
+            kernel,
             grid=(e // tile_e, r),
-            in_specs=[
-                pl.BlockSpec((1, tile_e, 16), lambda i, j: (j, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((_ROWS, rays.shape[1]), lambda i, j: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (tile_e, frame_w), lambda i, j: (i, j),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct((e, r * frame_w), kernel_dtype),
             interpret=interpret,
-        )(poses, jnp.asarray(rays))
+        )(*inputs)
         # Drop per-plane lane padding → (E, R, C·3·n).
         planes = out.reshape(e, r * len(cams) * 3, stride)[:, :, :n]
         frames = planes.reshape(e, r, len(cams) * 3 * n)
@@ -380,18 +468,32 @@ def make_render_batched(
             ],
             axis=-1,
         )  # (E, 16)
-        kernel = functools.partial(
+        body = functools.partial(
             _render_kernel, scene, cam_meta, p2, stride, recip, raster, mxu
         )
+        kernel = body
+        inputs = [poses, jnp.asarray(rays)]
+        in_specs = [
+            pl.BlockSpec((tile_e, 16), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, rays.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if raster:
+            setups = _pack_setups(scene, cam_meta, poses)
+            inputs.append(setups)
+            in_specs.append(
+                pl.BlockSpec((tile_e, setups.shape[-1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM))
+            # pallas_call passes refs positionally (inputs then outputs);
+            # reorder into the kernel's (poses, rays, out, setups) slots.
+            kernel = lambda poses_ref, rays_ref, setups_ref, out_ref: body(
+                poses_ref, rays_ref, out_ref, setups_ref=setups_ref
+            )
         out = pl.pallas_call(
             kernel,
             grid=(e // tile_e,),
-            in_specs=[
-                pl.BlockSpec((tile_e, 16), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((_ROWS, rays.shape[1]), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (tile_e, len(cams) * 3 * stride), lambda i: (i, 0),
                 memory_space=pltpu.VMEM,
@@ -400,7 +502,7 @@ def make_render_batched(
                 (e, len(cams) * 3 * stride), kernel_dtype
             ),
             interpret=interpret,
-        )(poses, jnp.asarray(rays))
+        )(*inputs)
         # Drop the per-plane lane padding → flat (E, C·3·n) frames.
         planes = out.reshape(e, len(cams) * 3, stride)[:, :, :n]
         frames = planes.reshape(e, len(cams) * 3 * n)
