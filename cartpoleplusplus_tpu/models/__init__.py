@@ -10,6 +10,7 @@ from cartpoleplusplus_tpu.models.networks import (
     GaussianActor,
     NAFNetwork,
     QNetwork,
+    ValueNetwork,
 )
 from cartpoleplusplus_tpu.models.target import hard_target_update, soft_target_update
 from cartpoleplusplus_tpu.models.trunks import (
@@ -28,6 +29,7 @@ __all__ = [
     "GaussianActor",
     "NAFNetwork",
     "QNetwork",
+    "ValueNetwork",
     "hard_target_update",
     "soft_target_update",
     "DEFAULT_HIDDEN",

@@ -149,6 +149,35 @@ class GaussianActor(nn.Module):
         return mu, jnp.clip(log_std, self.log_std_min, self.log_std_max)
 
 
+class ValueNetwork(nn.Module):
+    """V(s) head for on-policy actor-critic (PPO).
+
+    Beyond reference parity (the upstream zoo's only on-policy agent is
+    plain REINFORCE, lrpg_cartpole.py): a state-value baseline over the same
+    ObsEncoder trunk, used by agents/ppo.py for GAE advantages.
+    """
+
+    use_raw_pixels: bool = False
+    pixel_encoder: str = "dense"
+    pixel_pool: int = 1
+    height: int = 50
+    width: int = 50
+    hidden: Sequence[int] = DEFAULT_HIDDEN
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        h = ObsEncoder(
+            self.use_raw_pixels, self.hidden,
+            pixel_encoder=self.pixel_encoder,
+            pixel_pool=self.pixel_pool,
+            height=self.height, width=self.width,
+        )(obs, train)
+        return nn.Dense(
+            1, name="v",
+            kernel_init=final_layer_init(), bias_init=final_layer_init(),
+        )(h)[..., 0]
+
+
 class Critic(nn.Module):
     """Q(s, a) with the action injected at a late hidden layer (DDPG).
 

@@ -220,7 +220,7 @@ def _agent_cli_multidevice(module, extra=()):
 
     parser = common_mod.make_parser("t")
     for name in ("add_dqn_opts", "add_naf_opts", "add_ddpg_opts",
-                 "add_lrpg_opts", "add_sac_opts"):
+                 "add_lrpg_opts", "add_sac_opts", "add_ppo_opts"):
         if hasattr(module, name):
             getattr(module, name)(parser)
     argv = [
@@ -267,6 +267,16 @@ def test_lrpg_multidevice_cli():
     from cartpoleplusplus_tpu.agents import lrpg
 
     _agent_cli_multidevice(lrpg)
+
+
+def test_ppo_multidevice_cli():
+    from cartpoleplusplus_tpu.agents import ppo
+
+    _agent_cli_multidevice(
+        ppo,
+        ["--rollout-steps", "4", "--ppo-minibatches", "2",
+         "--ppo-epochs", "2"],
+    )
 
 
 def test_distributed_env_shards_differ(nets):
