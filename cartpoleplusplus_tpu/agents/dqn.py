@@ -75,6 +75,21 @@ def add_dqn_opts(parser):
                              "over which ε anneals linearly; the env_steps "
                              "METRIC counts env transitions, i.e. this × "
                              "num-envs")
+    parser.add_argument("--per", action="store_true",
+                        help="prioritized experience replay (Schaul et al.): "
+                             "sample transitions ∝ |TD error|^alpha with "
+                             "importance-weighted loss.  TPU-native "
+                             "implementation — masked cumsum + vectorized "
+                             "searchsorted inside the fused segment, no "
+                             "host-side sum tree (replay/buffer.py)")
+    parser.add_argument("--per-alpha", type=float, default=0.6,
+                        help="priority exponent (0 = uniform ablation)")
+    parser.add_argument("--per-beta0", type=float, default=0.4,
+                        help="initial importance-sampling exponent; anneals "
+                             "linearly to 1.0 over the full run")
+    parser.add_argument("--per-eps", type=float, default=1e-2,
+                        help="priority floor added to |TD| so no transition "
+                             "starves")
     parser.add_argument("--num-devices", type=int, default=1,
                         help="shard envs+replay over this many devices "
                              "(shard_map data parallelism; params replicate, "
@@ -97,16 +112,25 @@ def make_segment(
     eps_decay_steps: int,
     reward_scale: float = 1.0,
     double_q: bool = False,
+    per_alpha: float | None = None,
+    per_beta0: float = 0.4,
+    per_total_steps: int = 1,
+    per_eps: float = 1e-2,
     axis_name: str | None = None,
 ):
-    def loss_fn(params, s1, a, y):
+    per = per_alpha is not None
+
+    def loss_fn(params, s1, a, y, iw):
         q = qnet.apply(params, s1)
         q_a = jnp.take_along_axis(q, a[:, None].astype(jnp.int32), axis=1)[:, 0]
-        return jnp.mean((q_a - y) ** 2)
+        td = q_a - y
+        # iw is all-ones on the uniform path, the importance-sampling
+        # correction (N·P)^-beta under PER.
+        return jnp.mean(iw * td**2), jnp.abs(td)
 
     # Learner bundle threaded through lax.cond separately from the big
     # buffers (see agents/ddpg.py for the rationale).
-    def train_once(bundle, batch):
+    def train_once(bundle, batch, iw):
         params, target_params, opt = bundle
         s1, a, r, s2, term = batch
         s1, s2 = replay_mod.decode_obs(s1), replay_mod.decode_obs(s2)
@@ -118,8 +142,8 @@ def make_segment(
         else:
             q2 = jnp.max(q2_t, axis=-1)
         y = reward_scale * r + gamma * (1.0 - term.astype(jnp.float32)) * q2
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, s1, a, jax.lax.stop_gradient(y)
+        (loss, td_abs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, s1, a, jax.lax.stop_gradient(y), iw
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
@@ -129,7 +153,7 @@ def make_segment(
             params,
             soft_target_update(target_params, params, tau),
             opt,
-        ), {"loss": loss}
+        ), {"loss": loss}, td_abs
 
     def segment(st: DQNState):
         if axis_name is not None:
@@ -178,20 +202,40 @@ def make_segment(
                 replay=replay, env_states=env_states, obs=obs2,
                 rng=rng, env_steps=st.env_steps + 1,
             )
-            batch = replay_mod.sample(st.replay, k_sample, batch_size)
+            if per:
+                beta = per_beta0 + (1.0 - per_beta0) * jnp.clip(
+                    st.env_steps.astype(jnp.float32) / per_total_steps, 0.0, 1.0
+                )
+                batch, idx, iw = replay_mod.sample_prioritized(
+                    st.replay, k_sample, batch_size, per_alpha, beta
+                )
+            else:
+                batch = replay_mod.sample(st.replay, k_sample, batch_size)
+                iw = jnp.ones((batch_size,), jnp.float32)
             bundle = (st.params, st.target_params, st.opt)
             # Replay-warm gate (--ckpt-skip-replay resume; see
             # common.replay_min_fill).
             min_fill = common.replay_min_fill(
                 warmup_steps, venv.num_envs, st.replay.capacity
             )
-            bundle, losses = jax.lax.cond(
-                (st.env_steps > warmup_steps) & (st.replay.size >= min_fill),
-                lambda b: train_once(b, batch),
-                lambda b: (b, {"loss": jnp.zeros(())}),
+            trained = (st.env_steps > warmup_steps) & (st.replay.size >= min_fill)
+            bundle, losses, td_abs = jax.lax.cond(
+                trained,
+                lambda b: train_once(b, batch, iw),
+                lambda b: (b, {"loss": jnp.zeros(())},
+                           jnp.zeros((batch_size,), jnp.float32)),
                 bundle,
             )
             st = st.replace(params=bundle[0], target_params=bundle[1], opt=bundle[2])
+            if per:
+                # Write back measured TD magnitudes; before the train gate
+                # opens keep the rows' existing (max-stamped) priorities.
+                new_p = jnp.where(
+                    trained, td_abs + per_eps, st.replay.priority[idx]
+                )
+                st = st.replace(replay=st.replay.replace(
+                    priority=st.replay.priority.at[idx].set(new_p)
+                ))
             return (st, done), {**losses, "reward": jnp.mean(reward), "eps": eps}
 
         no_done = jnp.zeros((venv.num_envs,), bool)
@@ -264,6 +308,7 @@ def train(opts) -> float:
             opts.replay_capacity, config.obs_shape, (), action_dtype=jnp.int32,
             obs_dtype=jnp.uint8 if config.use_raw_pixels else jnp.float32,
             block=common.replay_block(opts, venv.num_envs),
+            prioritized=opts.per,
         ),
         env_states=env_states,
         obs=obs,
@@ -306,6 +351,10 @@ def train(opts) -> float:
             eps_decay_steps=opts.eps_decay_steps,
             reward_scale=opts.reward_scale,
             double_q=opts.double_q,
+            per_alpha=opts.per_alpha if opts.per else None,
+            per_beta0=opts.per_beta0,
+            per_total_steps=opts.num_train_batches * opts.steps_per_segment,
+            per_eps=opts.per_eps,
             axis_name=mesh.axis_names[0],
         )
         segment, shard_state = make_distributed(
@@ -323,6 +372,10 @@ def train(opts) -> float:
                 eps_decay_steps=opts.eps_decay_steps,
                 reward_scale=opts.reward_scale,
                 double_q=opts.double_q,
+                per_alpha=opts.per_alpha if opts.per else None,
+                per_beta0=opts.per_beta0,
+                per_total_steps=opts.num_train_batches * opts.steps_per_segment,
+                per_eps=opts.per_eps,
             ),
             donate_argnums=0,
         )

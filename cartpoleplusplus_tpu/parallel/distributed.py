@@ -52,8 +52,10 @@ def state_specs(st, axis: str, sharded_fields: tuple[str, ...]):
         if isinstance(v, ReplayState):
             return v.replace(
                 s1=P(axis), action=P(axis), reward=P(axis),
-                # s2 is a (0,) placeholder in s2-free mode — replicate it.
+                # s2 is a (0,) placeholder in s2-free mode — replicate it;
+                # same for priority when the buffer is uniform-only.
                 s2=P(axis) if v.s2.size else P(),
+                priority=P(axis) if v.priority.size else P(),
                 terminal=P(axis), cursor=P(), size=P(),
             )
         return jax.tree.map(

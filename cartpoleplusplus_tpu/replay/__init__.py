@@ -9,6 +9,11 @@ from cartpoleplusplus_tpu.replay.buffer import (
     add_batch,
     create,
     sample,
+    sample_prioritized,
+    update_priorities,
 )
 
-__all__ = ["ReplayState", "add", "add_batch", "create", "sample"]
+__all__ = [
+    "ReplayState", "add", "add_batch", "create", "sample",
+    "sample_prioritized", "update_priorities",
+]

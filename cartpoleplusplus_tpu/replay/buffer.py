@@ -54,11 +54,20 @@ class ReplayState:
     terminal: jnp.ndarray  # (capacity,) bool
     cursor: jnp.ndarray  # () int32 — next write slot
     size: jnp.ndarray  # () int32 — valid entries
+    # (capacity,) f32 — per-slot sampling priority, or (0,) when the buffer
+    # is uniform-only.  Fresh buffers initialize to ONES so that an old
+    # checkpoint restored without this field (restore keeps the fresh
+    # value) degrades to uniform sampling rather than a zero distribution.
+    priority: jnp.ndarray = None
     block: int = struct.field(pytree_node=False, default=0)
 
     @property
     def capacity(self) -> int:
         return self.s1.shape[0]
+
+    @property
+    def prioritized(self) -> bool:
+        return self.priority is not None and self.priority.shape[0] > 0
 
 
 def create(
@@ -68,11 +77,16 @@ def create(
     obs_dtype=jnp.float32,
     action_dtype=jnp.float32,
     block: int = 0,
+    prioritized: bool = False,
 ) -> ReplayState:
     """Preallocate the buffer (reference ReplayMemory.__init__).
 
     ``block > 0`` selects s2-free storage (see module docstring); it must
     equal the batch size of every subsequent ``add_batch`` and be < capacity.
+    ``prioritized`` allocates the per-slot priority array (see
+    :func:`sample_prioritized`); inserts then stamp new rows with the
+    running max priority and :func:`update_priorities` writes back TD
+    magnitudes after each train step.
     """
     if block < 0 or block >= capacity:
         raise ValueError(f"block {block} must be in [0, capacity={capacity})")
@@ -103,6 +117,7 @@ def create(
         terminal=jnp.zeros((capacity,), jnp.bool_),
         cursor=jnp.zeros((), jnp.int32),
         size=jnp.zeros((), jnp.int32),
+        priority=jnp.ones((capacity if prioritized else 0,), jnp.float32),
         block=block,
     )
 
@@ -130,6 +145,22 @@ def add_batch(
     cap = replay.capacity
     updates = {"cursor": (replay.cursor + b) % cap,
                "size": jnp.minimum(replay.size + b, cap)}
+    if replay.prioritized:
+        # New transitions enter at the running max priority (Schaul et al.
+        # PER convention: every transition is replayed at least once before
+        # its priority is corrected by a measured TD error).  The O(cap)
+        # max reduce is one VPU pass over a (cap,) f32 row — noise next to
+        # the obs writes.  jnp.maximum(…, 1.0) keeps the distribution
+        # non-degenerate before the first train step.
+        pmax = jnp.maximum(jnp.max(replay.priority), 1.0)
+        fill = jnp.full((b,), pmax, jnp.float32)
+        if replay.block and cap % b == 0:
+            updates["priority"] = jax.lax.dynamic_update_slice(
+                replay.priority, fill, (replay.cursor,)
+            )
+        else:
+            pidx = (replay.cursor + jnp.arange(b, dtype=jnp.int32)) % cap
+            updates["priority"] = replay.priority.at[pidx].set(fill)
     if replay.block and cap % b == 0:
         # Aligned fast path: in s2-free mode every insert is exactly one
         # ``block`` (enforced above) and create() trims capacity to a block
@@ -227,4 +258,89 @@ def sample(
         replay.reward[idx],
         s2,
         replay.terminal[idx],
+    )
+
+
+def _valid_mask(replay: ReplayState) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(mask[capacity] bool, count) of slots ``sample`` may legally draw.
+
+    Mirrors :func:`sample`'s index arithmetic: in s2-free mode the newest
+    block is excluded (no next row yet) and the window starts at the cursor
+    once the ring is full; in explicit-s2 mode the first ``size`` slots.
+    """
+    cap = replay.capacity
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    if replay.block:
+        valid = jnp.maximum(replay.size - replay.block, 1)
+        start = jnp.where(
+            replay.size < cap, jnp.zeros((), jnp.int32), replay.cursor
+        )
+        return ((pos - start) % cap) < valid, valid
+    valid = jnp.maximum(replay.size, 1)
+    return pos < valid, valid
+
+
+def sample_prioritized(
+    replay: ReplayState,
+    rng: jax.Array,
+    batch_size: int,
+    alpha: float,
+    beta: jnp.ndarray | float,
+):
+    """Proportional prioritized sampling (Schaul et al. 2016) — TPU-native.
+
+    The classic implementation is a host-side sum tree with O(log n)
+    pointer chasing per draw — a scalar-serial structure XLA cannot
+    batch.  On TPU the whole distribution fits one VPU pass: mask the
+    valid window, raise priorities to ``alpha``, one ``cumsum`` builds the
+    CDF in HBM-resident f32, and ``searchsorted`` (branchless vectorized
+    bisection) inverts it for all ``batch_size`` draws at once.  O(cap +
+    B·log cap) fused work per train step, no host round-trip, no tree.
+
+    Returns ``(s1, a, r, s2, term), idx, iw`` where ``iw`` are the
+    importance-sampling weights ``(N·P(i))^-beta`` normalized to max 1
+    over the batch (the reference PER normalization).
+    """
+    # Mask AFTER the power: at alpha == 0 (uniform ablation) 0**0 == 1
+    # would otherwise resurrect every invalid slot.
+    w = jnp.where(_valid_mask(replay)[0], replay.priority ** alpha, 0.0)
+    cdf = jnp.cumsum(w)
+    total = cdf[-1]
+    # The (1 - eps) shrink keeps u strictly below total after f32 rounding:
+    # u == total would searchsorted past the last valid slot.  side="right"
+    # also handles u == 0 (first cdf > 0 = first VALID slot, skipping any
+    # zero-weight prefix).
+    u = (jax.random.uniform(rng, (batch_size,))
+         * (1.0 - jnp.finfo(jnp.float32).eps)) * total
+    idx = jnp.clip(
+        jnp.searchsorted(cdf, u, side="right").astype(jnp.int32),
+        0, replay.capacity - 1,
+    )
+    n = _valid_mask(replay)[1].astype(jnp.float32)
+    # P(i) under the masked distribution; total==0 cannot happen after the
+    # first insert (new rows stamp max(pmax, 1)), but guard the cold read.
+    p = w[idx] / jnp.maximum(total, 1e-12)
+    iw = (n * jnp.maximum(p, 1e-12)) ** (-beta)
+    iw = iw / jnp.maximum(jnp.max(iw), 1e-12)
+    if replay.block:
+        s2 = replay.s1[(idx + replay.block) % replay.capacity]
+    else:
+        s2 = replay.s2[idx]
+    batch = (
+        replay.s1[idx],
+        replay.action[idx],
+        replay.reward[idx],
+        s2,
+        replay.terminal[idx],
+    )
+    return batch, idx, iw
+
+
+def update_priorities(
+    replay: ReplayState, idx: jnp.ndarray, td_abs: jnp.ndarray,
+    eps: float = 1e-2,
+) -> ReplayState:
+    """Write measured |TD error| + eps back as the sampled rows' priority."""
+    return replay.replace(
+        priority=replay.priority.at[idx].set(td_abs + eps)
     )

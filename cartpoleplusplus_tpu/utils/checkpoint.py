@@ -47,7 +47,7 @@ def strip_replay(tree: Any) -> Any:
             return x.replace(
                 s1=empty(x.s1), action=empty(x.action), reward=empty(x.reward),
                 s2=empty(x.s2), terminal=empty(x.terminal),
-                cursor=zero, size=zero,
+                priority=empty(x.priority), cursor=zero, size=zero,
             )
         return x
 

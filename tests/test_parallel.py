@@ -243,6 +243,18 @@ def test_dqn_multidevice_cli():
     )
 
 
+def test_dqn_per_multidevice_cli():
+    # Prioritized replay under DP: priority shards along capacity with the
+    # data rows; each shard samples its own masked CDF.
+    from cartpoleplusplus_tpu.agents import dqn
+
+    _agent_cli_multidevice(
+        dqn,
+        ["--steps-per-segment", "3", "--batch-size", "16",
+         "--replay-capacity", "128", "--warmup-steps", "1", "--per"],
+    )
+
+
 def test_naf_multidevice_cli():
     from cartpoleplusplus_tpu.agents import naf
 
