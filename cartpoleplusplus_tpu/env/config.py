@@ -89,7 +89,7 @@ class CartpoleConfig:
     # census 6780 → 4932 ops/substep (924/iteration), lifting the low-dim
     # census ceiling 15.6M → 21.5M steps/s/chip.  Default stays 5 until the
     # on-chip race lands (scripts/chip_queue.sh lowdim_4096_it3).
-    solver_iterations: int = 5
+    solver_iterations: int = 3
 
     def __post_init__(self):
         if self.reward_calc not in REWARD_CALCS:
@@ -183,11 +183,13 @@ def add_opts(parser: argparse.ArgumentParser) -> None:
                              "render cost scale linearly)")
     parser.add_argument("--pos-threshold", type=float, default=2.0)
     parser.add_argument("--angle-threshold", type=float, default=0.3)
-    parser.add_argument("--solver-iters", type=int, default=5,
+    parser.add_argument("--solver-iters", type=int, default=3,
                         help="Jacobi contact-solver iterations per physics "
-                             "substep (5 = validated default; 3 passes the "
-                             "fidelity arbiters and cuts the physics op "
-                             "census 27%% — see CartpoleConfig)")
+                             "substep.  3 = validated default (round 4: "
+                             "passes every fidelity arbiter, full-scale "
+                             "DDPG solves at 194/200, measured 18.4M vs "
+                             "15.5M low-dim steps/s); 5 = the round-2/3 "
+                             "conservative setting")
 
 
 def config_from_opts(opts: argparse.Namespace, discrete_actions: bool) -> CartpoleConfig:
@@ -208,5 +210,5 @@ def config_from_opts(opts: argparse.Namespace, discrete_actions: bool) -> Cartpo
         obs_samples=getattr(opts, "obs_samples", 0),
         pos_threshold=opts.pos_threshold,
         angle_threshold=opts.angle_threshold,
-        solver_iterations=getattr(opts, "solver_iters", 5),
+        solver_iterations=getattr(opts, "solver_iters", 3),
     )

@@ -66,7 +66,7 @@ class SceneParams:
     slop: jnp.ndarray  # allowed penetration before correction
     linear_damping: jnp.ndarray  # Bullet-style per-step velocity damping
     angular_damping: jnp.ndarray
-    solver_iterations: int = struct.field(pytree_node=False, default=5)
+    solver_iterations: int = struct.field(pytree_node=False, default=3)
 
     @property
     def cart_top_z(self):
@@ -89,7 +89,7 @@ def make_scene(
     slop=1e-4,
     linear_damping=0.0,
     angular_damping=0.0,
-    solver_iterations=5,
+    solver_iterations=3,
     dtype=jnp.float32,
 ) -> SceneParams:
     """Build scene constants.

@@ -14,11 +14,17 @@ for TPU:
   virtual sub-body of mass m/n; merging sub-bodies averages velocities).
   Accuracy per iteration is lower than Gauss-Seidel, so more iterations are
   needed per unit of accuracy; the validated default is
-  ``bodies.SceneParams.solver_iterations = 5`` (pinned by the analytic tests
-  in tests/test_physics.py and the MuJoCo cross-checks in
-  tests/test_fidelity_external.py; a cold 5-iteration solve tracks a
-  30-iteration reference to ~2 mm over a 1 s topple+push trajectory) —
-  still ~10× shallower end-to-end than a 16-slot sequential sweep.
+  ``bodies.SceneParams.solver_iterations = 3`` (round 4: passes the analytic
+  tests in tests/test_physics.py, the MuJoCo cross-checks in
+  tests/test_fidelity_external.py, and the tests/test_solver_iters.py
+  arbiters — topple time identical to 5 iterations at the 12.5 ms
+  granularity, settle rest position 3.9 mm vs a 30-iteration reference
+  against an 80 mm MuJoCo-agreement bound — and the full-scale DDPG recipe
+  solves at 194/200, runs/ddpg_it3_s0.jsonl; measured 18.4M vs 15.5M
+  low-dim steps/s, BASELINE.md round 4).  5 was the round-2/3 conservative
+  setting (tracks the 30-iteration reference to ~2 mm over a 1 s
+  topple+push trajectory) — either is still ~10× shallower end-to-end than
+  a 16-slot sequential sweep.
   Bullet-style impulse warm starting across substeps was implemented and
   MEASURED WORSE: cold solves already converge in ~4 iterations on this
   2-body manifold, and carrying impulses shifted the transient (warm@4

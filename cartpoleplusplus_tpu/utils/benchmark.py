@@ -48,7 +48,7 @@ RENDER_OPS_PER_RAY = {  # traced-jaxpr census, element-weighted, per shaded ray
 }
 # Trip-weighted census of soa._substep (r3 diet): 2160 fixed (manifold,
 # integration, corners) + 924 per Jacobi solver iteration → 6780 at the
-# validated 5-iteration default, 4932 at --solver-iters 3
+# round-2/3 5-iteration setting, 4932 at the validated 3-iter default
 # (scripts/roofline.py physics_census(iterations=…), pinned in
 # tests/test_solver_iters.py).
 PHYS_OPS_FIXED = 2160
@@ -67,7 +67,7 @@ def census_ceiling(opts) -> float:
     """
     repeats = getattr(opts, "action_repeats", 3)
     substeps = repeats * getattr(opts, "steps_per_repeat", 5)
-    phys = PHYS_OPS_FIXED + getattr(opts, "solver_iters", 5) * PHYS_OPS_PER_ITER
+    phys = PHYS_OPS_FIXED + getattr(opts, "solver_iters", 3) * PHYS_OPS_PER_ITER
     ops = phys * substeps
     if not getattr(opts, "lowdim", False):
         pool = max(1, getattr(opts, "obs_pool", 2))
@@ -168,11 +168,18 @@ def add_bench_opts(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--pixel-pool", type=int, default=1,
                         help="encoder-side pool (agents' --pixel-pool); "
                              "superseded by --obs-pool for the bench path")
-    parser.add_argument("--solver-iters", type=int, default=5,
+    parser.add_argument("--solver-iters", type=int, default=3,
                         help="Jacobi contact-solver iterations per substep "
-                             "(5 = validated default; 3 passes the fidelity "
-                             "arbiters at 27%% fewer physics census ops — "
-                             "env/config.py)")
+                             "(3 = validated default since round 4 — "
+                             "fidelity arbiters + full-scale learning + "
+                             "measured 18.4M low-dim steps/s; 5 = the "
+                             "round-2/3 conservative setting)")
+    parser.add_argument("--no-raster-hoist", dest="raster_hoist",
+                        action="store_false", default=True,
+                        help="keep the raster's per-env setup INSIDE the "
+                             "Mosaic kernel (pre-hoist round-4 config) "
+                             "instead of batched-XLA packed columns — race "
+                             "knob for the _pack_setups hoist")
     parser.add_argument("--trace-dir", type=str, default=None,
                         help="capture a jax.profiler trace to this dir")
     parser.add_argument("--min-wall-s", type=float, default=0.5,
@@ -199,7 +206,7 @@ def build(opts):
         steps_per_repeat=opts.steps_per_repeat,
         obs_pool=getattr(opts, "obs_pool", 1) if not opts.lowdim else 1,
         obs_samples=getattr(opts, "obs_samples", 0) if not opts.lowdim else 0,
-        solver_iterations=getattr(opts, "solver_iters", 5),
+        solver_iterations=getattr(opts, "solver_iters", 3),
     )
     if getattr(opts, "render_raster", None) is None:
         # Tristate auto: resolve onto opts (not just locally) so run()'s
@@ -226,6 +233,7 @@ def build(opts):
         render_recip=getattr(opts, "render_recip", True),
         render_raster=getattr(opts, "render_raster", False),
         render_mxu=getattr(opts, "render_mxu", False),
+        render_hoist=getattr(opts, "raster_hoist", True),
     )
 
     if opts.sim_only:
@@ -450,6 +458,7 @@ def _child_argv(opts, overrides: dict) -> list:
         pallas_render=opts.pallas_render, pallas_physics=opts.pallas_physics,
         fused_step=opts.fused_step, render_recip=opts.render_recip,
         render_raster=opts.render_raster, render_mxu=opts.render_mxu,
+        raster_hoist=getattr(opts, "raster_hoist", True),
     )
     for k, v in overrides.items():
         (flags if isinstance(v, bool) else merged)[k] = v
@@ -462,11 +471,12 @@ def _child_argv(opts, overrides: dict) -> list:
         argv += [f"--{k.replace('_', '-')}", str(v)]
     for k, v in flags.items():
         name = k.replace("_", "-")
-        if v is True and k != "fused_step":  # --fused-step has no positive
-            argv.append(f"--{name}")         # flag (it's the default)
+        if v is True and k not in ("fused_step", "raster_hoist"):
+            argv.append(f"--{name}")  # (those two have no positive flag —
+            #                           they're the default)
         elif v is False and k in ("fused_step", "render_recip",
                                   "render_raster", "pallas_render",
-                                  "pallas_physics"):
+                                  "pallas_physics", "raster_hoist"):
             argv.append(f"--no-{name}")
         # None (tristate auto) / False store_true flags: omit.
     if opts.trace_dir:

@@ -109,12 +109,13 @@ def test_lowdim_failure_propagates(monkeypatch):
 
 
 def test_census_ceiling_matches_baseline_table():
-    """Pin the ceiling formula to BASELINE.md round-3 roofline numbers:
-    7500-ray configs (1cam exact / config-5) and the low-dim bound."""
+    """Pin the ceiling formula to the BASELINE.md roofline numbers:
+    7500-ray configs (1cam exact / config-5) and the low-dim bound, at the
+    round-4 3-iteration solver default (4932 physics ops/substep)."""
     raster = _opts(num_cameras=1, obs_samples=0, obs_pool=2,
                    action_repeats=3, steps_per_repeat=5)
     c = B.census_ceiling(raster)
-    assert abs(c - 1.59e12 / (110.4 * 7500 + 6780 * 15)) < 1.0
+    assert abs(c - 1.59e12 / (110.4 * 7500 + 4932 * 15)) < 1.0
     cfg5 = _opts(num_cameras=2, obs_samples=2, obs_pool=2,
                  action_repeats=3, steps_per_repeat=5)
     assert abs(B.census_ceiling(cfg5) - c) < 1.0  # same 7500 rays/step
@@ -122,7 +123,7 @@ def test_census_ceiling_matches_baseline_table():
                  render_recip=True, action_repeats=3, steps_per_repeat=5)
     assert B.census_ceiling(slab) < c  # 162.3 > 110.4 ops/ray
     lowdim = _opts(lowdim=True, action_repeats=3, steps_per_repeat=5)
-    assert abs(B.census_ceiling(lowdim) - 1.59e12 / (6780 * 15)) < 1.0
+    assert abs(B.census_ceiling(lowdim) - 1.59e12 / (4932 * 15)) < 1.0
 
 
 def test_run_reports_ceiling_of_fallback_kernel(monkeypatch):
@@ -134,7 +135,7 @@ def test_run_reports_ceiling_of_fallback_kernel(monkeypatch):
     result = B.run(_opts(num_cameras=1, obs_samples=0, obs_pool=2,
                          action_repeats=3, steps_per_repeat=5))
     assert result["_render_raster"] is False
-    slab = 1.59e12 / (162.3 * 7500 + 6780 * 15)
+    slab = 1.59e12 / (162.3 * 7500 + 4932 * 15)
     assert abs(result["ceiling"] - slab) < 1.0
 
 

@@ -35,7 +35,8 @@ RENDER_PINS = {
     "qraster-mxu": 62.5,  # r3.5 + 18-plane MXU offload (--render-mxu VPU rest)
 }
 
-PHYSICS_PIN = 6848.0  # r3 op-diet soa._substep, trip-weighted (was 10784)
+PHYSICS_PIN = 4982.0  # r4 3-iter default soa._substep, trip-weighted
+                      # (r2 general solver 10784, r3 op diet @5it 6780)
 
 
 @pytest.mark.parametrize("variant", sorted(RENDER_PINS))
