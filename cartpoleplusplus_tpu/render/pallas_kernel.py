@@ -353,6 +353,7 @@ def make_render_repeats(
     recip: bool = True,
     raster: bool = False,
     mxu: bool = False,
+    hoist: bool = True,
 ):
     """Batched repeat renderer: (scene, poses (R, E, 16)) → obs (E, R, C·3·n).
 
@@ -389,9 +390,11 @@ def make_render_repeats(
             pl.BlockSpec((_ROWS, rays.shape[1]), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        if raster:
+        if raster and hoist:
             # Per-env setup hoisted to batched XLA over all (R, E) at
-            # full lane occupancy (see _pack_setups).
+            # full lane occupancy (see _pack_setups).  ``hoist=False``
+            # keeps the setup inside the Mosaic kernel — the round-4
+            # pre-hoist configuration, raceable via --no-raster-hoist.
             setups = _pack_setups(scene, cam_meta, poses)
             sw = setups.shape[-1]
             inputs.append(setups)
@@ -436,6 +439,7 @@ def make_render_batched(
     recip: bool = True,
     raster: bool = False,
     mxu: bool = False,
+    hoist: bool = True,
 ):
     """Batched pallas renderer: (scene, rigid[E]) → flat frames
     (E, C·3·n) with n = pooled pixels per camera (config.obs_pool applied).
@@ -479,7 +483,7 @@ def make_render_batched(
             pl.BlockSpec((_ROWS, rays.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        if raster:
+        if raster and hoist:
             setups = _pack_setups(scene, cam_meta, poses)
             inputs.append(setups)
             in_specs.append(

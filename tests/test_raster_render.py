@@ -121,6 +121,44 @@ def test_raster_pallas_kernel_matches_xla_raster():
     assert (diff <= 4).mean() > 0.995, f"{(diff > 4).mean():.4%} pixels off"
 
 
+def test_raster_hoist_byte_exact():
+    """The batched-XLA setup hoist (_pack_setups) and the in-kernel setup
+    (--no-raster-hoist race knob) evaluate the same IEEE expression tree —
+    outputs must match BYTE-exactly in both kernel shapes."""
+    cfg = CartpoleConfig(
+        use_raw_pixels=True, num_cameras=2,
+        render_width=50, render_height=50, obs_pool=2,
+    )
+    scene = cartpole_mod.scene_for(cfg)
+    rigid = _random_states(e=8, seed=7)
+
+    hoisted = make_render_batched(
+        cfg, tile_e=8, interpret=True, raster=True, hoist=True
+    )(scene, rigid)
+    inkernel = make_render_batched(
+        cfg, tile_e=8, interpret=True, raster=True, hoist=False
+    )(scene, rigid)
+    np.testing.assert_array_equal(
+        np.asarray(hoisted), np.asarray(inkernel)
+    )
+
+    from cartpoleplusplus_tpu.render.pallas_kernel import make_render_repeats
+
+    poses = jnp.concatenate(
+        [rigid.pos[:, 0], rigid.quat[:, 0],
+         rigid.pos[:, 1], rigid.quat[:, 1],
+         jnp.zeros((8, 2), rigid.pos.dtype)], axis=-1,
+    )
+    poses = jnp.stack([poses, poses], axis=0)  # (R=2, E=8, 16)
+    rep_h = make_render_repeats(
+        cfg, tile_e=8, interpret=True, raster=True, hoist=True
+    )(scene, poses)
+    rep_i = make_render_repeats(
+        cfg, tile_e=8, interpret=True, raster=True, hoist=False
+    )(scene, poses)
+    np.testing.assert_array_equal(np.asarray(rep_h), np.asarray(rep_i))
+
+
 def test_raster_eye_inside_slab_routing():
     """Poses chosen so a camera eye is inside ≥1 slab of the pole (long-axis
     offset < half extent) — the per-env lower-bound routing must keep hit
