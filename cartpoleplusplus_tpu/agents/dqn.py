@@ -75,6 +75,15 @@ def add_dqn_opts(parser):
                              "over which ε anneals linearly; the env_steps "
                              "METRIC counts env transitions, i.e. this × "
                              "num-envs")
+    parser.add_argument("--n-step", type=int, default=1,
+                        help="multi-step TD target: accumulate N rewards "
+                             "and bootstrap gamma^N from the N-th "
+                             "successor.  Pure stride gathers on the "
+                             "s2-free block replay (replay/buffer.py "
+                             "nstep_batch) — requires block mode")
+    parser.add_argument("--dueling", action="store_true",
+                        help="dueling Q head: Q = V(s) + A(s,a) - mean A "
+                             "(Wang et al.); shared encoder, two MXU heads")
     parser.add_argument("--per", action="store_true",
                         help="prioritized experience replay (Schaul et al.): "
                              "sample transitions ∝ |TD error|^alpha with "
@@ -116,6 +125,7 @@ def make_segment(
     per_beta0: float = 0.4,
     per_total_steps: int = 1,
     per_eps: float = 1e-2,
+    n_step: int = 1,
     axis_name: str | None = None,
 ):
     per = per_alpha is not None
@@ -141,7 +151,11 @@ def make_segment(
             q2 = jnp.take_along_axis(q2_t, a2[:, None], axis=1)[:, 0]
         else:
             q2 = jnp.max(q2_t, axis=-1)
-        y = reward_scale * r + gamma * (1.0 - term.astype(jnp.float32)) * q2
+        # n-step: r is the accumulated n-step return (already summed with
+        # per-step gamma^k inside the sample) and term flags any terminal
+        # in the window, so the bootstrap discount is gamma^n.
+        y = (reward_scale * r
+             + gamma**n_step * (1.0 - term.astype(jnp.float32)) * q2)
         (loss, td_abs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, s1, a, jax.lax.stop_gradient(y), iw
         )
@@ -207,10 +221,14 @@ def make_segment(
                     st.env_steps.astype(jnp.float32) / per_total_steps, 0.0, 1.0
                 )
                 batch, idx, iw = replay_mod.sample_prioritized(
-                    st.replay, k_sample, batch_size, per_alpha, beta
+                    st.replay, k_sample, batch_size, per_alpha, beta,
+                    n_step=n_step, gamma=gamma,
                 )
             else:
-                batch = replay_mod.sample(st.replay, k_sample, batch_size)
+                batch = replay_mod.sample(
+                    st.replay, k_sample, batch_size,
+                    n_step=n_step, gamma=gamma,
+                )
                 iw = jnp.ones((batch_size,), jnp.float32)
             bundle = (st.params, st.target_params, st.opt)
             # Replay-warm gate (--ckpt-skip-replay resume; see
@@ -285,6 +303,7 @@ def train(opts) -> float:
         pixel_pool=opts.pixel_pool,
         height=config.obs_height, width=config.obs_width,
         hidden=tuple(opts.hidden),
+        dueling=getattr(opts, "dueling", False),
     )
     lr = common.make_lr(opts, opts.learning_rate)
     if getattr(opts, "grad_clip", 0.0) > 0:
@@ -315,6 +334,11 @@ def train(opts) -> float:
         rng=rng,
         env_steps=jnp.zeros((), jnp.int32),
     )
+    if opts.n_step > 1 and not st.replay.block:
+        raise SystemExit(
+            "--n-step > 1 needs the s2-free block replay (capacity must "
+            "hold at least two num-envs blocks per device shard)"
+        )
     start_segment = 0
     if opts.ckpt_dir:
         st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
@@ -355,6 +379,7 @@ def train(opts) -> float:
             per_beta0=opts.per_beta0,
             per_total_steps=opts.num_train_batches * opts.steps_per_segment,
             per_eps=opts.per_eps,
+            n_step=opts.n_step,
             axis_name=mesh.axis_names[0],
         )
         segment, shard_state = make_distributed(
@@ -376,6 +401,7 @@ def train(opts) -> float:
                 per_beta0=opts.per_beta0,
                 per_total_steps=opts.num_train_batches * opts.steps_per_segment,
                 per_eps=opts.per_eps,
+                n_step=opts.n_step,
             ),
             donate_argnums=0,
         )

@@ -55,7 +55,14 @@ class DiscretePolicy(nn.Module):
 
 
 class QNetwork(nn.Module):
-    """Per-action Q values (DQN)."""
+    """Per-action Q values (DQN).
+
+    ``dueling=True`` (Wang et al. 2016, beyond-parity --dueling flag)
+    decomposes Q(s, a) = V(s) + A(s, a) − mean_a A(s, a): the shared
+    encoder feeds a scalar value head and an advantage head; the mean
+    subtraction keeps the decomposition identifiable.  On TPU both heads
+    are one fused MXU matmul each off the same encoder activations.
+    """
 
     num_actions: int = 5
     use_raw_pixels: bool = False
@@ -64,10 +71,15 @@ class QNetwork(nn.Module):
     height: int = 50  # obs frame dims as carried (post config.obs_pool)
     width: int = 50
     hidden: Sequence[int] = DEFAULT_HIDDEN
+    dueling: bool = False
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         h = ObsEncoder(self.use_raw_pixels, self.hidden, pixel_encoder=self.pixel_encoder, pixel_pool=self.pixel_pool, height=self.height, width=self.width)(obs, train)
+        if self.dueling:
+            v = nn.Dense(1, name="value")(h)
+            a = nn.Dense(self.num_actions, name="advantage")(h)
+            return v + a - jnp.mean(a, axis=-1, keepdims=True)
         return nn.Dense(self.num_actions, name="q")(h)
 
 

@@ -228,18 +228,22 @@ def decode_obs(stored: jnp.ndarray) -> jnp.ndarray:
 
 
 def sample(
-    replay: ReplayState, rng: jax.Array, batch_size: int
+    replay: ReplayState, rng: jax.Array, batch_size: int,
+    n_step: int = 1, gamma: float = 0.99,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Uniform random batch (reference ReplayMemory.batch).
 
     Indices are drawn over the valid region; sampling before the buffer has
     warmed up returns repeated early entries (the reference simply does not
     train until warm — callers gate the train step the same way).  In
-    s2-free mode the newest block is excluded (its next row doesn't exist
-    yet) and s2 is gathered from ``(idx + block) % capacity``.
+    s2-free mode the newest ``n_step`` blocks are excluded (their successor
+    rows don't exist yet) and s2 is gathered from ``(idx + n·block) %
+    capacity``.  ``n_step > 1`` returns accumulated n-step rewards and the
+    any-terminal-in-window flag (see :func:`nstep_batch`); callers
+    bootstrap with ``gamma ** n_step``.
     """
     if replay.block:
-        valid = jnp.maximum(replay.size - replay.block, 1)
+        valid = jnp.maximum(replay.size - n_step * replay.block, 1)
         start = jnp.where(
             replay.size < replay.capacity,
             jnp.zeros((), jnp.int32),
@@ -247,8 +251,12 @@ def sample(
         )
         off = jax.random.randint(rng, (batch_size,), 0, valid)
         idx = (start + off) % replay.capacity
+        if n_step > 1:
+            return nstep_batch(replay, idx, n_step, gamma)
         s2 = replay.s1[(idx + replay.block) % replay.capacity]
     else:
+        if n_step > 1:
+            raise ValueError("n-step sampling requires s2-free block mode")
         hi = jnp.maximum(replay.size, 1)
         idx = jax.random.randint(rng, (batch_size,), 0, hi)
         s2 = replay.s2[idx]
@@ -261,17 +269,21 @@ def sample(
     )
 
 
-def _valid_mask(replay: ReplayState) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _valid_mask(
+    replay: ReplayState, n_step: int = 1
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(mask[capacity] bool, count) of slots ``sample`` may legally draw.
 
     Mirrors :func:`sample`'s index arithmetic: in s2-free mode the newest
-    block is excluded (no next row yet) and the window starts at the cursor
-    once the ring is full; in explicit-s2 mode the first ``size`` slots.
+    ``n_step`` blocks are excluded (transition i's k-th successor lives at
+    ``i + k·block``; the n-step window must be fully written) and the
+    window starts at the cursor once the ring is full; in explicit-s2 mode
+    the first ``size`` slots.
     """
     cap = replay.capacity
     pos = jnp.arange(cap, dtype=jnp.int32)
     if replay.block:
-        valid = jnp.maximum(replay.size - replay.block, 1)
+        valid = jnp.maximum(replay.size - n_step * replay.block, 1)
         start = jnp.where(
             replay.size < cap, jnp.zeros((), jnp.int32), replay.cursor
         )
@@ -280,12 +292,52 @@ def _valid_mask(replay: ReplayState) -> tuple[jnp.ndarray, jnp.ndarray]:
     return pos < valid, valid
 
 
+def nstep_batch(
+    replay: ReplayState, idx: jnp.ndarray, n_step: int, gamma: float
+):
+    """Gather an n-step transition batch at ``idx`` (s2-free block mode).
+
+    The block layout makes multi-step returns pure stride gathers — no
+    per-env episode bookkeeping: transition i's k-th successor for the
+    SAME env slot is row ``(i + k·block) % capacity``, so
+
+        r_n(i)   = Σ_{k<n} γ^k · r(i + k·block) · Π_{j<k} alive(i + j·block)
+        done_n(i)= any terminal inside the window
+        s2_n(i)  = s1 row (i + n·block)
+
+    Rewards past the first terminal belong to the NEXT episode in that
+    slot (auto-reset) and are masked by the alive product; the bootstrap
+    is masked by ``done_n`` exactly as in 1-step TD.  n is static, so the
+    loop unrolls to n strided gathers of (B,) scalars + one obs gather.
+    """
+    if not replay.block:
+        raise ValueError("n-step sampling requires s2-free block mode")
+    cap = replay.capacity
+    r_n = jnp.zeros(idx.shape, jnp.float32)
+    alive = jnp.ones(idx.shape, jnp.float32)
+    for k in range(n_step):
+        j = (idx + k * replay.block) % cap
+        r_n = r_n + (gamma**k) * alive * replay.reward[j]
+        alive = alive * (1.0 - replay.terminal[j].astype(jnp.float32))
+    s2 = replay.s1[(idx + n_step * replay.block) % cap]
+    done_n = alive < 0.5
+    return (
+        replay.s1[idx],
+        replay.action[idx],
+        r_n,
+        s2,
+        done_n,
+    )
+
+
 def sample_prioritized(
     replay: ReplayState,
     rng: jax.Array,
     batch_size: int,
     alpha: float,
     beta: jnp.ndarray | float,
+    n_step: int = 1,
+    gamma: float = 0.99,
 ):
     """Proportional prioritized sampling (Schaul et al. 2016) — TPU-native.
 
@@ -303,7 +355,9 @@ def sample_prioritized(
     """
     # Mask AFTER the power: at alpha == 0 (uniform ablation) 0**0 == 1
     # would otherwise resurrect every invalid slot.
-    w = jnp.where(_valid_mask(replay)[0], replay.priority ** alpha, 0.0)
+    w = jnp.where(
+        _valid_mask(replay, n_step)[0], replay.priority ** alpha, 0.0
+    )
     cdf = jnp.cumsum(w)
     total = cdf[-1]
     # The (1 - eps) shrink keeps u strictly below total after f32 rounding:
@@ -316,12 +370,14 @@ def sample_prioritized(
         jnp.searchsorted(cdf, u, side="right").astype(jnp.int32),
         0, replay.capacity - 1,
     )
-    n = _valid_mask(replay)[1].astype(jnp.float32)
+    n = _valid_mask(replay, n_step)[1].astype(jnp.float32)
     # P(i) under the masked distribution; total==0 cannot happen after the
     # first insert (new rows stamp max(pmax, 1)), but guard the cold read.
     p = w[idx] / jnp.maximum(total, 1e-12)
     iw = (n * jnp.maximum(p, 1e-12)) ** (-beta)
     iw = iw / jnp.maximum(jnp.max(iw), 1e-12)
+    if n_step > 1:
+        return nstep_batch(replay, idx, n_step, gamma), idx, iw
     if replay.block:
         s2 = replay.s1[(idx + replay.block) % replay.capacity]
     else:
