@@ -123,3 +123,19 @@ T=3700 step sac_pixels python -m cartpoleplusplus_tpu.agents.sac \
   --seed 0 --metrics-jsonl runs/sac_pixels_s0.jsonl
 
 note "queue5 complete"
+
+# --- 6. rainbow-lite full-scale evidence (appended round-4b) -----------------
+# The validated round-2 DQN recipe (reward-scale 0.1, cosine lr, grad-clip
+# 10, eps -> 0.01 over 600k vec steps, 50000 segments = 160M env steps,
+# double-q default) with the round-4b extensions stacked: PER + 3-step
+# returns + dueling head.  Evidence row for README/BASELINE.
+T=2700 step dqn_rainbow python -m cartpoleplusplus_tpu.agents.dqn \
+  --num-envs 128 --num-eval 64 --eval-freq 500 \
+  --steps-per-segment 25 --batch-size 256 --replay-capacity 131072 \
+  --warmup-steps 40 --num-train-batches 50000 \
+  --lr-schedule cosine --reward-scale 0.1 --grad-clip 10 \
+  --eps-end 0.01 --eps-decay-steps 600000 \
+  --per --n-step 3 --dueling \
+  --seed 0 --metrics-jsonl runs/dqn_rainbow_s0.jsonl
+
+note "queue5 complete (incl. appended cells)"
