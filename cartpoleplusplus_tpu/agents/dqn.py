@@ -84,6 +84,18 @@ def add_dqn_opts(parser):
     parser.add_argument("--dueling", action="store_true",
                         help="dueling Q head: Q = V(s) + A(s,a) - mean A "
                              "(Wang et al.); shared encoder, two MXU heads")
+    parser.add_argument("--c51", type=int, default=0, metavar="ATOMS",
+                        help="distributional RL (C51): the Q head outputs "
+                             "ATOMS categorical logits per action on a "
+                             "fixed support; targets project through the "
+                             "hat-function matrix (one (B,K,K) contraction "
+                             "— no scatters).  51 is the classic setting")
+    parser.add_argument("--c51-vmin", type=float, default=0.0,
+                        help="support lower edge (scaled-return units)")
+    parser.add_argument("--c51-vmax", type=float, default=12.0,
+                        help="support upper edge — must cover "
+                             "reward-scale x max discounted return "
+                             "(~10 at --reward-scale 0.1, gamma 0.99)")
     parser.add_argument("--per", action="store_true",
                         help="prioritized experience replay (Schaul et al.): "
                              "sample transitions ∝ |TD error|^alpha with "
@@ -106,6 +118,24 @@ def add_dqn_opts(parser):
                              "capacity must divide evenly.")
 
 
+def _categorical_projection(p_next, tz, z):
+    """C51 target projection, scatter-free.
+
+    Each Bellman-mapped atom ``tz_j`` (clipped to the support) splits its
+    probability mass between its two neighboring support atoms in
+    proportion to proximity — exactly the hat function
+    ``clip(1 - |b_j - i|, 0, 1)`` evaluated at every atom index i.  The
+    projected distribution is then one (B,K)x(B,K,K) contraction: tiny,
+    dense, layout-friendly — the TPU-native replacement for the classic
+    per-sample floor/ceil scatter loop.
+    """
+    dz = z[1] - z[0]
+    b = (jnp.clip(tz, z[0], z[-1]) - z[0]) / dz  # (B, K) in atom units
+    iota = jnp.arange(z.shape[0], dtype=jnp.float32)
+    w = jnp.clip(1.0 - jnp.abs(b[:, :, None] - iota[None, None, :]), 0.0, 1.0)
+    return jnp.einsum("bj,bjk->bk", p_next, w)
+
+
 def make_segment(
     venv: VectorCartpole,
     qnet: QNetwork,
@@ -126,9 +156,22 @@ def make_segment(
     per_total_steps: int = 1,
     per_eps: float = 1e-2,
     n_step: int = 1,
+    c51_atoms: int = 0,
+    c51_vmin: float = 0.0,
+    c51_vmax: float = 12.0,
     axis_name: str | None = None,
 ):
     per = per_alpha is not None
+    z = (jnp.linspace(c51_vmin, c51_vmax, c51_atoms)
+         if c51_atoms else None)  # C51 support (trace-time constant)
+
+    def q_scalar(params, obs):
+        """Scalar Q(s, ·) for acting/selection: the distribution's mean
+        under C51, the head output otherwise."""
+        out = qnet.apply(params, obs)
+        if c51_atoms:
+            return jnp.sum(jax.nn.softmax(out, axis=-1) * z, axis=-1)
+        return out
 
     def loss_fn(params, s1, a, y, iw):
         q = qnet.apply(params, s1)
@@ -138,27 +181,53 @@ def make_segment(
         # correction (N·P)^-beta under PER.
         return jnp.mean(iw * td**2), jnp.abs(td)
 
+    def c51_loss_fn(params, s1, a, m, iw):
+        logits = qnet.apply(params, s1)  # (B, A, K)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        logp_a = logp[jnp.arange(logp.shape[0]), a.astype(jnp.int32)]
+        ce = -jnp.sum(m * logp_a, axis=-1)  # (B,) cross-entropy
+        # ce doubles as the PER priority (Rainbow: KL-derived magnitude).
+        return jnp.mean(iw * ce), ce
+
     # Learner bundle threaded through lax.cond separately from the big
     # buffers (see agents/ddpg.py for the rationale).
     def train_once(bundle, batch, iw):
         params, target_params, opt = bundle
         s1, a, r, s2, term = batch
         s1, s2 = replay_mod.decode_obs(s1), replay_mod.decode_obs(s2)
-        q2_t = qnet.apply(target_params, s2)
-        if double_q:
-            # Double DQN (van Hasselt): online net picks, target net values.
-            a2 = jnp.argmax(qnet.apply(params, s2), axis=-1)
-            q2 = jnp.take_along_axis(q2_t, a2[:, None], axis=1)[:, 0]
+        live = 1.0 - term.astype(jnp.float32)
+        if c51_atoms:
+            p2_all = jax.nn.softmax(qnet.apply(target_params, s2), axis=-1)
+            if double_q:
+                a2 = jnp.argmax(q_scalar(params, s2), axis=-1)
+            else:
+                a2 = jnp.argmax(jnp.sum(p2_all * z, axis=-1), axis=-1)
+            p2 = p2_all[jnp.arange(p2_all.shape[0]), a2]  # (B, K)
+            # Bellman-map the support (n-step: r is the accumulated n-step
+            # return, bootstrap discount gamma^n, terminal collapses the
+            # support onto the clipped return atom) and project each target
+            # atom's mass onto its two neighbors via the hat matrix.
+            tz = (reward_scale * r[:, None]
+                  + gamma**n_step * live[:, None] * z[None, :])
+            m = _categorical_projection(p2, tz, z)
+            (loss, td_abs), grads = jax.value_and_grad(
+                c51_loss_fn, has_aux=True
+            )(params, s1, a, jax.lax.stop_gradient(m), iw)
         else:
-            q2 = jnp.max(q2_t, axis=-1)
-        # n-step: r is the accumulated n-step return (already summed with
-        # per-step gamma^k inside the sample) and term flags any terminal
-        # in the window, so the bootstrap discount is gamma^n.
-        y = (reward_scale * r
-             + gamma**n_step * (1.0 - term.astype(jnp.float32)) * q2)
-        (loss, td_abs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, s1, a, jax.lax.stop_gradient(y), iw
-        )
+            q2_t = qnet.apply(target_params, s2)
+            if double_q:
+                # Double DQN (van Hasselt): online picks, target values.
+                a2 = jnp.argmax(qnet.apply(params, s2), axis=-1)
+                q2 = jnp.take_along_axis(q2_t, a2[:, None], axis=1)[:, 0]
+            else:
+                q2 = jnp.max(q2_t, axis=-1)
+            # n-step: r is the accumulated n-step return (already summed
+            # with per-step gamma^k inside the sample) and term flags any
+            # terminal in the window, so the bootstrap discount is gamma^n.
+            y = reward_scale * r + gamma**n_step * live * q2
+            (loss, td_abs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, s1, a, jax.lax.stop_gradient(y), iw
+            )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
         upd, opt = tx.update(grads, opt, params)
@@ -186,7 +255,7 @@ def make_segment(
             st, prev_done = carry
             rng, k_eps, k_rand, k_sample = jax.random.split(st.rng, 4)
             obs_in = vector_mod.resolve_obs(prev_done, reset_obs, st.obs)
-            q = qnet.apply(st.params, obs_in)
+            q = q_scalar(st.params, obs_in)
             greedy = jnp.argmax(q, axis=-1)
             random_a = jax.random.randint(
                 k_rand, (venv.num_envs,), 0, NUM_DISCRETE_ACTIONS
@@ -281,7 +350,16 @@ DQN_METRIC_KEYS = ("loss", "reward", "eps")
 
 def greedy_act(qnet: QNetwork):
     def act(params, obs):
-        return jnp.argmax(qnet.apply(params, obs), axis=-1)
+        out = qnet.apply(params, obs)
+        if qnet.num_atoms:
+            # The argmax of the distribution mean is invariant to any
+            # affine remap of the support (probabilities sum to 1, so
+            # E[αz+β] = αE[z]+β), and the training support is a uniform
+            # linspace — so a unit linspace suffices here and greedy
+            # acting needs no vmin/vmax plumbing.
+            z = jnp.linspace(0.0, 1.0, qnet.num_atoms)
+            out = jnp.sum(jax.nn.softmax(out, axis=-1) * z, axis=-1)
+        return jnp.argmax(out, axis=-1)
 
     return act
 
@@ -304,6 +382,7 @@ def train(opts) -> float:
         height=config.obs_height, width=config.obs_width,
         hidden=tuple(opts.hidden),
         dueling=getattr(opts, "dueling", False),
+        num_atoms=getattr(opts, "c51", 0),
     )
     lr = common.make_lr(opts, opts.learning_rate)
     if getattr(opts, "grad_clip", 0.0) > 0:
@@ -380,6 +459,8 @@ def train(opts) -> float:
             per_total_steps=opts.num_train_batches * opts.steps_per_segment,
             per_eps=opts.per_eps,
             n_step=opts.n_step,
+            c51_atoms=opts.c51, c51_vmin=opts.c51_vmin,
+            c51_vmax=opts.c51_vmax,
             axis_name=mesh.axis_names[0],
         )
         segment, shard_state = make_distributed(
@@ -402,6 +483,8 @@ def train(opts) -> float:
                 per_total_steps=opts.num_train_batches * opts.steps_per_segment,
                 per_eps=opts.per_eps,
                 n_step=opts.n_step,
+                c51_atoms=opts.c51, c51_vmin=opts.c51_vmin,
+                c51_vmax=opts.c51_vmax,
             ),
             donate_argnums=0,
         )

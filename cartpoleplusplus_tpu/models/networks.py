@@ -72,10 +72,22 @@ class QNetwork(nn.Module):
     width: int = 50
     hidden: Sequence[int] = DEFAULT_HIDDEN
     dueling: bool = False
+    num_atoms: int = 0  # >0: C51 — per-action LOGITS over that many atoms
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         h = ObsEncoder(self.use_raw_pixels, self.hidden, pixel_encoder=self.pixel_encoder, pixel_pool=self.pixel_pool, height=self.height, width=self.width)(obs, train)
+        if self.num_atoms:
+            # Distributional (C51): (B, A, K) atom logits; the dueling
+            # decomposition applies per atom in LOGIT space (Rainbow's
+            # formulation) before the softmax.
+            k = self.num_atoms
+            a = nn.Dense(self.num_actions * k, name="advantage")(h)
+            a = a.reshape(a.shape[:-1] + (self.num_actions, k))
+            if self.dueling:
+                v = nn.Dense(k, name="value")(h)[..., None, :]
+                return v + a - jnp.mean(a, axis=-2, keepdims=True)
+            return a
         if self.dueling:
             v = nn.Dense(1, name="value")(h)
             a = nn.Dense(self.num_actions, name="advantage")(h)
