@@ -96,6 +96,13 @@ def add_dqn_opts(parser):
                         help="support upper edge — must cover "
                              "reward-scale x max discounted return "
                              "(~10 at --reward-scale 0.1, gamma 0.99)")
+    parser.add_argument("--noisy", action="store_true",
+                        help="NoisyNet heads (factorized Gaussian, Fortunato "
+                             "et al.): exploration becomes learned and "
+                             "state-conditional, replacing eps-greedy — "
+                             "when set, the default eps schedule is forced "
+                             "to 0 (override by passing --eps-start/--eps-"
+                             "end explicitly)")
     parser.add_argument("--per", action="store_true",
                         help="prioritized experience replay (Schaul et al.): "
                              "sample transitions ∝ |TD error|^alpha with "
@@ -159,30 +166,37 @@ def make_segment(
     c51_atoms: int = 0,
     c51_vmin: float = 0.0,
     c51_vmax: float = 12.0,
+    noisy: bool = False,
     axis_name: str | None = None,
 ):
     per = per_alpha is not None
     z = (jnp.linspace(c51_vmin, c51_vmax, c51_atoms)
          if c51_atoms else None)  # C51 support (trace-time constant)
 
-    def q_scalar(params, obs):
+    def apply_q(params, obs, key=None):
+        """qnet.apply with a fresh NoisyNet draw when a key is given."""
+        if noisy and key is not None:
+            return qnet.apply(params, obs, noise=True, rngs={"noise": key})
+        return qnet.apply(params, obs)
+
+    def q_scalar(params, obs, key=None):
         """Scalar Q(s, ·) for acting/selection: the distribution's mean
         under C51, the head output otherwise."""
-        out = qnet.apply(params, obs)
+        out = apply_q(params, obs, key)
         if c51_atoms:
             return jnp.sum(jax.nn.softmax(out, axis=-1) * z, axis=-1)
         return out
 
-    def loss_fn(params, s1, a, y, iw):
-        q = qnet.apply(params, s1)
+    def loss_fn(params, s1, a, y, iw, k_noise=None):
+        q = apply_q(params, s1, k_noise)
         q_a = jnp.take_along_axis(q, a[:, None].astype(jnp.int32), axis=1)[:, 0]
         td = q_a - y
         # iw is all-ones on the uniform path, the importance-sampling
         # correction (N·P)^-beta under PER.
         return jnp.mean(iw * td**2), jnp.abs(td)
 
-    def c51_loss_fn(params, s1, a, m, iw):
-        logits = qnet.apply(params, s1)  # (B, A, K)
+    def c51_loss_fn(params, s1, a, m, iw, k_noise=None):
+        logits = apply_q(params, s1, k_noise)  # (B, A, K)
         logp = jax.nn.log_softmax(logits, axis=-1)
         logp_a = logp[jnp.arange(logp.shape[0]), a.astype(jnp.int32)]
         ce = -jnp.sum(m * logp_a, axis=-1)  # (B,) cross-entropy
@@ -191,15 +205,18 @@ def make_segment(
 
     # Learner bundle threaded through lax.cond separately from the big
     # buffers (see agents/ddpg.py for the rationale).
-    def train_once(bundle, batch, iw):
+    def train_once(bundle, batch, iw, k_noise):
         params, target_params, opt = bundle
         s1, a, r, s2, term = batch
         s1, s2 = replay_mod.decode_obs(s1), replay_mod.decode_obs(s2)
         live = 1.0 - term.astype(jnp.float32)
+        # Independent NoisyNet draws per forward (Rainbow convention):
+        # target(s2), online selection(s2), online loss(s1).
+        kt, ks, kl = jax.random.split(k_noise, 3)
         if c51_atoms:
-            p2_all = jax.nn.softmax(qnet.apply(target_params, s2), axis=-1)
+            p2_all = jax.nn.softmax(apply_q(target_params, s2, kt), axis=-1)
             if double_q:
-                a2 = jnp.argmax(q_scalar(params, s2), axis=-1)
+                a2 = jnp.argmax(q_scalar(params, s2, ks), axis=-1)
             else:
                 a2 = jnp.argmax(jnp.sum(p2_all * z, axis=-1), axis=-1)
             p2 = p2_all[jnp.arange(p2_all.shape[0]), a2]  # (B, K)
@@ -212,12 +229,12 @@ def make_segment(
             m = _categorical_projection(p2, tz, z)
             (loss, td_abs), grads = jax.value_and_grad(
                 c51_loss_fn, has_aux=True
-            )(params, s1, a, jax.lax.stop_gradient(m), iw)
+            )(params, s1, a, jax.lax.stop_gradient(m), iw, kl)
         else:
-            q2_t = qnet.apply(target_params, s2)
+            q2_t = apply_q(target_params, s2, kt)
             if double_q:
                 # Double DQN (van Hasselt): online picks, target values.
-                a2 = jnp.argmax(qnet.apply(params, s2), axis=-1)
+                a2 = jnp.argmax(apply_q(params, s2, ks), axis=-1)
                 q2 = jnp.take_along_axis(q2_t, a2[:, None], axis=1)[:, 0]
             else:
                 q2 = jnp.max(q2_t, axis=-1)
@@ -226,7 +243,7 @@ def make_segment(
             # terminal in the window, so the bootstrap discount is gamma^n.
             y = reward_scale * r + gamma**n_step * live * q2
             (loss, td_abs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, s1, a, jax.lax.stop_gradient(y), iw
+                params, s1, a, jax.lax.stop_gradient(y), iw, kl
             )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
@@ -253,9 +270,11 @@ def make_segment(
             # (st, prev_done) carry with lazy auto-reset obs substitution —
             # see agents/ddpg.py round-3 notes and env/vector.resolve_obs.
             st, prev_done = carry
-            rng, k_eps, k_rand, k_sample = jax.random.split(st.rng, 4)
+            rng, k_eps, k_rand, k_sample, k_act, k_tn = jax.random.split(
+                st.rng, 6
+            )
             obs_in = vector_mod.resolve_obs(prev_done, reset_obs, st.obs)
-            q = q_scalar(st.params, obs_in)
+            q = q_scalar(st.params, obs_in, k_act)  # fresh noise per step
             greedy = jnp.argmax(q, axis=-1)
             random_a = jax.random.randint(
                 k_rand, (venv.num_envs,), 0, NUM_DISCRETE_ACTIONS
@@ -308,7 +327,7 @@ def make_segment(
             trained = (st.env_steps > warmup_steps) & (st.replay.size >= min_fill)
             bundle, losses, td_abs = jax.lax.cond(
                 trained,
-                lambda b: train_once(b, batch, iw),
+                lambda b: train_once(b, batch, iw, k_tn),
                 lambda b: (b, {"loss": jnp.zeros(())},
                            jnp.zeros((batch_size,), jnp.float32)),
                 bundle,
@@ -383,7 +402,15 @@ def train(opts) -> float:
         hidden=tuple(opts.hidden),
         dueling=getattr(opts, "dueling", False),
         num_atoms=getattr(opts, "c51", 0),
+        noisy=getattr(opts, "noisy", False),
     )
+    if getattr(opts, "noisy", False) and opts.eps_start == 1.0 \
+            and opts.eps_end == 0.05:
+        # NoisyNet IS the exploration mechanism; zero the untouched default
+        # eps schedule (pass --eps-start/--eps-end to mix both).
+        print("# --noisy: eps schedule -> 0 (learned exploration)",
+              file=sys.stderr)
+        opts.eps_start = opts.eps_end = 0.0
     lr = common.make_lr(opts, opts.learning_rate)
     if getattr(opts, "grad_clip", 0.0) > 0:
         tx = optax.chain(
@@ -461,6 +488,7 @@ def train(opts) -> float:
             n_step=opts.n_step,
             c51_atoms=opts.c51, c51_vmin=opts.c51_vmin,
             c51_vmax=opts.c51_vmax,
+            noisy=opts.noisy,
             axis_name=mesh.axis_names[0],
         )
         segment, shard_state = make_distributed(
@@ -485,6 +513,7 @@ def train(opts) -> float:
                 n_step=opts.n_step,
                 c51_atoms=opts.c51, c51_vmin=opts.c51_vmin,
                 c51_vmax=opts.c51_vmax,
+                noisy=opts.noisy,
             ),
             donate_argnums=0,
         )

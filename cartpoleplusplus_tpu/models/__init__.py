@@ -9,6 +9,7 @@ from cartpoleplusplus_tpu.models.networks import (
     DiscretePolicy,
     GaussianActor,
     NAFNetwork,
+    NoisyDense,
     QNetwork,
     ValueNetwork,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "DiscretePolicy",
     "GaussianActor",
     "NAFNetwork",
+    "NoisyDense",
     "QNetwork",
     "ValueNetwork",
     "hard_target_update",

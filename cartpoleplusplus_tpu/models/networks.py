@@ -37,6 +37,55 @@ def final_layer_init(scale: float = 3e-3):
     return init
 
 
+class NoisyDense(nn.Module):
+    """Factorized-Gaussian noisy linear layer (Fortunato et al. 2018).
+
+    W = W_mu + W_sigma ⊙ (f(eps_in) f(eps_out)ᵀ), f(x) = sign(x)·√|x| —
+    the factorized form needs in+out noise draws instead of in·out, and the
+    rank-1 outer product fuses into the matmul epilogue on TPU.  With
+    ``deterministic=True`` (eval / greedy acting) only the mu weights run.
+    Exploration becomes state-conditional and LEARNED (sigma params shrink
+    as the policy firms up), replacing ε-greedy in Rainbow.
+    """
+
+    features: int
+    sigma0: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        import jax
+
+        in_f = x.shape[-1]
+        bound = 1.0 / jnp.sqrt(in_f)
+        w_mu = self.param(
+            "kernel",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (in_f, self.features),
+        )
+        b_mu = self.param(
+            "bias",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (self.features,),
+        )
+        sig0 = self.sigma0 / float(in_f) ** 0.5
+        w_sig = self.param(
+            "kernel_sigma", nn.initializers.constant(sig0),
+            (in_f, self.features),
+        )
+        b_sig = self.param(
+            "bias_sigma", nn.initializers.constant(sig0), (self.features,)
+        )
+        if deterministic:
+            return x @ w_mu + b_mu
+        k1, k2 = jax.random.split(self.make_rng("noise"))
+        f = lambda e: jnp.sign(e) * jnp.sqrt(jnp.abs(e))
+        e_in = f(jax.random.normal(k1, (in_f,)))
+        e_out = f(jax.random.normal(k2, (self.features,)))
+        w = w_mu + w_sig * (e_in[:, None] * e_out[None, :])
+        b = b_mu + b_sig * e_out
+        return x @ w + b
+
+
 class DiscretePolicy(nn.Module):
     """Softmax policy over the 5 discrete actions (LRPG)."""
 
@@ -73,26 +122,37 @@ class QNetwork(nn.Module):
     hidden: Sequence[int] = DEFAULT_HIDDEN
     dueling: bool = False
     num_atoms: int = 0  # >0: C51 — per-action LOGITS over that many atoms
+    noisy: bool = False  # NoisyNet heads (pass noise=True + a 'noise' rng)
 
     @nn.compact
-    def __call__(self, obs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, obs: jnp.ndarray, train: bool = False, noise: bool = False
+    ) -> jnp.ndarray:
         h = ObsEncoder(self.use_raw_pixels, self.hidden, pixel_encoder=self.pixel_encoder, pixel_pool=self.pixel_pool, height=self.height, width=self.width)(obs, train)
+        if self.noisy:
+            # Same param names as the Dense heads (kernel/bias, plus the
+            # *_sigma extras), so checkpoints stay structurally familiar.
+            dense = lambda f, name: (
+                lambda x: NoisyDense(f, name=name)(x, deterministic=not noise)
+            )
+        else:
+            dense = lambda f, name: nn.Dense(f, name=name)
         if self.num_atoms:
             # Distributional (C51): (B, A, K) atom logits; the dueling
             # decomposition applies per atom in LOGIT space (Rainbow's
             # formulation) before the softmax.
             k = self.num_atoms
-            a = nn.Dense(self.num_actions * k, name="advantage")(h)
+            a = dense(self.num_actions * k, "advantage")(h)
             a = a.reshape(a.shape[:-1] + (self.num_actions, k))
             if self.dueling:
-                v = nn.Dense(k, name="value")(h)[..., None, :]
+                v = dense(k, "value")(h)[..., None, :]
                 return v + a - jnp.mean(a, axis=-2, keepdims=True)
             return a
         if self.dueling:
-            v = nn.Dense(1, name="value")(h)
-            a = nn.Dense(self.num_actions, name="advantage")(h)
+            v = dense(1, "value")(h)
+            a = dense(self.num_actions, "advantage")(h)
             return v + a - jnp.mean(a, axis=-1, keepdims=True)
-        return nn.Dense(self.num_actions, name="q")(h)
+        return dense(self.num_actions, "q")(h)
 
 
 class Actor(nn.Module):

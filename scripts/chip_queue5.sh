@@ -134,8 +134,7 @@ T=2700 step dqn_rainbow python -m cartpoleplusplus_tpu.agents.dqn \
   --steps-per-segment 25 --batch-size 256 --replay-capacity 131072 \
   --warmup-steps 40 --num-train-batches 50000 \
   --lr-schedule cosine --reward-scale 0.1 --grad-clip 10 \
-  --eps-end 0.01 --eps-decay-steps 600000 \
-  --per --n-step 3 --dueling \
+  --per --n-step 3 --dueling --c51 51 --c51-vmax 10 --noisy \
   --seed 0 --metrics-jsonl runs/dqn_rainbow_s0.jsonl
 
 note "queue5 complete (incl. appended cells)"
