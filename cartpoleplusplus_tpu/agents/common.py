@@ -100,7 +100,7 @@ def make_venv(
     pallas_physics: bool = False, fused_step: bool = True,
     render_tile_e: int = 32, render_recip: bool = True,
     render_raster: bool | None = None, render_mxu: bool = False,
-    render_hoist: bool = True,
+    render_hoist: bool = False,
 ) -> VectorCartpole:
     """Vector env with the right observation fn (pixels iff --use-raw-pixels).
 
@@ -231,6 +231,31 @@ def probe_raster_or_downgrade(config, opts) -> None:
               f"({type(e).__name__}: {e}); falling back to the slab kernel",
               file=sys.stderr)
         opts.render_raster = False
+
+
+def add_per_opts(parser) -> None:
+    """Prioritized-replay + n-step flags shared by the off-policy agents
+    (replay/buffer.py sample_prioritized / nstep_batch)."""
+    parser.add_argument("--per", action="store_true",
+                        help="prioritized experience replay (Schaul et "
+                             "al.): sample transitions proportional to "
+                             "|TD error|^alpha with importance-weighted "
+                             "loss.  TPU-native: masked cumsum + "
+                             "vectorized searchsorted inside the fused "
+                             "segment, no host-side sum tree")
+    parser.add_argument("--per-alpha", type=float, default=0.6,
+                        help="priority exponent (0 = uniform ablation)")
+    parser.add_argument("--per-beta0", type=float, default=0.4,
+                        help="initial importance-sampling exponent; "
+                             "anneals linearly to 1.0 over the run")
+    parser.add_argument("--per-eps", type=float, default=1e-2,
+                        help="priority floor added to |TD| so no "
+                             "transition starves")
+    parser.add_argument("--n-step", type=int, default=1,
+                        help="multi-step TD target: accumulate N rewards, "
+                             "bootstrap gamma^N from the N-th successor — "
+                             "pure stride gathers on the s2-free block "
+                             "replay (requires block mode)")
 
 
 def add_ou_anneal_opts(parser) -> None:

@@ -75,6 +75,7 @@ def _apply_train(net, params, aux, *args):
 
 
 def add_ddpg_opts(parser):
+    common.add_per_opts(parser)  # --per* and --n-step (shared helper)
     parser.add_argument("--actor-learning-rate", type=float, default=1e-4)
     parser.add_argument("--critic-learning-rate", type=float, default=1e-3)
     parser.add_argument("--tau", type=float, default=0.005,
@@ -189,8 +190,14 @@ def make_segment(
     policy_delay: int = 1,
     target_noise: float = 0.0,
     target_noise_clip: float = 0.5,
+    per_alpha: float | None = None,
+    per_beta0: float = 0.4,
+    per_total_steps: int = 1,
+    per_eps: float = 1e-2,
+    n_step: int = 1,
     axis_name: str | None = None,
 ):
+    per = per_alpha is not None
     """Build the jitted K-step fused train segment.
 
     ``axis_name``: when run under ``shard_map`` over a device mesh (see
@@ -202,7 +209,10 @@ def make_segment(
     one psum per update.
     """
 
-    def critic_loss_fn(c_params, c_aux, s1, a, y):
+    def critic_loss_fn(c_params, c_aux, s1, a, y, iw):
+        # iw: all-ones on the uniform path, the PER importance correction
+        # otherwise.  The |TD| aux feeds the priority write-back (twin:
+        # mean over the two critics' TDs).
         if twin_critic:
             # Stacked twin params (leading axis 2, see init_state) applied
             # via vmap-over-params: one fused MXU batch instead of two
@@ -217,9 +227,12 @@ def make_segment(
             # matches the single-critic branch at the same lr; it only
             # shifts the --grad-clip threshold.  Kept as mean deliberately —
             # the validated TD3 pixel recipe (BASELINE.md) was tuned here.
-            return jnp.mean((q - y[None]) ** 2), new_aux
+            td = q - y[None]
+            return (jnp.mean(iw[None] * td**2),
+                    (new_aux, jnp.mean(jnp.abs(td), axis=0)))
         q, new_aux = _apply_train(critic, c_params, c_aux, s1, a)
-        return jnp.mean((q - y) ** 2), new_aux
+        td = q - y
+        return jnp.mean(iw * td**2), (new_aux, jnp.abs(td))
 
     def actor_loss_fn(a_params, a_aux, critic_vars, s1):
         mu, new_aux = _apply_train(actor, a_params, a_aux, s1)
@@ -233,7 +246,7 @@ def make_segment(
     # conditionals select over every carried leaf, so routing the whole
     # DDPGState through the cond would copy hundreds of MB of replay/obs per
     # step on the pixel path.
-    def train_once(bundle, batch, k_train, step):
+    def train_once(bundle, batch, iw, k_train, step):
         (actor_vars, critic_vars, target_a, target_c, aopt, copt) = bundle
         s1, a, r, s2, term = batch
         s1, s2 = replay_mod.decode_obs(s1), replay_mod.decode_obs(s2)
@@ -261,11 +274,14 @@ def make_segment(
             )
         else:
             q2 = critic.apply(target_c, s2, a2)
-        y = reward_scale * r + gamma * (1.0 - term.astype(jnp.float32)) * q2
+        # n-step: r is the accumulated n-step return, term flags any
+        # terminal in the window, bootstrap discount is gamma^n.
+        y = (reward_scale * r
+             + gamma**n_step * (1.0 - term.astype(jnp.float32)) * q2)
         c_aux = {k: v for k, v in critic_vars.items() if k != "params"}
-        (closs, c_aux), cgrads = jax.value_and_grad(
+        (closs, (c_aux, td_abs)), cgrads = jax.value_and_grad(
             critic_loss_fn, has_aux=True
-        )(critic_vars["params"], c_aux, s1, a, jax.lax.stop_gradient(y))
+        )(critic_vars["params"], c_aux, s1, a, jax.lax.stop_gradient(y), iw)
         if axis_name is not None:
             cgrads = jax.lax.pmean(cgrads, axis_name)
         cupd, copt = critic_tx.update(cgrads, copt, critic_vars["params"])
@@ -307,7 +323,7 @@ def make_segment(
             (actor_vars, aopt, target_a, target_c), aloss = actor_and_targets(ops)
 
         bundle = (actor_vars, critic_vars, target_a, target_c, aopt, copt)
-        return bundle, {"critic_loss": closs, "actor_loss": aloss}
+        return bundle, {"critic_loss": closs, "actor_loss": aloss}, td_abs
 
     def segment(st: DDPGState):
         if axis_name is not None:
@@ -366,7 +382,21 @@ def make_segment(
             )
             # Sample OUTSIDE the cond (reads are cheap); only the small
             # learner bundle flows through the conditional.
-            batch = replay_mod.sample(st.replay, k_sample, batch_size)
+            if per:
+                beta = per_beta0 + (1.0 - per_beta0) * jnp.clip(
+                    st.env_steps.astype(jnp.float32) / per_total_steps,
+                    0.0, 1.0,
+                )
+                batch, p_idx, iw = replay_mod.sample_prioritized(
+                    st.replay, k_sample, batch_size, per_alpha, beta,
+                    n_step=n_step, gamma=gamma,
+                )
+            else:
+                batch = replay_mod.sample(
+                    st.replay, k_sample, batch_size,
+                    n_step=n_step, gamma=gamma,
+                )
+                iw = jnp.ones((batch_size,), jnp.float32)
             bundle = (
                 st.actor_params, st.critic_params,
                 st.target_actor_params, st.target_critic_params,
@@ -377,10 +407,14 @@ def make_segment(
             min_fill = common.replay_min_fill(
                 warmup_steps, venv.num_envs, st.replay.capacity
             )
-            bundle, losses = jax.lax.cond(
-                (st.env_steps > warmup_steps) & (st.replay.size >= min_fill),
-                lambda b: train_once(b, batch, k_aug, st.env_steps),
-                lambda b: (b, {"critic_loss": jnp.zeros(()), "actor_loss": jnp.zeros(())}),
+            trained = (st.env_steps > warmup_steps) & (
+                st.replay.size >= min_fill
+            )
+            bundle, losses, td_abs = jax.lax.cond(
+                trained,
+                lambda b: train_once(b, batch, iw, k_aug, st.env_steps),
+                lambda b: (b, {"critic_loss": jnp.zeros(()), "actor_loss": jnp.zeros(())},
+                           jnp.zeros((batch_size,), jnp.float32)),
                 bundle,
             )
             st = st.replace(
@@ -388,6 +422,15 @@ def make_segment(
                 target_actor_params=bundle[2], target_critic_params=bundle[3],
                 actor_opt=bundle[4], critic_opt=bundle[5],
             )
+            if per:
+                # Write measured |TD| back; keep existing (max-stamped)
+                # priorities until the train gate opens.
+                new_p = jnp.where(
+                    trained, td_abs + per_eps, st.replay.priority[p_idx]
+                )
+                st = st.replace(replay=st.replay.replace(
+                    priority=st.replay.priority.at[p_idx].set(new_p)
+                ))
             metrics = {**losses, "reward": jnp.mean(reward),
                        "done_frac": jnp.mean(done.astype(jnp.float32))}
             return (st, done), (metrics, done)
@@ -449,6 +492,7 @@ def init_state(opts, config, venv, actor, critic, actor_tx, critic_tx) -> DDPGSt
     replay = replay_mod.create(
         opts.replay_capacity, config.obs_shape, (2,), obs_dtype=obs_dtype,
         block=common.replay_block(opts, venv.num_envs),
+        prioritized=getattr(opts, "per", False),
     )
     return DDPGState(
         actor_params=actor_params,
@@ -500,6 +544,11 @@ def train(opts) -> float:
     logger = MetricsLogger(opts.metrics_jsonl, tb_dir=getattr(opts, "tb_dir", None))
 
     st = init_state(opts, config, venv, actor, critic, actor_tx, critic_tx)
+    if getattr(opts, "n_step", 1) > 1 and not st.replay.block:
+        raise SystemExit(
+            "--n-step > 1 needs the s2-free block replay (capacity must "
+            "hold at least two num-envs blocks per device shard)"
+        )
     start_segment = 0
     if opts.ckpt_dir:
         st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
@@ -546,6 +595,10 @@ def train(opts) -> float:
             policy_delay=opts.policy_delay,
             target_noise=opts.target_noise,
             target_noise_clip=opts.target_noise_clip,
+            per_alpha=opts.per_alpha if opts.per else None,
+            per_beta0=opts.per_beta0, per_eps=opts.per_eps,
+            per_total_steps=opts.num_train_batches * opts.steps_per_segment,
+            n_step=opts.n_step,
         )
         st = shard_state(st)
         segment = build(st)
@@ -565,6 +618,10 @@ def train(opts) -> float:
                 policy_delay=opts.policy_delay,
                 target_noise=opts.target_noise,
                 target_noise_clip=opts.target_noise_clip,
+                per_alpha=opts.per_alpha if opts.per else None,
+                per_beta0=opts.per_beta0, per_eps=opts.per_eps,
+                per_total_steps=opts.num_train_batches * opts.steps_per_segment,
+                n_step=opts.n_step,
             ),
             donate_argnums=0,
         )

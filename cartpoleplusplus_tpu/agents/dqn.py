@@ -75,12 +75,7 @@ def add_dqn_opts(parser):
                              "over which ε anneals linearly; the env_steps "
                              "METRIC counts env transitions, i.e. this × "
                              "num-envs")
-    parser.add_argument("--n-step", type=int, default=1,
-                        help="multi-step TD target: accumulate N rewards "
-                             "and bootstrap gamma^N from the N-th "
-                             "successor.  Pure stride gathers on the "
-                             "s2-free block replay (replay/buffer.py "
-                             "nstep_batch) — requires block mode")
+    common.add_per_opts(parser)  # --per* and --n-step (shared helper)
     parser.add_argument("--dueling", action="store_true",
                         help="dueling Q head: Q = V(s) + A(s,a) - mean A "
                              "(Wang et al.); shared encoder, two MXU heads")
@@ -103,21 +98,6 @@ def add_dqn_opts(parser):
                              "when set, the default eps schedule is forced "
                              "to 0 (override by passing --eps-start/--eps-"
                              "end explicitly)")
-    parser.add_argument("--per", action="store_true",
-                        help="prioritized experience replay (Schaul et al.): "
-                             "sample transitions ∝ |TD error|^alpha with "
-                             "importance-weighted loss.  TPU-native "
-                             "implementation — masked cumsum + vectorized "
-                             "searchsorted inside the fused segment, no "
-                             "host-side sum tree (replay/buffer.py)")
-    parser.add_argument("--per-alpha", type=float, default=0.6,
-                        help="priority exponent (0 = uniform ablation)")
-    parser.add_argument("--per-beta0", type=float, default=0.4,
-                        help="initial importance-sampling exponent; anneals "
-                             "linearly to 1.0 over the full run")
-    parser.add_argument("--per-eps", type=float, default=1e-2,
-                        help="priority floor added to |TD| so no transition "
-                             "starves")
     parser.add_argument("--num-devices", type=int, default=1,
                         help="shard envs+replay over this many devices "
                              "(shard_map data parallelism; params replicate, "

@@ -140,6 +140,11 @@ def make_distributed_segment(
     policy_delay: int = 1,
     target_noise: float = 0.0,
     target_noise_clip: float = 0.5,
+    per_alpha: float | None = None,
+    per_beta0: float = 0.4,
+    per_total_steps: int = 1,
+    per_eps: float = 1e-2,
+    n_step: int = 1,
 ):
     """Jitted multi-chip DDPG segment: sharded state → (state, metrics).
 
@@ -159,7 +164,10 @@ def make_distributed_segment(
         reward_scale=reward_scale,
         aug_shift=aug_shift, twin_critic=twin_critic,
         policy_delay=policy_delay, target_noise=target_noise,
-        target_noise_clip=target_noise_clip, axis_name=axis,
+        target_noise_clip=target_noise_clip,
+        per_alpha=per_alpha, per_beta0=per_beta0,
+        per_total_steps=per_total_steps, per_eps=per_eps, n_step=n_step,
+        axis_name=axis,
     )
 
     def build(st_example):

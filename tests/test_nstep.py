@@ -132,3 +132,23 @@ def test_dqn_rainbow_lite_improves():
     ])
     final_eval = dqn.train(opts)
     assert final_eval > 12.0, f"rainbow-lite DQN did not learn: {final_eval}"
+
+
+def test_ddpg_per_nstep_improves():
+    """DDPG with PER + 3-step returns on the shared smoke budget (the
+    continuous-control flagship gets the same replay extensions as DQN)."""
+    from cartpoleplusplus_tpu.agents import ddpg
+
+    parser = common.make_parser("t")
+    ddpg.add_ddpg_opts(parser)
+    opts = parser.parse_args([
+        "--num-train-batches", "60", "--reward-scale", "0.1",
+        "--grad-clip", "10.0", "--per", "--n-step", "3",
+        "--num-envs", "32", "--num-eval", "32",
+        "--action-repeats", "2", "--steps-per-repeat", "3",
+        "--max-episode-len", "60", "--eval-freq", "20",
+        "--steps-per-segment", "25", "--batch-size", "64",
+        "--replay-capacity", "4096", "--warmup-steps", "10", "--seed", "0",
+    ])
+    final_eval = ddpg.train(opts)
+    assert final_eval > 12.0, f"PER/n-step DDPG did not learn: {final_eval}"
