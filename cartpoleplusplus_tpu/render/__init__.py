@@ -11,28 +11,29 @@ from cartpoleplusplus_tpu.render.raycast import make_observe_pixels, render_rays
 
 
 def prefer_raster(num_cameras: int, obs_pool: int, obs_samples: int) -> bool:
-    """Per-config render-algorithm pick, decided by the round-4 on-chip race.
+    """Per-config render-algorithm pick, decided by the on-chip races.
 
     The projective inverse-depth rasterizer (raycast._ray_obb_q, 110 census
     ops/ray) beats the slab cascade (162 ops/ray) by moving per-ray sign
-    tests and reciprocals into per-env-PER-CAMERA scalar precompute — so its
-    win scales with rays per camera frame.  Measured (BASELINE.md round 4,
-    4096 envs, fused DDPG loop):
+    tests and reciprocals into per-env-PER-CAMERA scalar precompute.  The
+    round-4 morning race split by rays/camera (raster +9% at 1-cam exact,
+    −7% at config-5).  The round-4b re-race — same chip session, slab
+    cells as controls (both reproduce the morning slab numbers to ~1.5%),
+    everything at the 3-iteration solver default (BASELINE.md round 4b) —
+    has the raster winning every measured config:
 
-    - 1-cam exact (2500 rays/cam/frame): raster 1.503M vs slab 1.379M (+9%)
-    - config-5, 2-cam samples=2 (1250):  raster 0.978M vs slab 1.047M (-7%)
+    - 1-cam exact:  raster 1.504M vs slab 1.359M  (+10.7%)
+    - config-5:     raster 1.083M vs slab 1.062M  (+2.0%, same session;
+      the morning −7% did not reproduce once both kernels raced
+      back-to-back at the new physics default)
+    - 2-cam exact:  raster 815k = 90% of its 905k ceiling; the slab's
+      CENSUS ceiling there is ~616k — the raster wins by construction.
 
-    Rule: slab for multi-camera *sampled* configs (config-5 measured; fewer
-    rays/camera amortize the precompute strictly worse, so 2-cam samples=1
-    follows by monotonicity), raster everywhere else (1-cam exact measured;
-    2-cam exact implied — raster measures 90% of its 905k census ceiling
-    while the slab's census ceiling there is only ~616k).  Single-camera
-    sampled configs keep raster pending their queued slab race cells.
+    Rule: raster everywhere.  The slab cascade remains one
+    ``--no-render-raster`` away (and is the automatic fallback when the
+    backend rejects the raster kernel — agents/common.py probe).
     """
-    pool = max(1, obs_pool)
-    samples = obs_samples or pool * pool  # 0 = all sub-pixels = exact
-    sampled = samples < pool * pool
-    return not (num_cameras >= 2 and sampled)
+    return True
 
 
 __all__ = [

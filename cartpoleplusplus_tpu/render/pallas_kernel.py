@@ -353,7 +353,7 @@ def make_render_repeats(
     recip: bool = True,
     raster: bool = False,
     mxu: bool = False,
-    hoist: bool = True,
+    hoist: bool = False,
 ):
     """Batched repeat renderer: (scene, poses (R, E, 16)) → obs (E, R, C·3·n).
 
@@ -391,10 +391,13 @@ def make_render_repeats(
                          memory_space=pltpu.VMEM),
         ]
         if raster and hoist:
-            # Per-env setup hoisted to batched XLA over all (R, E) at
-            # full lane occupancy (see _pack_setups).  ``hoist=False``
-            # keeps the setup inside the Mosaic kernel — the round-4
-            # pre-hoist configuration, raceable via --no-raster-hoist.
+            # Per-env setup hoisted to batched XLA over all (R, E) at full
+            # lane occupancy (see _pack_setups).  Byte-exact and census-
+            # neutral — but the round-4b on-chip race measured it 23%
+            # SLOWER (1cam exact 1.158M vs 1.504M): streaming the packed
+            # setup columns HBM→VMEM costs more than recomputing ~300
+            # element ops on one lane inside the kernel.  Compute is
+            # cheaper than bandwidth; default OFF (--raster-hoist races).
             setups = _pack_setups(scene, cam_meta, poses)
             sw = setups.shape[-1]
             inputs.append(setups)
@@ -439,7 +442,7 @@ def make_render_batched(
     recip: bool = True,
     raster: bool = False,
     mxu: bool = False,
-    hoist: bool = True,
+    hoist: bool = False,
 ):
     """Batched pallas renderer: (scene, rigid[E]) → flat frames
     (E, C·3·n) with n = pooled pixels per camera (config.obs_pool applied).

@@ -174,12 +174,16 @@ def add_bench_opts(parser: argparse.ArgumentParser) -> None:
                              "fidelity arbiters + full-scale learning + "
                              "measured 18.4M low-dim steps/s; 5 = the "
                              "round-2/3 conservative setting)")
+    parser.add_argument("--raster-hoist", dest="raster_hoist",
+                        action="store_true", default=False,
+                        help="hoist the raster's per-env setup to batched "
+                             "XLA packed columns (_pack_setups).  Measured "
+                             "23%% SLOWER on chip (round-4b race: VMEM "
+                             "streaming beats lane-serial recompute only "
+                             "on paper) — default OFF, kept as a race knob")
     parser.add_argument("--no-raster-hoist", dest="raster_hoist",
-                        action="store_false", default=True,
-                        help="keep the raster's per-env setup INSIDE the "
-                             "Mosaic kernel (pre-hoist round-4 config) "
-                             "instead of batched-XLA packed columns — race "
-                             "knob for the _pack_setups hoist")
+                        action="store_false",
+                        help="explicit off (the default)")
     parser.add_argument("--trace-dir", type=str, default=None,
                         help="capture a jax.profiler trace to this dir")
     parser.add_argument("--min-wall-s", type=float, default=0.5,
@@ -471,12 +475,11 @@ def _child_argv(opts, overrides: dict) -> list:
         argv += [f"--{k.replace('_', '-')}", str(v)]
     for k, v in flags.items():
         name = k.replace("_", "-")
-        if v is True and k not in ("fused_step", "raster_hoist"):
-            argv.append(f"--{name}")  # (those two have no positive flag —
-            #                           they're the default)
+        if v is True and k != "fused_step":  # --fused-step has no
+            argv.append(f"--{name}")          # positive flag (the default)
         elif v is False and k in ("fused_step", "render_recip",
                                   "render_raster", "pallas_render",
-                                  "pallas_physics", "raster_hoist"):
+                                  "pallas_physics"):
             argv.append(f"--no-{name}")
         # None (tristate auto) / False store_true flags: omit.
     if opts.trace_dir:

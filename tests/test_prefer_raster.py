@@ -1,11 +1,11 @@
 """Per-config render-algorithm auto-pick (render.prefer_raster).
 
-Round 4 decided the raster/slab race on chip (BASELINE.md): the projective
-raster wins where rays per camera frame are high (1-cam exact +9%), the
-slab cascade wins multi-camera sampled configs (config-5 +7%).  The rule
-and its plumbing (agent tristate flag, probe resolution, bench child argv)
-are pinned here so a flag-default edit can't silently flip a measured
-winner.
+The round-4b same-session race (BASELINE.md round 4b; slab cells as
+tunnel-health controls) has the projective raster winning every measured
+config — 1-cam exact +10.7%, config-5 +2.0% — so the rule is raster
+everywhere, slab one --no-render-raster away.  The rule and its plumbing
+(agent tristate flag, probe resolution, bench child argv) are pinned here
+so a flag-default edit can't silently flip a measured winner.
 """
 
 from types import SimpleNamespace
@@ -16,19 +16,14 @@ from cartpoleplusplus_tpu.render import prefer_raster
 
 
 def test_rule_matches_measured_race():
-    # Measured winners (BASELINE.md round 4).
-    assert prefer_raster(1, 2, 0) is True       # 1-cam exact: raster +9%
-    assert prefer_raster(2, 2, 2) is False      # config-5: slab +7%
-    # Monotonicity: fewer rays/camera amortize raster precompute worse.
-    assert prefer_raster(2, 2, 1) is False
-    # 2-cam exact: raster at 90% of a ceiling the slab census can't reach.
+    # Measured winners (BASELINE.md round 4b): raster everywhere.
+    assert prefer_raster(1, 2, 0) is True       # 1-cam exact: raster +10.7%
+    assert prefer_raster(2, 2, 2) is True       # config-5: raster +2.0%
+    assert prefer_raster(2, 2, 1) is True
     assert prefer_raster(2, 2, 0) is True
-    # obs_samples == pool**2 is exact sampling, same as 0.
     assert prefer_raster(2, 2, 4) is True
-    # Single-camera sampled rows keep raster pending their slab race cells.
     assert prefer_raster(1, 2, 2) is True
     assert prefer_raster(1, 2, 1) is True
-    # No pooling: samples can only be exact.
     assert prefer_raster(1, 1, 0) is True
 
 
@@ -50,7 +45,7 @@ def test_probe_resolves_tristate_to_config_winner():
         CartpoleConfig(use_raw_pixels=True, num_cameras=2,
                        render_width=50, render_height=50,
                        obs_pool=2, obs_samples=2), opts)
-    assert opts.render_raster is False
+    assert opts.render_raster is True  # round-4b: raster wins config-5 too
 
     # Low-dim: no renderer, auto resolves to slab-off so downstream
     # raster consumers (record/eval) never see a truthy leftover.
