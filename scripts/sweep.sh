@@ -42,3 +42,15 @@ for seed in 0 1 2; do
     --seed "$seed" --metrics-jsonl "$OUT/sweep_sac_s${seed}.jsonl" &
   wait $!
 done
+
+for seed in 0 1 2; do
+  # Full Rainbow DQN (beyond-parity, round 4b): all six components on the
+  # validated round-2 DQN recipe shape.  --noisy replaces the eps schedule
+  # with learned exploration; C51 support sized for reward-scale 0.1.
+  python -m cartpoleplusplus_tpu.agents.dqn $COMMON \
+    --num-train-batches "${BATCHES:-50000}" \
+    --lr-schedule cosine --reward-scale 0.1 --grad-clip 10 \
+    --per --n-step 3 --dueling --c51 51 --c51-vmax 10 --noisy \
+    --seed "$seed" --metrics-jsonl "$OUT/sweep_rainbow_s${seed}.jsonl" &
+  wait $!
+done
