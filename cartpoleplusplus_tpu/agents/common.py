@@ -46,6 +46,18 @@ def add_agent_opts(parser: argparse.ArgumentParser) -> None:
                              "env and RNG state restore exactly.")
     parser.add_argument("--event-log-out", type=str, default=None,
                         help="write eval trajectories to this event log")
+    parser.add_argument("--eval-only", action="store_true",
+                        help="restore the latest --ckpt-dir checkpoint and "
+                             "run the greedy eval (plus --event-log-out / "
+                             "--export-policy outputs) WITHOUT training — "
+                             "the 'watch the trained policy' mode the "
+                             "reference only had as GUI replay")
+    parser.add_argument("--export-policy", type=str, default=None,
+                        help="after training (or under --eval-only), export "
+                             "the greedy policy as a self-contained "
+                             "serialized-StableHLO serving artifact "
+                             "(weights baked in, symbolic batch dim, "
+                             "cpu+tpu lowering; utils/export.py)")
     parser.add_argument("--metrics-jsonl", type=str, default=None,
                         help="structured metrics sink")
     parser.add_argument("--tb-dir", type=str, default=None,
@@ -371,6 +383,52 @@ def eval_rollout(
         length=venv.config.max_episode_len,
     )
     return jnp.mean(ep_len.astype(jnp.float32)), jnp.mean(ep_rew)
+
+
+def maybe_export_policy(opts, config, act_fn, params, logger) -> None:
+    """Honor ``--export-policy``: write the serving artifact (utils/export.py).
+
+    The observation ABI mirrors the training pipeline: uint8 frames for
+    pixel policies (the trunk normalizes on-chip), float32 for low-dim.
+    """
+    path = getattr(opts, "export_policy", None)
+    if not path:
+        return
+    from cartpoleplusplus_tpu.utils import export as export_mod
+
+    obs_dtype = jnp.uint8 if config.use_raw_pixels else jnp.float32
+    nbytes = export_mod.save_policy(path, act_fn, params,
+                                    config.obs_shape, obs_dtype)
+    logger.log("export_policy", path=path, bytes=nbytes)
+
+
+def run_eval_only(opts, config, logger, restored_step, eval_venv,
+                  act_fn, params) -> float:
+    """The ``--eval-only`` path shared by every agent: greedy eval from a
+    restored checkpoint, plus the optional event-log and serving-artifact
+    outputs — no training segment is ever built or compiled.
+
+    ``restored_step`` is ``restore_latest``'s step (None = nothing restored,
+    which is a hard error here: silently evaluating fresh random weights
+    would look like a catastrophically regressed policy).
+    """
+    if restored_step is None:
+        raise SystemExit(
+            "--eval-only needs --ckpt-dir pointing at a restorable checkpoint"
+        )
+    eval_fn = jax.jit(lambda p, k: eval_rollout(eval_venv, act_fn, p, k))
+    elen, erew = eval_fn(params, jax.random.PRNGKey(opts.seed + 1))
+    logger.log("eval_only", segment=restored_step,
+               eval_ep_len=float(elen), eval_ep_rew=float(erew))
+    if opts.event_log_out:
+        lens = record_eval_episodes(
+            config, act_fn, params, opts.event_log_out, seed=opts.seed,
+            raster=bool(getattr(opts, "render_raster", False)),
+        )
+        logger.log("event_log", episodes=len(lens), lengths=lens)
+    maybe_export_policy(opts, config, act_fn, params, logger)
+    logger.close()
+    return float(elen)
 
 
 def record_eval_episodes(

@@ -550,6 +550,7 @@ def train(opts) -> float:
             "hold at least two num-envs blocks per device shard)"
         )
     start_segment = 0
+    restored = None
     if opts.ckpt_dir:
         st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
         if restored is not None:
@@ -559,6 +560,10 @@ def train(opts) -> float:
             # the stale pre-resume checkpoint.
             start_segment = restored
             logger.log("restore", step=restored)
+    if opts.eval_only:
+        return common.run_eval_only(opts, config, logger, restored,
+                                    eval_venv, greedy_act(actor),
+                                    st.actor_params)
 
     if getattr(opts, "num_devices", 1) > 1:
         # Multi-chip data parallelism: env/replay shards per device,
@@ -662,6 +667,8 @@ def train(opts) -> float:
             raster=getattr(opts, "render_raster", False),
         )
         logger.log("event_log", episodes=len(lens), lengths=lens)
+    common.maybe_export_policy(opts, config, greedy_act(actor),
+                               st.actor_params, logger)
     logger.close()
     return final_eval
 

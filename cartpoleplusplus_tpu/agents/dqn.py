@@ -426,6 +426,7 @@ def train(opts) -> float:
             "hold at least two num-envs blocks per device shard)"
         )
     start_segment = 0
+    restored = None
     if opts.ckpt_dir:
         st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
         if restored is not None:
@@ -433,6 +434,9 @@ def train(opts) -> float:
             # monotonic across restarts (see agents/ddpg.py).
             start_segment = restored
             logger.log("restore", step=restored)
+    if opts.eval_only:
+        return common.run_eval_only(opts, config, logger, restored,
+                                    eval_venv, greedy_act(qnet), st.params)
 
     if getattr(opts, "num_devices", 1) > 1:
         # Multi-chip DP: env/replay shards per device, replicated params,
@@ -533,6 +537,8 @@ def train(opts) -> float:
             raster=getattr(opts, "render_raster", False),
         )
         logger.log("event_log", episodes=len(lens), lengths=lens)
+    common.maybe_export_policy(opts, config, greedy_act(qnet), st.params,
+                               logger)
     logger.close()
     return final_eval
 

@@ -189,10 +189,14 @@ def train(opts) -> float:
         update=jnp.zeros((), jnp.int32),
     )
 
+    restored = None
     if opts.ckpt_dir:
         ts, restored = ckpt_mod.restore_latest(opts.ckpt_dir, ts)
         if restored is not None:
             logger.log("restore", step=restored)
+    if opts.eval_only:
+        return common.run_eval_only(opts, config, logger, restored,
+                                    eval_venv, greedy_act(policy), ts.params)
 
     if getattr(opts, "num_devices", 1) > 1:
         # On-policy multi-chip DP: each device rolls out its own env batch;
@@ -255,6 +259,8 @@ def train(opts) -> float:
             raster=getattr(opts, "render_raster", False),
         )
         logger.log("event_log", episodes=len(lens), lengths=lens)
+    common.maybe_export_policy(opts, config, greedy_act(policy), ts.params,
+                               logger)
     logger.close()
     return final_eval
 

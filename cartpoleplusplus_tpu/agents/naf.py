@@ -269,6 +269,7 @@ def train(opts) -> float:
         env_steps=jnp.zeros((), jnp.int32),
     )
     start_segment = 0
+    restored = None
     if opts.ckpt_dir:
         st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
         if restored is not None:
@@ -276,6 +277,9 @@ def train(opts) -> float:
             # monotonic across restarts (see agents/ddpg.py).
             start_segment = restored
             logger.log("restore", step=restored)
+    if opts.eval_only:
+        return common.run_eval_only(opts, config, logger, restored,
+                                    eval_venv, greedy_act(net), st.variables)
 
     if getattr(opts, "num_devices", 1) > 1:
         # Multi-chip DP: env/replay shards per device, replicated params,
@@ -359,6 +363,8 @@ def train(opts) -> float:
             raster=getattr(opts, "render_raster", False),
         )
         logger.log("event_log", episodes=len(lens), lengths=lens)
+    common.maybe_export_policy(opts, config, greedy_act(net), st.variables,
+                               logger)
     logger.close()
     return final_eval
 

@@ -278,10 +278,15 @@ def train(opts) -> float:
         update=jnp.zeros((), jnp.int32),
     )
 
+    restored = None
     if opts.ckpt_dir:
         ps, restored = ckpt_mod.restore_latest(opts.ckpt_dir, ps)
         if restored is not None:
             logger.log("restore", step=restored)
+    if opts.eval_only:
+        return common.run_eval_only(opts, config, logger, restored,
+                                    eval_venv, greedy_act(actor),
+                                    ps.params["actor"])
 
     if getattr(opts, "num_devices", 1) > 1:
         from cartpoleplusplus_tpu.parallel import make_distributed, make_mesh
@@ -335,6 +340,8 @@ def train(opts) -> float:
             raster=getattr(opts, "render_raster", False),
         )
         logger.log("event_log", episodes=len(lens), lengths=lens)
+    common.maybe_export_policy(opts, config, greedy_act(actor),
+                               ps.params["actor"], logger)
     logger.close()
     return final_eval
 

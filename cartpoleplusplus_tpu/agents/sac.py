@@ -380,11 +380,16 @@ def train(opts) -> float:
     st = init_state(opts, config, venv, actor, critic, actor_tx, critic_tx,
                     alpha_tx)
     start_segment = 0
+    restored = None
     if opts.ckpt_dir:
         st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
         if restored is not None:
             start_segment = restored
             logger.log("restore", step=restored)
+    if opts.eval_only:
+        return common.run_eval_only(opts, config, logger, restored,
+                                    eval_venv, greedy_act(actor),
+                                    st.actor_params)
 
     if getattr(opts, "num_devices", 1) > 1:
         # Multi-chip DP: env/replay shards, replicated params + temperature,
@@ -469,6 +474,8 @@ def train(opts) -> float:
             raster=getattr(opts, "render_raster", False),
         )
         logger.log("event_log", episodes=len(lens), lengths=lens)
+    common.maybe_export_policy(opts, config, greedy_act(actor),
+                               st.actor_params, logger)
     logger.close()
     return final_eval
 

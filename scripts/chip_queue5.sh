@@ -94,18 +94,16 @@ step corner_2cam_s1_r python bench.py --single --num-cameras 2 --obs-samples 1 -
 step corner_2cam_s1_s python bench.py --single --num-cameras 2 --obs-samples 1 --no-render-raster
 
 # --- 5. big learning cells (opportunistic) -----------------------------------
-T=3700 step td3_2cam_s1 timeout 3600 python -m cartpoleplusplus_tpu.agents.ddpg \
-  --use-raw-pixels --num-cameras 2 --obs-pool 2 --obs-samples 1 \
-  --pixel-encoder conv \
-  --num-envs 512 --num-eval 64 --eval-freq 500 \
-  --steps-per-segment 25 --batch-size 256 --replay-capacity 65536 \
-  --warmup-steps 40 --num-train-batches 15000 \
-  --actor-learning-rate 1e-4 --critic-learning-rate 3e-4 --lr-schedule cosine \
-  --reward-scale 0.1 --grad-clip 10 --aug-shift 2 \
-  --ou-sigma-min 0.05 --ou-decay-steps 250000 \
-  --twin-critic --policy-delay 2 --target-noise 0.2 \
-  --pallas-render \
-  --seed 0 --metrics-jsonl runs/ddpg_pixels_td3_2cam_s1.jsonl
+# Round-4c priority order: the full-Rainbow evidence cell FIRST (BASELINE
+# round-4b promises runs/dqn_rainbow_s0.jsonl), then the cheap SAC chip
+# cells, then the opportunistic pixel corners.
+T=2700 step dqn_rainbow python -m cartpoleplusplus_tpu.agents.dqn \
+  --num-envs 128 --num-eval 64 --eval-freq 500 \
+  --steps-per-segment 25 --batch-size 256 --replay-capacity 131072 \
+  --warmup-steps 40 --num-train-batches 50000 \
+  --lr-schedule cosine --reward-scale 0.1 --grad-clip 10 \
+  --per --n-step 3 --dueling --c51 51 --c51-vmax 10 --noisy \
+  --seed 0 --metrics-jsonl runs/dqn_rainbow_s0.jsonl
 T=2700 step sac_lowdim python -m cartpoleplusplus_tpu.agents.sac \
   --num-envs 128 --num-eval 64 --eval-freq 100 \
   --steps-per-segment 25 --batch-size 256 --replay-capacity 131072 \
@@ -121,20 +119,20 @@ T=3700 step sac_pixels python -m cartpoleplusplus_tpu.agents.sac \
   --reward-scale 0.1 --grad-clip 10 --aug-shift 2 \
   --pallas-render \
   --seed 0 --metrics-jsonl runs/sac_pixels_s0.jsonl
+T=3700 step td3_2cam_s1 timeout 3600 python -m cartpoleplusplus_tpu.agents.ddpg \
+  --use-raw-pixels --num-cameras 2 --obs-pool 2 --obs-samples 1 \
+  --pixel-encoder conv \
+  --num-envs 512 --num-eval 64 --eval-freq 500 \
+  --steps-per-segment 25 --batch-size 256 --replay-capacity 65536 \
+  --warmup-steps 40 --num-train-batches 15000 \
+  --actor-learning-rate 1e-4 --critic-learning-rate 3e-4 --lr-schedule cosine \
+  --reward-scale 0.1 --grad-clip 10 --aug-shift 2 \
+  --ou-sigma-min 0.05 --ou-decay-steps 250000 \
+  --twin-critic --policy-delay 2 --target-noise 0.2 \
+  --pallas-render \
+  --seed 0 --metrics-jsonl runs/ddpg_pixels_td3_2cam_s1.jsonl
 
 note "queue5 complete"
 
-# --- 6. rainbow-lite full-scale evidence (appended round-4b) -----------------
-# The validated round-2 DQN recipe (reward-scale 0.1, cosine lr, grad-clip
-# 10, eps -> 0.01 over 600k vec steps, 50000 segments = 160M env steps,
-# double-q default) with the round-4b extensions stacked: PER + 3-step
-# returns + dueling head.  Evidence row for README/BASELINE.
-T=2700 step dqn_rainbow python -m cartpoleplusplus_tpu.agents.dqn \
-  --num-envs 128 --num-eval 64 --eval-freq 500 \
-  --steps-per-segment 25 --batch-size 256 --replay-capacity 131072 \
-  --warmup-steps 40 --num-train-batches 50000 \
-  --lr-schedule cosine --reward-scale 0.1 --grad-clip 10 \
-  --per --n-step 3 --dueling --c51 51 --c51-vmax 10 --noisy \
-  --seed 0 --metrics-jsonl runs/dqn_rainbow_s0.jsonl
 
 note "queue5 complete (incl. appended cells)"
