@@ -136,3 +136,21 @@ note "queue5 complete"
 
 
 note "queue5 complete (incl. appended cells)"
+
+# --- 7. serving-artifact evidence on chip (round-4c) --------------------------
+# Export the trained pixel-TD3 policy straight from its checked-in
+# checkpoint (--eval-only: no training segment) and time the serialized-
+# StableHLO artifact at serving batch on the real chip (utils/export.py).
+T=1800 step export_td3_policy bash -c '
+  python -m cartpoleplusplus_tpu.agents.ddpg \
+    --use-raw-pixels --num-cameras 2 --obs-pool 2 --pixel-encoder conv \
+    --num-envs 512 --num-eval 64 \
+    --steps-per-segment 25 --batch-size 256 --replay-capacity 65536 \
+    --warmup-steps 40 --num-train-batches 15000 \
+    --twin-critic --policy-delay 2 --target-noise 0.2 \
+    --ckpt-dir runs/ckpt_pixels_td3 --eval-only \
+    --export-policy runs/policy_td3_pixels.stablehlo \
+    --metrics-jsonl runs/td3_eval_only.jsonl \
+  && python -m cartpoleplusplus_tpu.utils.export \
+    --load runs/policy_td3_pixels.stablehlo --batch 4096 --steps 30
+'
