@@ -103,6 +103,7 @@ T=2700 step dqn_rainbow python -m cartpoleplusplus_tpu.agents.dqn \
   --warmup-steps 40 --num-train-batches 50000 \
   --lr-schedule cosine --reward-scale 0.1 --grad-clip 10 \
   --per --n-step 3 --dueling --c51 51 --c51-vmax 10 --noisy \
+  --ckpt-dir runs/ckpt_dqn_rainbow --ckpt-freq 5000 --ckpt-skip-replay \
   --seed 0 --metrics-jsonl runs/dqn_rainbow_s0.jsonl
 T=2700 step sac_lowdim python -m cartpoleplusplus_tpu.agents.sac \
   --num-envs 128 --num-eval 64 --eval-freq 100 \
@@ -118,6 +119,7 @@ T=3700 step sac_pixels python -m cartpoleplusplus_tpu.agents.sac \
   --actor-learning-rate 1e-4 --critic-learning-rate 3e-4 --lr-schedule cosine \
   --reward-scale 0.1 --grad-clip 10 --aug-shift 2 \
   --pallas-render \
+  --ckpt-dir runs/ckpt_sac_pixels --ckpt-freq 5000 --ckpt-skip-replay \
   --seed 0 --metrics-jsonl runs/sac_pixels_s0.jsonl
 T=3700 step td3_2cam_s1 timeout 3600 python -m cartpoleplusplus_tpu.agents.ddpg \
   --use-raw-pixels --num-cameras 2 --obs-pool 2 --obs-samples 1 \
@@ -130,6 +132,7 @@ T=3700 step td3_2cam_s1 timeout 3600 python -m cartpoleplusplus_tpu.agents.ddpg 
   --ou-sigma-min 0.05 --ou-decay-steps 250000 \
   --twin-critic --policy-delay 2 --target-noise 0.2 \
   --pallas-render \
+  --ckpt-dir runs/ckpt_td3_2cam_s1 --ckpt-freq 5000 --ckpt-skip-replay \
   --seed 0 --metrics-jsonl runs/ddpg_pixels_td3_2cam_s1.jsonl
 
 note "queue5 complete"
