@@ -329,7 +329,9 @@ def replay_block(opts, num_envs: int) -> int:
     return local_envs if 0 < local_envs < local_cap else 0
 
 
-def replay_min_fill(warmup_steps: int, num_envs: int, capacity: int) -> int:
+def replay_min_fill(
+    warmup_steps: int, num_envs: int, capacity: int, n_step: int = 1
+) -> int:
     """Transitions the replay must hold before the train gate may open.
 
     The agents gate each update on BOTH the step counter and this fill
@@ -342,8 +344,18 @@ def replay_min_fill(warmup_steps: int, num_envs: int, capacity: int) -> int:
     a real s1 with an unwritten zero successor.  Capped at one block below
     capacity so small buffers can still train (the newest block is always
     excluded from sampling).
+
+    The ``(n_step + 1)·num_envs`` floor guards the degenerate corner the
+    cap alone can't: sampling excludes the newest ``n_step`` blocks (their
+    successor windows are unwritten), so until one block BEYOND them is
+    written the clamped valid-window is a single row whose n-step
+    successor is unwritten zeros — or, at ``capacity == n_step·block``,
+    wraps onto the row itself.  (Agents additionally reject capacities
+    below ``(n_step + 1)`` blocks outright.)
     """
-    return min((warmup_steps + 1) * num_envs, capacity - num_envs)
+    fresh = min((warmup_steps + 1) * num_envs, capacity - num_envs)
+    floor = min((n_step + 1) * num_envs, capacity)
+    return max(fresh, floor)
 
 
 def eval_rollout(

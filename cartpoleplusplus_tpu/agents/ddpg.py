@@ -197,7 +197,6 @@ def make_segment(
     n_step: int = 1,
     axis_name: str | None = None,
 ):
-    per = per_alpha is not None
     """Build the jitted K-step fused train segment.
 
     ``axis_name``: when run under ``shard_map`` over a device mesh (see
@@ -208,6 +207,7 @@ def make_segment(
     parallel design: env shards + replay shards per chip, replicated params,
     one psum per update.
     """
+    per = per_alpha is not None
 
     def critic_loss_fn(c_params, c_aux, s1, a, y, iw):
         # iw: all-ones on the uniform path, the PER importance correction
@@ -405,7 +405,7 @@ def make_segment(
             # Gate on the buffer actually being warm, not just the step
             # counter (--ckpt-skip-replay resume; see replay_min_fill).
             min_fill = common.replay_min_fill(
-                warmup_steps, venv.num_envs, st.replay.capacity
+                warmup_steps, venv.num_envs, st.replay.capacity, n_step
             )
             trained = (st.env_steps > warmup_steps) & (
                 st.replay.size >= min_fill
@@ -423,13 +423,8 @@ def make_segment(
                 actor_opt=bundle[4], critic_opt=bundle[5],
             )
             if per:
-                # Write measured |TD| back; keep existing (max-stamped)
-                # priorities until the train gate opens.
-                new_p = jnp.where(
-                    trained, td_abs + per_eps, st.replay.priority[p_idx]
-                )
-                st = st.replace(replay=st.replay.replace(
-                    priority=st.replay.priority.at[p_idx].set(new_p)
+                st = st.replace(replay=replay_mod.update_priorities(
+                    st.replay, p_idx, td_abs, per_eps, gate=trained
                 ))
             metrics = {**losses, "reward": jnp.mean(reward),
                        "done_frac": jnp.mean(done.astype(jnp.float32))}
@@ -544,11 +539,25 @@ def train(opts) -> float:
     logger = MetricsLogger(opts.metrics_jsonl, tb_dir=getattr(opts, "tb_dir", None))
 
     st = init_state(opts, config, venv, actor, critic, actor_tx, critic_tx)
-    if getattr(opts, "n_step", 1) > 1 and not st.replay.block:
-        raise SystemExit(
-            "--n-step > 1 needs the s2-free block replay (capacity must "
-            "hold at least two num-envs blocks per device shard)"
-        )
+    if getattr(opts, "n_step", 1) > 1:
+        if not st.replay.block:
+            raise SystemExit(
+                "--n-step > 1 needs the s2-free block replay (capacity must "
+                "hold at least two num-envs blocks per device shard)"
+            )
+        # st.replay.block is already per-shard (replay_block divides by
+        # --num-devices); compare against the per-shard capacity too.
+        shard_cap = st.replay.capacity // max(getattr(opts, "num_devices", 1), 1)
+        if shard_cap < (opts.n_step + 1) * st.replay.block:
+            # Smaller rings make the valid-window clamp degenerate: the
+            # only sampleable row's n-step successor is unwritten zeros or
+            # wraps onto the row itself (replay.nstep_batch stride math).
+            raise SystemExit(
+                f"--n-step {opts.n_step} needs replay capacity >= "
+                f"{opts.n_step + 1} blocks of num-envs transitions per "
+                f"device shard (got {shard_cap} < "
+                f"{(opts.n_step + 1) * st.replay.block})"
+            )
     start_segment = 0
     restored = None
     if opts.ckpt_dir:

@@ -67,8 +67,12 @@ def add_dqn_opts(parser):
     parser.add_argument("--replay-capacity", type=int, default=100000)
     parser.add_argument("--warmup-steps", type=int, default=20)
     parser.add_argument("--steps-per-segment", type=int, default=25)
-    parser.add_argument("--eps-start", type=float, default=1.0)
-    parser.add_argument("--eps-end", type=float, default=0.05)
+    # None sentinels (not the literal defaults) so an EXPLICIT
+    # --eps-start 1.0 still overrides --noisy's zeroing below.
+    parser.add_argument("--eps-start", type=float, default=None,
+                        help="default 1.0 (0 under --noisy)")
+    parser.add_argument("--eps-end", type=float, default=None,
+                        help="default 0.05 (0 under --noisy)")
     parser.add_argument("--eps-decay-steps", type=int, default=5000,
                         help="vectorized steps (segments × steps-per-segment, "
                              "each stepping all --num-envs replicas at once) "
@@ -302,7 +306,7 @@ def make_segment(
             # Replay-warm gate (--ckpt-skip-replay resume; see
             # common.replay_min_fill).
             min_fill = common.replay_min_fill(
-                warmup_steps, venv.num_envs, st.replay.capacity
+                warmup_steps, venv.num_envs, st.replay.capacity, n_step
             )
             trained = (st.env_steps > warmup_steps) & (st.replay.size >= min_fill)
             bundle, losses, td_abs = jax.lax.cond(
@@ -314,13 +318,8 @@ def make_segment(
             )
             st = st.replace(params=bundle[0], target_params=bundle[1], opt=bundle[2])
             if per:
-                # Write back measured TD magnitudes; before the train gate
-                # opens keep the rows' existing (max-stamped) priorities.
-                new_p = jnp.where(
-                    trained, td_abs + per_eps, st.replay.priority[idx]
-                )
-                st = st.replace(replay=st.replay.replace(
-                    priority=st.replay.priority.at[idx].set(new_p)
+                st = st.replace(replay=replay_mod.update_priorities(
+                    st.replay, idx, td_abs, per_eps, gate=trained
                 ))
             return (st, done), {**losses, "reward": jnp.mean(reward), "eps": eps}
 
@@ -384,13 +383,18 @@ def train(opts) -> float:
         num_atoms=getattr(opts, "c51", 0),
         noisy=getattr(opts, "noisy", False),
     )
-    if getattr(opts, "noisy", False) and opts.eps_start == 1.0 \
-            and opts.eps_end == 0.05:
+    if getattr(opts, "noisy", False) and opts.eps_start is None \
+            and opts.eps_end is None:
         # NoisyNet IS the exploration mechanism; zero the untouched default
-        # eps schedule (pass --eps-start/--eps-end to mix both).
+        # eps schedule (pass --eps-start/--eps-end to mix both — explicit
+        # values win even when they equal the plain defaults).
         print("# --noisy: eps schedule -> 0 (learned exploration)",
               file=sys.stderr)
         opts.eps_start = opts.eps_end = 0.0
+    if opts.eps_start is None:
+        opts.eps_start = 1.0
+    if opts.eps_end is None:
+        opts.eps_end = 0.05
     lr = common.make_lr(opts, opts.learning_rate)
     if getattr(opts, "grad_clip", 0.0) > 0:
         tx = optax.chain(
@@ -420,11 +424,25 @@ def train(opts) -> float:
         rng=rng,
         env_steps=jnp.zeros((), jnp.int32),
     )
-    if opts.n_step > 1 and not st.replay.block:
-        raise SystemExit(
-            "--n-step > 1 needs the s2-free block replay (capacity must "
-            "hold at least two num-envs blocks per device shard)"
-        )
+    if opts.n_step > 1:
+        if not st.replay.block:
+            raise SystemExit(
+                "--n-step > 1 needs the s2-free block replay (capacity must "
+                "hold at least two num-envs blocks per device shard)"
+            )
+        # st.replay.block is already per-shard (replay_block divides by
+        # --num-devices); compare against the per-shard capacity too.
+        shard_cap = st.replay.capacity // max(getattr(opts, "num_devices", 1), 1)
+        if shard_cap < (opts.n_step + 1) * st.replay.block:
+            # Smaller rings make the valid-window clamp degenerate: the
+            # only sampleable row's n-step successor is unwritten zeros or
+            # wraps onto the row itself (replay.nstep_batch stride math).
+            raise SystemExit(
+                f"--n-step {opts.n_step} needs replay capacity >= "
+                f"{opts.n_step + 1} blocks of num-envs transitions per "
+                f"device shard (got {shard_cap} < "
+                f"{(opts.n_step + 1) * st.replay.block})"
+            )
     start_segment = 0
     restored = None
     if opts.ckpt_dir:

@@ -249,7 +249,9 @@ def train(opts) -> float:
         if opts.ckpt_dir and (i + 1) % max(opts.ckpt_freq, 1) == 0:
             ckpt_mod.save(opts.ckpt_dir, i + 1, ts)
     if opts.ckpt_dir:
-        ckpt_mod.save(opts.ckpt_dir, opts.num_train_batches, ts)
+        # Clamp like dqn/sac: a re-run of an already-finished training must
+        # not rewrite an old-step filename with newer-step state.
+        ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start), ts)
     if opts.event_log_out:
         # Reference README-GIF evidence path (SURVEY.md §6): greedy eval
         # episodes → event log; GIFs via utils.event_log --gif-out.

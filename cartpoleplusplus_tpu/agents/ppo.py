@@ -332,7 +332,9 @@ def train(opts) -> float:
         if opts.ckpt_dir and (i + 1) % max(opts.ckpt_freq, 1) == 0:
             ckpt_mod.save(opts.ckpt_dir, i + 1, ps)
     if opts.ckpt_dir:
-        ckpt_mod.save(opts.ckpt_dir, opts.num_train_batches, ps)
+        # Clamp like dqn/sac: a re-run of an already-finished training must
+        # not rewrite an old-step filename with newer-step state.
+        ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start), ps)
     if opts.event_log_out:
         lens = common.record_eval_episodes(
             config, greedy_act(actor), ps.params["actor"],

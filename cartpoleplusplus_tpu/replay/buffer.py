@@ -394,9 +394,16 @@ def sample_prioritized(
 
 def update_priorities(
     replay: ReplayState, idx: jnp.ndarray, td_abs: jnp.ndarray,
-    eps: float = 1e-2,
+    eps: float = 1e-2, gate=None,
 ) -> ReplayState:
-    """Write measured |TD error| + eps back as the sampled rows' priority."""
-    return replay.replace(
-        priority=replay.priority.at[idx].set(td_abs + eps)
-    )
+    """Write measured |TD error| + eps back as the sampled rows' priority.
+
+    ``gate`` (scalar bool, optional): when False the rows keep their
+    existing (max-stamped) priorities — the agents' convention before the
+    replay-warm train gate opens, so ungated zero TDs can't flatten the
+    distribution against unwritten rows.
+    """
+    new_p = td_abs + eps
+    if gate is not None:
+        new_p = jnp.where(gate, new_p, replay.priority[idx])
+    return replay.replace(priority=replay.priority.at[idx].set(new_p))

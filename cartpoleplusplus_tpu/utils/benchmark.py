@@ -237,7 +237,7 @@ def build(opts):
         render_recip=getattr(opts, "render_recip", True),
         render_raster=getattr(opts, "render_raster", False),
         render_mxu=getattr(opts, "render_mxu", False),
-        render_hoist=getattr(opts, "raster_hoist", True),
+        render_hoist=getattr(opts, "raster_hoist", False),
     )
 
     if opts.sim_only:
@@ -462,7 +462,7 @@ def _child_argv(opts, overrides: dict) -> list:
         pallas_render=opts.pallas_render, pallas_physics=opts.pallas_physics,
         fused_step=opts.fused_step, render_recip=opts.render_recip,
         render_raster=opts.render_raster, render_mxu=opts.render_mxu,
-        raster_hoist=getattr(opts, "raster_hoist", True),
+        raster_hoist=getattr(opts, "raster_hoist", False),
     )
     for k, v in overrides.items():
         (flags if isinstance(v, bool) else merged)[k] = v

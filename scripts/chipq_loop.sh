@@ -5,12 +5,17 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/chipq
+# Pin the deadline ONCE in the loop scope: a command-scoped default on the
+# chip_queue5 line would leave the parent's check reading an unset var
+# (fallback 0 -> always past deadline -> loop breaks after pass 1).
+DEADLINE_TS="${DEADLINE_TS:-$(($(date +%s) + 5400))}"
+export DEADLINE_TS
 for pass in 1 2 3 4 5 6; do
   before=$(grep -c "END .* exit=0" "$LOG/queue.log" 2>/dev/null || echo 0)
   errors_before=$(grep -l '"error"' "$LOG"/*.log 2>/dev/null | wc -l)
   echo "[loop] pass $pass (clean-END count before: $before)" >> "$LOG/queue.log"
-  DEADLINE_TS="${DEADLINE_TS:-$(($(date +%s) + 5400))}" bash scripts/chip_queue5.sh
-  if [ "$(date +%s)" -gt "${DEADLINE_TS:-0}" ]; then break; fi
+  bash scripts/chip_queue5.sh
+  if [ "$(date +%s)" -gt "$DEADLINE_TS" ]; then break; fi
   errors_after=$(grep -l '"error"' "$LOG"/*.log 2>/dev/null | wc -l)
   # Stop when nothing is left to retry.
   [ "$errors_after" -eq 0 ] && break

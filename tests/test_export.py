@@ -170,3 +170,17 @@ def test_eval_only_dqn(tmp_path):
     policy = export_mod.load_policy(str(art))
     acts = np.asarray(policy(np.zeros((5, 2, 2, 7), np.float32)))
     assert acts.shape == (5,) and set(np.unique(acts)) <= set(range(5))
+
+
+def test_agent_export_flag_multidevice(tmp_path):
+    """--export-policy after a --num-devices run: the distributed state's
+    replicated actor params must gather to host and export identically to a
+    single-device artifact's calling convention."""
+    from cartpoleplusplus_tpu.agents import ddpg
+
+    art = tmp_path / "dp_policy.stablehlo"
+    ddpg.train(_ddpg_opts(tmp_path, ("--num-devices", "2",
+                                     "--export-policy", str(art))))
+    policy = export_mod.load_policy(str(art))
+    a = np.asarray(policy(np.zeros((4, 2, 2, 7), np.float32)))
+    assert a.shape == (4, 2) and np.all(np.isfinite(a))

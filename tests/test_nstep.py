@@ -152,3 +152,24 @@ def test_ddpg_per_nstep_improves():
     ])
     final_eval = ddpg.train(opts)
     assert final_eval > 12.0, f"PER/n-step DDPG did not learn: {final_eval}"
+
+
+def test_nstep_rejects_degenerate_capacity():
+    """capacity < (n_step+1) blocks is a hard error: the valid-window clamp
+    would otherwise silently sample rows whose n-step successor is unwritten
+    zeros — or, at capacity == n_step*block, the row ITSELF (the stride
+    gather wraps the full ring), bootstrapping every TD target from its own
+    state (round-4c review finding)."""
+    import pytest
+
+    parser = common.make_parser("t")
+    dqn.add_dqn_opts(parser)
+    opts = parser.parse_args([
+        "--n-step", "2", "--num-envs", "4", "--replay-capacity", "8",
+        "--num-train-batches", "1", "--num-eval", "4",
+        "--action-repeats", "2", "--steps-per-repeat", "2",
+        "--max-episode-len", "10", "--steps-per-segment", "2",
+        "--batch-size", "4", "--warmup-steps", "1",
+    ])
+    with pytest.raises(SystemExit, match="needs replay capacity"):
+        dqn.train(opts)
