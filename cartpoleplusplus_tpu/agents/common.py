@@ -98,6 +98,18 @@ def add_agent_opts(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--no-render-raster", dest="render_raster",
                         action="store_false",
                         help="force the slab cascade")
+    # Multi-process (multi-host) runs: one process per host, chips pooled
+    # into one job-global mesh (parallel.init_multihost; SURVEY.md §2.3 —
+    # gradient pmean rides ICI within a slice, DCN across hosts).
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multi-process coordinator address host:port "
+                             "(process 0's host); requires --num-processes")
+    parser.add_argument("--num-processes", type=int, default=1,
+                        help="processes in the job (1 = single-host). Each "
+                             "process contributes its local devices; "
+                             "--num-devices is the JOB-GLOBAL mesh size")
+    parser.add_argument("--process-id", type=int, default=0,
+                        help="this process's rank in [0, num-processes)")
 
 
 def make_parser(description: str) -> argparse.ArgumentParser:
@@ -397,6 +409,67 @@ def eval_rollout(
     return jnp.mean(ep_len.astype(jnp.float32)), jnp.mean(ep_rew)
 
 
+def maybe_init_multihost(opts, supported: bool = True) -> None:
+    """CLI entry for multi-process (multi-host) jobs — call from ``main()``
+    BEFORE ``train()``, i.e. before any jax backend use.
+
+    Wires ``parallel.init_multihost`` (jax.distributed) from the shared
+    ``--coordinator/--num-processes/--process-id`` flags and enforces the
+    multi-process contract:
+
+    - ``--num-devices`` must be the job-global mesh size (>1);
+    - ``--ckpt-dir`` is rejected: env/replay shards span processes and
+      cannot gather into one host's checkpoint file (checkpoint from a
+      single-process run, or resume one multi-process from scratch);
+    - ranks > 0 clear their output flags — metrics/event-log/export
+      artifacts have exactly one writer, process 0.
+
+    ``supported=False`` (agents whose train loop has not been validated
+    multi-process) turns the flags into a clear error instead of a silent
+    single-process run.
+    """
+    n = getattr(opts, "num_processes", 1) or 1
+    if n <= 1:
+        return
+    if not supported:
+        raise SystemExit(
+            "--num-processes > 1 is currently wired for the ddpg flagship; "
+            "this agent scales single-process with --num-devices"
+        )
+    if not getattr(opts, "coordinator", None):
+        raise SystemExit("--num-processes > 1 needs --coordinator host:port")
+    if getattr(opts, "num_devices", 1) <= 1:
+        raise SystemExit(
+            "--num-processes > 1 needs --num-devices set to the job-global "
+            "device count (the mesh spans every process's chips)"
+        )
+    if getattr(opts, "ckpt_dir", None):
+        raise SystemExit(
+            "--ckpt-dir is not supported with --num-processes > 1 "
+            "(process-spanning env/replay shards can't gather to one "
+            "host's file); checkpoint from single-process runs"
+        )
+    from cartpoleplusplus_tpu.parallel import init_multihost
+
+    init_multihost(
+        coordinator_address=opts.coordinator,
+        num_processes=n,
+        process_id=getattr(opts, "process_id", 0),
+    )
+    if getattr(opts, "process_id", 0) != 0:
+        opts.metrics_jsonl = None
+        opts.tb_dir = None
+        opts.event_log_out = None
+        opts.export_policy = None
+
+
+def host_fetch(tree):
+    """Multi-process-safe host fetch (see utils.export.host_fetch)."""
+    from cartpoleplusplus_tpu.utils.export import host_fetch as _hf
+
+    return _hf(tree)
+
+
 def maybe_export_policy(opts, config, act_fn, params, logger) -> None:
     """Honor ``--export-policy``: write the serving artifact (utils/export.py).
 
@@ -473,6 +546,7 @@ def record_eval_episodes(
     """
     from cartpoleplusplus_tpu.utils import event_log as event_log_mod
 
+    params = host_fetch(params)  # multi-process: replicated params → host
     scene = cartpole_mod.scene_for(config)
     observe_fn = None
     if config.use_raw_pixels:

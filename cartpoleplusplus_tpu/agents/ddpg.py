@@ -645,11 +645,18 @@ def train(opts) -> float:
 
     rng = jax.random.PRNGKey(opts.seed + 1)
     final_eval = 0.0
+    # Multi-process jobs: params are GLOBAL replicated arrays that a
+    # process-local eval jit can't consume — fetch the (identical) local
+    # copy to host first; every process then evaluates independently and
+    # deterministically (same params, same key).
+    multiproc = getattr(opts, "num_processes", 1) > 1
     for i in range(start_segment, opts.num_train_batches):
         st, metrics = segment(st)
         if (i + 1) % max(opts.eval_freq, 1) == 0 or i + 1 == opts.num_train_batches:
             rng, k_eval = jax.random.split(rng)
-            elen, erew = eval_fn(st.actor_params, k_eval)
+            eval_params = (common.host_fetch(st.actor_params)
+                           if multiproc else st.actor_params)
+            elen, erew = eval_fn(eval_params, k_eval)
             final_eval = float(elen)
             logger.log(
                 "train",
@@ -688,6 +695,7 @@ def main(argv=None):
     )
     add_ddpg_opts(parser)
     opts = parser.parse_args(argv)
+    common.maybe_init_multihost(opts, supported=True)
     print(f"OPTS {vars(opts)}", file=sys.stderr)
     train(opts)
 

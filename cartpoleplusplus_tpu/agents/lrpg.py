@@ -280,6 +280,7 @@ def main(argv=None):
     )
     add_lrpg_opts(parser)
     opts = parser.parse_args(argv)
+    common.maybe_init_multihost(opts, supported=False)
     print(f"OPTS {vars(opts)}", file=sys.stderr)  # reference prints opts at startup
     train(opts)
 

@@ -375,6 +375,7 @@ def main(argv=None):
     )
     add_naf_opts(parser)
     opts = parser.parse_args(argv)
+    common.maybe_init_multihost(opts, supported=False)
     print(f"OPTS {vars(opts)}", file=sys.stderr)
     train(opts)
 

@@ -354,6 +354,7 @@ def main(argv=None):
     )
     add_ppo_opts(parser)
     opts = parser.parse_args(argv)
+    common.maybe_init_multihost(opts, supported=False)
     print(f"OPTS {vars(opts)}", file=sys.stderr)
     train(opts)
 

@@ -487,6 +487,7 @@ def main(argv=None):
     )
     add_sac_opts(parser)
     opts = parser.parse_args(argv)
+    common.maybe_init_multihost(opts, supported=False)
     print(f"OPTS {vars(opts)}", file=sys.stderr)
     train(opts)
 

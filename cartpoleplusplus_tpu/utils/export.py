@@ -48,6 +48,30 @@ from jax import export as jax_export
 DEFAULT_PLATFORMS = ("cpu", "tpu")
 
 
+def host_fetch(tree):
+    """Fetch a pytree of arrays to host numpy, multi-process-safe.
+
+    ``jax.device_get`` refuses arrays that span non-addressable devices
+    (any global array in a multi-process job).  For FULLY-REPLICATED
+    shardings — trained params, scalar metrics — every process holds a
+    complete copy, so the local shard IS the value.  Sharded-but-
+    unreplicated arrays still raise: silently returning one shard would
+    truncate data.
+    """
+
+    def f(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.sharding.is_fully_replicated:
+                return np.asarray(x.addressable_data(0))
+            raise ValueError(
+                "host_fetch: array spans processes and is not replicated; "
+                "gather it explicitly (e.g. checkpoint from single-process)"
+            )
+        return np.asarray(x) if isinstance(x, jax.Array) else x
+
+    return jax.tree.map(f, tree)
+
+
 def export_policy(
     act_fn: Callable,
     params,
@@ -57,13 +81,14 @@ def export_policy(
 ) -> jax_export.Exported:
     """Lower ``act_fn(params, obs)`` to a weights-baked Exported policy.
 
-    ``params`` are fetched to host (``jax.device_get``) and closed over as
-    numpy constants — the artifact is self-contained, and closing a jit over
-    *host* arrays is safe everywhere (device-array closure is what the axon
-    tunnel rejects; see CLAUDE.md).  ``obs_shape`` excludes the batch dim,
-    which is exported symbolically.
+    ``params`` are fetched to host (:func:`host_fetch` — multi-process-safe
+    for replicated trained params) and closed over as numpy constants — the
+    artifact is self-contained, and closing a jit over *host* arrays is safe
+    everywhere (device-array closure is what the axon tunnel rejects; see
+    CLAUDE.md).  ``obs_shape`` excludes the batch dim, which is exported
+    symbolically.
     """
-    host_params = jax.device_get(params)
+    host_params = host_fetch(params)
 
     def policy(obs):
         return act_fn(host_params, obs)

@@ -1,0 +1,92 @@
+"""Multi-process training from the USER-FACING agent CLI.
+
+tests/test_multihost.py drives the distributed segment through a bespoke
+worker; this test goes one level up the stack: two OS processes run the
+real ``python -m cartpoleplusplus_tpu.agents.ddpg`` entry point with the
+shared ``--coordinator/--num-processes/--process-id`` flags (each process
+contributing 2 virtual CPU devices to a 4-device job mesh), exactly the
+command a user types per host on a TPU pod.  Asserts:
+
+- both ranks exit 0 (segments, evals, and the final event-free teardown all
+  work across the process boundary);
+- exactly ONE process (rank 0) writes the metrics file, with real train
+  rows (the output-gating contract of common.maybe_init_multihost);
+- --ckpt-dir under multi-process is a fast, clear error (process-spanning
+  shards cannot gather to one host's file).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _cli_env():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")}
+    # Real CPU backend with 2 virtual devices per process; PYTHONPATH set to
+    # the repo only (drops the axon sitecustomize that force-selects TPU).
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = _REPO
+    return env
+
+
+def _argv(port, pid, extra=()):
+    return [
+        sys.executable, "-m", "cartpoleplusplus_tpu.agents.ddpg",
+        "--coordinator", f"localhost:{port}",
+        "--num-processes", "2", "--process-id", str(pid),
+        "--num-devices", "4",
+        "--num-train-batches", "2", "--num-envs", "8", "--num-eval", "4",
+        "--action-repeats", "2", "--steps-per-repeat", "2",
+        "--max-episode-len", "10", "--steps-per-segment", "3",
+        "--batch-size", "8", "--replay-capacity", "128",
+        "--warmup-steps", "1", "--eval-freq", "1", "--seed", "0",
+        *extra,
+    ]
+
+
+def test_two_process_ddpg_cli(tmp_path):
+    port = _free_port()
+    env = _cli_env()
+    metrics = [tmp_path / "rank0.jsonl", tmp_path / "rank1.jsonl"]
+    procs = [
+        subprocess.Popen(
+            _argv(port, pid, ("--metrics-jsonl", str(metrics[pid]))),
+            env=env, cwd=_REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed:\n{out[-3000:]}"
+
+    # Single-writer contract: rank 0 logs, rank 1's flag was cleared.
+    assert metrics[0].exists() and not metrics[1].exists()
+    rows = [json.loads(line) for line in metrics[0].read_text().splitlines()]
+    train = [r for r in rows if r.get("event") == "train"]
+    assert len(train) == 2
+    assert all(0.0 < r["eval_ep_len"] <= 10.0 for r in train)
+
+
+def test_multiprocess_rejects_ckpt_dir(tmp_path):
+    proc = subprocess.run(
+        _argv(_free_port(), 0, ("--ckpt-dir", str(tmp_path / "ck"))),
+        env=_cli_env(), cwd=_REPO, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "not supported with --num-processes" in proc.stderr
