@@ -16,6 +16,7 @@ import sys
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -154,8 +155,13 @@ def make_segment(
     axis_name: str | None = None,
 ):
     per = per_alpha is not None
-    z = (jnp.linspace(c51_vmin, c51_vmax, c51_atoms)
-         if c51_atoms else None)  # C51 support (trace-time constant)
+    # C51 support: HOST numpy, never jnp — an eager jnp.linspace here becomes
+    # a device array closed over by the jitted segment, which the tunnel
+    # backend rejects at D2H constant export (CLAUDE.md gotcha; crashed the
+    # round-4 full-scale Rainbow run). tests/test_segment_consts.py guards
+    # this class of bug for every agent.
+    z = (np.linspace(c51_vmin, c51_vmax, c51_atoms, dtype=np.float32)
+         if c51_atoms else None)
 
     def apply_q(params, obs, key=None):
         """qnet.apply with a fresh NoisyNet draw when a key is given."""
@@ -383,14 +389,19 @@ def train(opts) -> float:
         num_atoms=getattr(opts, "c51", 0),
         noisy=getattr(opts, "noisy", False),
     )
-    if getattr(opts, "noisy", False) and opts.eps_start is None \
-            and opts.eps_end is None:
-        # NoisyNet IS the exploration mechanism; zero the untouched default
-        # eps schedule (pass --eps-start/--eps-end to mix both — explicit
-        # values win even when they equal the plain defaults).
-        print("# --noisy: eps schedule -> 0 (learned exploration)",
-              file=sys.stderr)
-        opts.eps_start = opts.eps_end = 0.0
+    if getattr(opts, "noisy", False):
+        # NoisyNet IS the exploration mechanism; any eps flag left unset
+        # backfills to 0 — NOT the 1.0/0.05 non-noisy defaults, which would
+        # silently mix a surprising schedule when only one flag is given
+        # (pass both --eps-start/--eps-end explicitly to mix regimes).
+        if opts.eps_start is None and opts.eps_end is None:
+            print("# --noisy: eps schedule -> 0 (learned exploration)",
+                  file=sys.stderr)
+        elif opts.eps_start is None or opts.eps_end is None:
+            print("# --noisy: unset eps flag backfilled with 0.0",
+                  file=sys.stderr)
+        opts.eps_start = 0.0 if opts.eps_start is None else opts.eps_start
+        opts.eps_end = 0.0 if opts.eps_end is None else opts.eps_end
     if opts.eps_start is None:
         opts.eps_start = 1.0
     if opts.eps_end is None:

@@ -31,6 +31,7 @@ import sys
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -74,6 +75,15 @@ def add_sac_opts(parser):
     parser.add_argument("--target-entropy", type=float, default=None,
                         help="entropy target for the alpha update "
                              "(default: -action_dim = -2, the SAC-v2 rule)")
+    parser.add_argument("--alpha-min", type=float, default=0.0,
+                        help="temperature floor: α is clamped above this "
+                             "after each update (0 = off).  The SAC "
+                             "equivalent of DDPG/NAF's --ou-sigma-min "
+                             "exploration floor — prevents the late-"
+                             "training collapse where α anneals to ~1e-3 "
+                             "and a still-hot critic churns the near-"
+                             "deterministic policy (validated recipe: "
+                             "0.01 with cosine lr, scripts/sweep.sh)")
     parser.add_argument("--tau", type=float, default=0.005,
                         help="target critic soft-update rate")
     parser.add_argument("--batch-size", type=int, default=128)
@@ -136,6 +146,7 @@ def make_segment(
     warmup_steps: int,
     steps_per_segment: int,
     target_entropy: float,
+    log_alpha_min: float | None = None,
     reward_scale: float = 1.0,
     aug_shift: int = 0,
     axis_name: str | None = None,
@@ -212,6 +223,13 @@ def make_segment(
             algrad = jax.lax.pmean(algrad, axis_name)
         alupd, alopt = alpha_tx.update(algrad, alopt, log_alpha)
         log_alpha = optax.apply_updates(log_alpha, alupd)
+        if log_alpha_min is not None:
+            # Temperature floor (round-4 churn fix, VERDICT r4 weak #2):
+            # once the task is solved, the entropy target keeps driving α
+            # toward ~1e-3 → a near-deterministic policy still being churned
+            # by a hot critic.  The same idea as the OU σ floor DDPG/NAF got
+            # in round 2 — exploration never decays to zero.
+            log_alpha = jnp.maximum(log_alpha, log_alpha_min)
 
         target_c = soft_target_update(target_c, critic_vars, tau)
         bundle = (actor_vars, critic_vars, target_c, aopt, copt, log_alpha, alopt)
@@ -222,9 +240,15 @@ def make_segment(
             "entropy": -jnp.mean(logp),
         }
 
+    # HOST numpy, not jnp: this dict is built eagerly at make_segment time
+    # and closed over by the jitted segment — eager jnp here becomes device
+    # constants the tunnel backend rejects at export
+    # (tests/test_segment_consts.py guards the whole class).
     zero_metrics = {
-        "critic_loss": jnp.zeros(()), "actor_loss": jnp.zeros(()),
-        "alpha": jnp.zeros(()), "entropy": jnp.zeros(()),
+        "critic_loss": np.zeros((), np.float32),
+        "actor_loss": np.zeros((), np.float32),
+        "alpha": np.zeros((), np.float32),
+        "entropy": np.zeros((), np.float32),
     }
 
     def segment(st: SACState):
@@ -375,6 +399,12 @@ def train(opts) -> float:
     target_entropy = (
         opts.target_entropy if opts.target_entropy is not None else -2.0
     )
+    # Host-side log so the traced clamp closes over a Python float, never a
+    # device scalar (tests/test_segment_consts.py).
+    log_alpha_min = (
+        float(np.log(opts.alpha_min))
+        if getattr(opts, "alpha_min", 0.0) > 0.0 else None
+    )
     logger = MetricsLogger(opts.metrics_jsonl, tb_dir=getattr(opts, "tb_dir", None))
 
     st = init_state(opts, config, venv, actor, critic, actor_tx, critic_tx,
@@ -416,6 +446,7 @@ def train(opts) -> float:
             warmup_steps=opts.warmup_steps,
             steps_per_segment=opts.steps_per_segment,
             target_entropy=target_entropy,
+            log_alpha_min=log_alpha_min,
             reward_scale=opts.reward_scale,
             aug_shift=opts.aug_shift,
             axis_name=mesh.axis_names[0],
@@ -432,6 +463,7 @@ def train(opts) -> float:
                 warmup_steps=opts.warmup_steps,
                 steps_per_segment=opts.steps_per_segment,
                 target_entropy=target_entropy,
+                log_alpha_min=log_alpha_min,
                 reward_scale=opts.reward_scale,
                 aug_shift=opts.aug_shift,
             ),

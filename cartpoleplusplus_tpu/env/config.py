@@ -80,15 +80,17 @@ class CartpoleConfig:
     obs_samples: int = 0
     # Physics cadence (Bullet default 1/240 s substeps).
     dt: float = 1.0 / 240.0
-    # Jacobi contact-solver iterations per substep (physics/solver.py).  5 is
-    # the validated default (tracks a 30-iteration reference to ~2 mm over a
-    # 1 s topple+push).  3 passes every external-fidelity arbiter with
-    # margin (topple time IDENTICAL at 12.5 ms granularity; settle pose
-    # within 4 mm of the 30-iteration reference vs the 80 mm MuJoCo
-    # agreement bound — tests/test_solver_iters.py) and cuts the physics
-    # census 6780 → 4932 ops/substep (924/iteration), lifting the low-dim
-    # census ceiling 15.6M → 21.5M steps/s/chip.  Default stays 5 until the
-    # on-chip race lands (scripts/chip_queue.sh lowdim_4096_it3).
+    # Jacobi contact-solver iterations per substep (physics/solver.py).
+    # 3 is the validated round-4 default: it passes every external-fidelity
+    # arbiter with margin (topple time identical to the analytic arbiter at
+    # 12.5 ms granularity; settle pose within 4 mm of the 30-iteration
+    # reference vs the 80 mm MuJoCo agreement bound —
+    # tests/test_solver_iters.py), a full-scale DDPG run reaches 194.4/200
+    # (runs/ddpg_it3_s0.jsonl), and the on-chip race measured 18.4M vs
+    # 15.5M low-dim steps/s (BASELINE.md round-4).  Pass --solver-iters 5
+    # for the old conservative setting (tracks a 30-iteration reference to
+    # ~2 mm over a 1 s topple+push), still tight-pinned in
+    # tests/test_physics.py.
     solver_iterations: int = 3
 
     def __post_init__(self):

@@ -55,7 +55,10 @@ def state_specs(st, axis: str, sharded_fields: tuple[str, ...]):
                 # s2 is a (0,) placeholder in s2-free mode — replicate it;
                 # same for priority when the buffer is uniform-only.
                 s2=P(axis) if v.s2.size else P(),
-                priority=P(axis) if v.priority.size else P(),
+                # priority may be None on hand-built states (buffer.create
+                # always sets it); treat that like the uniform-only (0,).
+                priority=(P(axis) if v.priority is not None
+                          and v.priority.size else P()),
                 terminal=P(axis), cursor=P(), size=P(),
             )
         return jax.tree.map(

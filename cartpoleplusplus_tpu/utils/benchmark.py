@@ -562,6 +562,63 @@ def _emit(obj) -> None:
     print(json.dumps(obj), flush=True)
 
 
+# ----------------------------------------------------------------------
+# Measurement provenance (VERDICT r4 item 2): a probe failure must degrade
+# to stale-but-real numbers, not zero the evidence chain.  Every successful
+# measurement persists its rows here; the backend-down / all-rows-failed
+# error JSON carries the latest persisted block as ``last_measured``.
+
+_LAST_MEASURED = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "..", "runs",
+    "bench_last_measured.json")
+
+
+def _iso_now() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+
+def record_last_measured(summary: dict) -> None:
+    """Persist a successful measurement (suite summary or single row).
+
+    Best-effort: an unwritable tree (installed package, read-only checkout)
+    must never fail a measurement that already succeeded.
+    """
+    if not summary.get("value"):
+        return
+    entry = {
+        "recorded_by": "builder",
+        "timestamp_iso": _iso_now(),
+        "metric": summary.get("metric"),
+        "value": summary.get("value"),
+        "unit": summary.get("unit"),
+        "vs_baseline": summary.get("vs_baseline"),
+        "rows": summary.get("rows"),
+    }
+    try:
+        path = os.path.normpath(_LAST_MEASURED)
+        prior = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                prior = json.load(f)
+        key = "suite" if summary.get("rows") else str(summary.get("metric"))
+        prior[key] = entry
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(prior, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    except Exception as e:  # pragma: no cover - depends on fs state
+        print(f"# last_measured not persisted: {e}", file=sys.stderr)
+
+
+def load_last_measured():
+    """The provenance block for failure JSON, or None if never measured."""
+    try:
+        with open(os.path.normpath(_LAST_MEASURED)) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
 def main(argv=None):
     cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     try:
@@ -622,6 +679,10 @@ def main(argv=None):
             "error": f"backend unavailable: {opts.probe_timeout:.0f}s "
                      "liveness probe failed before any compile",
             "cpu_smoke": smoke,
+            # The evidence chain survives the outage: most recent REAL
+            # measurements (builder-recorded, ISO-stamped) — an outage
+            # round degrades to stale-but-real, never to 0.0-with-no-past.
+            "last_measured": load_last_measured(),
             "north_star": NORTH_STAR_NOTE,
         })
 
@@ -639,6 +700,7 @@ def main(argv=None):
         # fallback (ADVICE r3: last-row-wins meta merge misrepresented
         # earlier rows).
         _emit(result)
+        record_last_measured(result)
         return
 
     if not probe_backend(opts.probe_timeout):
@@ -698,6 +760,7 @@ def main(argv=None):
             "value": 0.0, "unit": "env_steps/sec/chip", "vs_baseline": 0.0,
             "error": aborted or "all bench rows failed "
                      "(probe alive; see stderr)",
+            "last_measured": load_last_measured(),
             "north_star": NORTH_STAR_NOTE,
         })
         raise SystemExit(1)
@@ -720,6 +783,7 @@ def main(argv=None):
     if aborted:
         out["error"] = f"suite truncated: {aborted}"
     _emit(out)
+    record_last_measured(out)
 
 
 if __name__ == "__main__":

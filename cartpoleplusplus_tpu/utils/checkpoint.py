@@ -47,7 +47,11 @@ def strip_replay(tree: Any) -> Any:
             return x.replace(
                 s1=empty(x.s1), action=empty(x.action), reward=empty(x.reward),
                 s2=empty(x.s2), terminal=empty(x.terminal),
-                priority=empty(x.priority), cursor=zero, size=zero,
+                # priority may be None on hand-built states (buffer.create
+                # always sets it, but ad-hoc tooling may not).
+                priority=(empty(x.priority) if x.priority is not None
+                          else np.zeros((0,), np.float32)),
+                cursor=zero, size=zero,
             )
         return x
 

@@ -227,3 +227,29 @@ def test_dqn_midcurve_gate(tmp_path):
     dqn.train(opts)
     evals = _eval_curve(jsonl)
     assert max(evals) >= 40.0, f"DQN mid-curve regression: {evals}"
+
+
+def test_sac_alpha_floor_clamps(tmp_path):
+    """--alpha-min: the learned temperature never drops below the floor
+    (the round-4 chip run collapsed 200→83 as α annealed to ~8e-4 with the
+    critic lr still hot; the floor is the SAC analogue of the OU σ floor)."""
+    import json
+
+    parser = common.make_parser("t")
+    sac.add_sac_opts(parser)
+    jsonl = str(tmp_path / "sac.jsonl")
+    opts = parser.parse_args([
+        "--num-train-batches", "6", "--eval-freq", "2",
+        "--init-alpha", "0.05", "--alpha-min", "0.5",
+        "--metrics-jsonl", jsonl, *_SMOKE,
+    ])
+    sac.train(opts)
+    alphas = [
+        json.loads(l)["alpha"] for l in open(jsonl)
+        if json.loads(l).get("event") == "train"
+    ]
+    # Pre-warmup segments report alpha=0 (zero_metrics); every trained
+    # segment must sit at/above the floor despite starting far below it.
+    trained = [a for a in alphas if a > 0.0]
+    assert trained, "no trained segments logged"
+    assert min(trained) >= 0.5 - 1e-6, f"alpha floor violated: {trained}"
