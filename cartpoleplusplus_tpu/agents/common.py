@@ -418,10 +418,13 @@ def maybe_init_multihost(opts, supported: bool = True) -> None:
     multi-process contract:
 
     - ``--num-devices`` must be the job-global mesh size (>1);
-    - ``--ckpt-dir`` is rejected: env/replay shards span processes and
-      cannot gather into one host's checkpoint file (checkpoint from a
-      single-process run, or resume one multi-process from scratch);
-    - ranks > 0 clear their output flags — metrics/event-log/export
+    - ``--ckpt-dir`` works rank-sharded: EVERY rank keeps the flag and
+      writes ``ckpt_<step>.rank<k>of<n>.msgpack`` with its local env/replay
+      shard (+ its identical copy of the replicated params) — see
+      utils.checkpoint.save/restore_latest_sharded.  The directory must be
+      reachable by all ranks at resume (shared fs, or per-host dirs synced
+      before relaunch);
+    - ranks > 0 clear their other output flags — metrics/event-log/export
       artifacts have exactly one writer, process 0.
 
     ``supported=False`` (agents whose train loop has not been validated
@@ -443,11 +446,10 @@ def maybe_init_multihost(opts, supported: bool = True) -> None:
             "--num-processes > 1 needs --num-devices set to the job-global "
             "device count (the mesh spans every process's chips)"
         )
-    if getattr(opts, "ckpt_dir", None):
+    if getattr(opts, "eval_only", False):
         raise SystemExit(
-            "--ckpt-dir is not supported with --num-processes > 1 "
-            "(process-spanning env/replay shards can't gather to one "
-            "host's file); checkpoint from single-process runs"
+            "--eval-only needs no mesh: run it single-process (params "
+            "restore from either checkpoint flavor's rank-0/global file)"
         )
     from cartpoleplusplus_tpu.parallel import init_multihost
 

@@ -560,7 +560,8 @@ def train(opts) -> float:
             )
     start_segment = 0
     restored = None
-    if opts.ckpt_dir:
+    multiproc = getattr(opts, "num_processes", 1) > 1
+    if opts.ckpt_dir and not multiproc:
         st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
         if restored is not None:
             # Resume the segment counter too, so checkpoint numbering stays
@@ -616,6 +617,14 @@ def train(opts) -> float:
         )
         st = shard_state(st)
         segment = build(st)
+        if opts.ckpt_dir and multiproc:
+            # Rank-sharded resume AFTER mesh placement: each rank reads its
+            # own ckpt_<step>.rank<k>of<n> shard (utils/checkpoint.py) —
+            # SURVEY §5 failure recovery extended to multi-host jobs.
+            st, restored = ckpt_mod.restore_latest_sharded(opts.ckpt_dir, st)
+            if restored is not None:
+                start_segment = restored
+                logger.log("restore", step=restored)
     else:
         segment = jax.jit(
             make_segment(
@@ -674,17 +683,19 @@ def train(opts) -> float:
     if opts.ckpt_dir:
         ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start_segment), st,
                       skip_replay=opts.ckpt_skip_replay)
+    tail_params = (common.host_fetch(st.actor_params)
+                   if multiproc else st.actor_params)
     if opts.event_log_out:
         # Reference README-GIF evidence path (SURVEY.md §6): greedy eval
         # episodes → event log; GIFs via utils.event_log --gif-out.
         lens = common.record_eval_episodes(
-            config, greedy_act(actor), st.actor_params,
+            config, greedy_act(actor), tail_params,
             opts.event_log_out, seed=opts.seed,
             raster=getattr(opts, "render_raster", False),
         )
         logger.log("event_log", episodes=len(lens), lengths=lens)
     common.maybe_export_policy(opts, config, greedy_act(actor),
-                               st.actor_params, logger)
+                               tail_params, logger)
     logger.close()
     return final_eval
 

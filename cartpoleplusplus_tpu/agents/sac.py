@@ -411,7 +411,8 @@ def train(opts) -> float:
                     alpha_tx)
     start_segment = 0
     restored = None
-    if opts.ckpt_dir:
+    multiproc = getattr(opts, "num_processes", 1) > 1
+    if opts.ckpt_dir and not multiproc:
         st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
         if restored is not None:
             start_segment = restored
@@ -455,6 +456,13 @@ def train(opts) -> float:
             mesh, per_chip, st, SAC_SHARDED_FIELDS, SAC_METRIC_KEYS
         )
         st = shard_state(st)
+        if opts.ckpt_dir and multiproc:
+            # Rank-sharded resume AFTER mesh placement (each rank reads its
+            # own ckpt_<step>.rank<k>of<n> file — utils/checkpoint.py).
+            st, restored = ckpt_mod.restore_latest_sharded(opts.ckpt_dir, st)
+            if restored is not None:
+                start_segment = restored
+                logger.log("restore", step=restored)
     else:
         segment = jax.jit(
             make_segment(
@@ -479,7 +487,11 @@ def train(opts) -> float:
         st, metrics = segment(st)
         if (i + 1) % max(opts.eval_freq, 1) == 0 or i + 1 == opts.num_train_batches:
             rng, k_eval = jax.random.split(rng)
-            elen, erew = eval_fn(st.actor_params, k_eval)
+            # Multi-process: the process-local eval jit can't consume global
+            # replicated params — fetch the identical local copy first.
+            eval_params = (common.host_fetch(st.actor_params)
+                           if multiproc else st.actor_params)
+            elen, erew = eval_fn(eval_params, k_eval)
             final_eval = float(elen)
             logger.log(
                 "train",
@@ -499,15 +511,17 @@ def train(opts) -> float:
     if opts.ckpt_dir:
         ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start_segment),
                       st, skip_replay=opts.ckpt_skip_replay)
+    tail_params = (common.host_fetch(st.actor_params)
+                   if multiproc else st.actor_params)
     if opts.event_log_out:
         lens = common.record_eval_episodes(
-            config, greedy_act(actor), st.actor_params,
+            config, greedy_act(actor), tail_params,
             opts.event_log_out, seed=opts.seed,
             raster=getattr(opts, "render_raster", False),
         )
         logger.log("event_log", episodes=len(lens), lengths=lens)
     common.maybe_export_policy(opts, config, greedy_act(actor),
-                               st.actor_params, logger)
+                               tail_params, logger)
     logger.close()
     return final_eval
 
@@ -519,7 +533,7 @@ def main(argv=None):
     )
     add_sac_opts(parser)
     opts = parser.parse_args(argv)
-    common.maybe_init_multihost(opts, supported=False)
+    common.maybe_init_multihost(opts, supported=True)
     print(f"OPTS {vars(opts)}", file=sys.stderr)
     train(opts)
 

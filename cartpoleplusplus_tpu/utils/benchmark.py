@@ -585,6 +585,16 @@ def record_last_measured(summary: dict) -> None:
     """
     if not summary.get("value"):
         return
+    # Never record CPU rows (e.g. the backend-down CPU smoke child): the
+    # provenance block exists to preserve REAL chip measurements across
+    # outages, and a 5k-steps/s CPU row would overwrite a 1.5M TPU one.
+    backends = {summary.get("_backend")} | {
+        (r.get("meta") or {}).get("_backend")
+        for r in summary.get("rows") or []
+    }
+    backends.discard(None)
+    if "cpu" in backends or not backends:
+        return
     entry = {
         "recorded_by": "builder",
         "timestamp_iso": _iso_now(),

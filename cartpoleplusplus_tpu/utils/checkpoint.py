@@ -20,6 +20,8 @@ import numpy as np
 from flax import serialization
 
 _CKPT_RE = re.compile(r"^ckpt_(\d+)\.msgpack$")
+# Multi-process (multi-host) rank-shard files: ckpt_<step>.rank<k>of<n>.msgpack
+_CKPT_RANK_RE = re.compile(r"^ckpt_(\d+)\.rank(\d+)of(\d+)\.msgpack$")
 
 
 def strip_replay(tree: Any) -> Any:
@@ -70,11 +72,54 @@ def save(ckpt_dir: str, step: int, tree: Any, skip_replay: bool = False) -> str:
     os.makedirs(ckpt_dir, exist_ok=True)
     if skip_replay:
         tree = strip_replay(tree)
+    if jax.process_count() > 1:
+        # Multi-process jobs can't device_get non-addressable global arrays
+        # — each rank persists exactly its own shard instead (SURVEY.md §5
+        # failure recovery, extended to multi-host in round 5).
+        return _save_process_shard(ckpt_dir, step, tree)
     tree = jax.device_get(tree)
     path = os.path.join(ckpt_dir, f"ckpt_{step}.msgpack")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(tree))
+    os.replace(tmp, path)
+    return path
+
+
+def _process_local_data(x):
+    """This process's host chunk of a (possibly global) array.
+
+    Sharded leaves (1-D leading-dim shardings — the only kind this framework
+    uses) concatenate this process's addressable shards in leading-offset
+    order; replicated leaves dedupe to one full copy.  Fully-addressable
+    arrays (single-process) and host values pass through.
+    """
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)
+    if x.is_fully_addressable:
+        return np.asarray(jax.device_get(x))
+    by_start = {}
+    for s in x.addressable_shards:
+        idx = s.index
+        start = (idx[0].start or 0) if idx and isinstance(idx[0], slice) else 0
+        by_start.setdefault(start, np.asarray(s.data))
+    chunks = [by_start[k] for k in sorted(by_start)]
+    return chunks[0] if len(chunks) == 1 else np.concatenate(chunks, axis=0)
+
+
+def _save_process_shard(ckpt_dir: str, step: int, tree: Any) -> str:
+    """Rank-sharded save: each process writes its local env/replay shard
+    (plus its — identical — copy of the replicated params/opt leaves) to
+    ``ckpt_<step>.rank<k>of<n>.msgpack``.  A step is restorable once ALL n
+    rank files exist; :func:`restore_latest_sharded` checks completeness.
+    """
+    pid, n = jax.process_index(), jax.process_count()
+    local = jax.tree.map(_process_local_data,
+                         serialization.to_state_dict(tree))
+    path = os.path.join(ckpt_dir, f"ckpt_{step}.rank{pid}of{n}.msgpack")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(local))
     os.replace(tmp, path)
     return path
 
@@ -150,9 +195,23 @@ def restore_latest(ckpt_dir: str, target: Any) -> tuple[Any, Optional[int]]:
     env/obs/noise state re-initializes).
     """
     step = latest_step(ckpt_dir)
+    path = (os.path.join(ckpt_dir, f"ckpt_{step}.msgpack")
+            if step is not None else None)
     if step is None:
-        return target, None
-    path = os.path.join(ckpt_dir, f"ckpt_{step}.msgpack")
+        # Fall back to a multi-process run's rank-0 shard file: replicated
+        # leaves (params, opt state, counters) are complete in every rank's
+        # file, so a single-process job (--eval-only, a fresh fine-tune)
+        # restores the policy; the rank-local env/replay shards mismatch the
+        # single-process shapes and re-initialize via the lenient merge.
+        ranks = sorted(
+            (int(m.group(1)), m.group(0))
+            for name in os.listdir(ckpt_dir)
+            if (m := _CKPT_RANK_RE.match(name)) and int(m.group(2)) == 0
+        ) if os.path.isdir(ckpt_dir) else []
+        if not ranks:
+            return target, None
+        step, name = ranks[-1]
+        path = os.path.join(ckpt_dir, name)
     with open(path, "rb") as f:
         data = f.read()
     # ALWAYS merge through state dicts rather than flax from_bytes: from_bytes
@@ -169,3 +228,70 @@ def restore_latest(ckpt_dir: str, target: Any) -> tuple[Any, Optional[int]]:
             file=sys.stderr,
         )
     return serialization.from_state_dict(target, merged), step
+
+
+def latest_sharded_step(ckpt_dir: str, num_processes: int) -> Optional[int]:
+    """Newest step whose rank-shard set is COMPLETE (all n rank files).
+
+    An incomplete set (a rank died mid-save, or the job was killed between
+    rank writes) is skipped — resuming from it would silently reset the
+    missing rank's env/replay shard while the others continue."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    ranks_by_step: dict[int, set] = {}
+    for name in os.listdir(ckpt_dir):
+        if m := _CKPT_RANK_RE.match(name):
+            if int(m.group(3)) == num_processes:
+                ranks_by_step.setdefault(int(m.group(1)), set()).add(
+                    int(m.group(2)))
+    complete = [s for s, r in ranks_by_step.items()
+                if r >= set(range(num_processes))]
+    return max(complete) if complete else None
+
+
+def restore_latest_sharded(ckpt_dir: str, target: Any) -> tuple[Any, Optional[int]]:
+    """Multi-process resume: restore this rank's shard file into ``target``.
+
+    ``target`` is the SHARDED global state (i.e. AFTER ``shard_state`` placed
+    it on the job mesh) — sharded leaves reassemble into global arrays via
+    ``jax.make_array_from_process_local_data`` from each rank's local chunk;
+    replicated leaves re-place with ``device_put``.  The same shape-lenient
+    state-dict merge as :func:`restore_latest` applies per-rank, so
+    ``--ckpt-skip-replay`` files restore into fresh full-size replay shards.
+
+    Every rank must call this (it participates in no collective itself, but
+    the resulting global arrays must agree across ranks; the rank files of
+    one complete step were written from one consistent global state).
+    """
+    pid, n = jax.process_index(), jax.process_count()
+    step = latest_sharded_step(ckpt_dir, n)
+    if step is None:
+        return target, None
+    path = os.path.join(ckpt_dir, f"ckpt_{step}.rank{pid}of{n}.msgpack")
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    tsd = serialization.to_state_dict(target)
+    local = jax.tree.map(_process_local_data, tsd)
+    skipped: list = []
+    merged = _merge_state_dict(local, raw, skipped)
+    if skipped:
+        print(
+            f"checkpoint {path}: partial restore, kept fresh values for "
+            f"{len(skipped)} leaves (first: {skipped[:3]})",
+            file=sys.stderr,
+        )
+    t_leaves, tdef = jax.tree.flatten(tsd)
+    m_leaves, mdef = jax.tree.flatten(merged)
+    assert str(tdef) == str(mdef), "merge changed the state structure"
+
+    def place(t, m):
+        if isinstance(t, jax.Array) and not t.is_fully_addressable:
+            m = np.asarray(m)
+            if m.shape == t.shape:  # replicated: full array on every rank
+                return jax.device_put(m, t.sharding)
+            return jax.make_array_from_process_local_data(t.sharding, m)
+        return m
+
+    merged_global = jax.tree.unflatten(
+        mdef, [place(t, m) for t, m in zip(t_leaves, m_leaves)])
+    return serialization.from_state_dict(target, merged_global), step

@@ -193,3 +193,36 @@ def test_child_env_prepends_package_parent():
     )
     assert first == pkg_parent
     assert os.path.isdir(os.path.join(first, "cartpoleplusplus_tpu"))
+
+
+def test_last_measured_provenance_round_trip(tmp_path, monkeypatch):
+    """VERDICT r4 item 2: an outage round must degrade to stale-but-real
+    numbers.  Successful TPU rows persist; CPU rows (the backend-down smoke
+    child) and zero-value failures never overwrite them."""
+    monkeypatch.setattr(B, "_LAST_MEASURED", str(tmp_path / "lm.json"))
+
+    # CPU rows are rejected — the provenance block holds chip evidence only.
+    B.record_last_measured(
+        {"metric": "m", "value": 5513.6, "unit": "u", "vs_baseline": 0.0006,
+         "_backend": "cpu"})
+    assert B.load_last_measured() is None
+
+    # A real chip row persists with builder provenance + ISO stamp.
+    B.record_last_measured(
+        {"metric": "m", "value": 1.53e6, "unit": "u", "vs_baseline": 0.153,
+         "_backend": "axon"})
+    got = B.load_last_measured()
+    assert got["m"]["value"] == 1.53e6
+    assert got["m"]["recorded_by"] == "builder"
+    assert "T" in got["m"]["timestamp_iso"]
+
+    # A failed measurement (value 0) never clobbers the record.
+    B.record_last_measured({"metric": "m", "value": 0.0, "_backend": "axon"})
+    assert B.load_last_measured()["m"]["value"] == 1.53e6
+
+    # Suite summaries key as "suite" and carry their rows.
+    B.record_last_measured(
+        {"metric": "m_cfg5", "value": 1.05e6, "unit": "u", "vs_baseline": 0.1,
+         "rows": [{"config": "cfg5", "value": 1.05e6,
+                   "meta": {"_backend": "axon"}}]})
+    assert B.load_last_measured()["suite"]["rows"][0]["config"] == "cfg5"

@@ -83,10 +83,86 @@ def test_two_process_ddpg_cli(tmp_path):
     assert all(0.0 < r["eval_ep_len"] <= 10.0 for r in train)
 
 
-def test_multiprocess_rejects_ckpt_dir(tmp_path):
+def _run_pair(port, extras_by_rank, module="cartpoleplusplus_tpu.agents.ddpg",
+              batches="2"):
+    env = _cli_env()
+    procs = []
+    for pid in (0, 1):
+        argv = _argv(port, pid, extras_by_rank[pid])
+        argv[2] = module
+        argv[argv.index("--num-train-batches") + 1] = batches
+        procs.append(subprocess.Popen(
+            argv, env=env, cwd=_REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    outs = [p.communicate(timeout=420)[0].decode(errors="replace")
+            for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed:\n{out[-3000:]}"
+    return outs
+
+
+def test_two_process_ckpt_save_kill_resume(tmp_path):
+    """SURVEY §5 failure recovery, multi-host: train 2 segments with a
+    --ckpt-dir (both ranks write their ckpt_2.rank<k>of2 shard), 'kill' the
+    job (it exits), then relaunch asking for 4 segments — both ranks must
+    restore at step 2 and train exactly segments 3..4."""
+    port = _free_port()
+    ck = tmp_path / "ck"
+    metrics = tmp_path / "m0.jsonl"
+    common = ("--ckpt-dir", str(ck), "--ckpt-freq", "2")
+    _run_pair(port, {0: (*common, "--metrics-jsonl", str(metrics)),
+                     1: common})
+    names = sorted(p.name for p in ck.iterdir())
+    assert names == ["ckpt_2.rank0of2.msgpack", "ckpt_2.rank1of2.msgpack"], names
+
+    metrics2 = tmp_path / "m0_resume.jsonl"
+    _run_pair(_free_port(), {0: (*common, "--metrics-jsonl", str(metrics2)),
+                             1: common}, batches="4")
+    rows = [json.loads(l) for l in metrics2.read_text().splitlines()]
+    restores = [r for r in rows if r.get("event") == "restore"]
+    assert restores and restores[0]["step"] == 2
+    segs = [r["segment"] for r in rows if r.get("event") == "train"]
+    assert segs == [3, 4], f"resume retrained wrong segments: {segs}"
+    # The resumed run checkpoints at 4 (both ranks again).
+    assert (ck / "ckpt_4.rank0of2.msgpack").exists()
+    assert (ck / "ckpt_4.rank1of2.msgpack").exists()
+
+    # Single-process --eval-only restores the policy from the rank-0 shard
+    # file (replicated params are complete in every rank's file).
+    eval_metrics = tmp_path / "eval.jsonl"
     proc = subprocess.run(
-        _argv(_free_port(), 0, ("--ckpt-dir", str(tmp_path / "ck"))),
+        [sys.executable, "-m", "cartpoleplusplus_tpu.agents.ddpg",
+         "--ckpt-dir", str(ck), "--eval-only",
+         "--num-envs", "8", "--num-eval", "4",
+         "--action-repeats", "2", "--steps-per-repeat", "2",
+         "--max-episode-len", "10", "--seed", "0",
+         "--metrics-jsonl", str(eval_metrics)],
+        env=_cli_env(), cwd=_REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    rows = [json.loads(l) for l in eval_metrics.read_text().splitlines()]
+    evals = [r for r in rows if r.get("event") == "eval_only"]
+    assert evals and evals[0]["segment"] == 4
+    assert 0.0 < evals[0]["eval_ep_len"] <= 10.0
+
+
+def test_two_process_sac_cli(tmp_path):
+    """SAC is the second multi-process agent (VERDICT r4 item 5)."""
+    metrics = tmp_path / "sac0.jsonl"
+    _run_pair(_free_port(),
+              {0: ("--metrics-jsonl", str(metrics)), 1: ()},
+              module="cartpoleplusplus_tpu.agents.sac")
+    rows = [json.loads(l) for l in metrics.read_text().splitlines()]
+    train = [r for r in rows if r.get("event") == "train"]
+    assert len(train) == 2
+    assert all(0.0 < r["eval_ep_len"] <= 10.0 for r in train)
+
+
+def test_multiprocess_rejects_eval_only(tmp_path):
+    proc = subprocess.run(
+        _argv(_free_port(), 0, ("--eval-only",)),
         env=_cli_env(), cwd=_REPO, capture_output=True, text=True, timeout=120,
     )
     assert proc.returncode != 0
-    assert "not supported with --num-processes" in proc.stderr
+    assert "--eval-only needs no mesh" in proc.stderr
