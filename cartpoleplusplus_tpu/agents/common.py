@@ -436,8 +436,8 @@ def maybe_init_multihost(opts, supported: bool = True) -> None:
         return
     if not supported:
         raise SystemExit(
-            "--num-processes > 1 is currently wired for the ddpg flagship; "
-            "this agent scales single-process with --num-devices"
+            "--num-processes > 1 is not wired for this entry point; "
+            "it scales single-process with --num-devices"
         )
     if not getattr(opts, "coordinator", None):
         raise SystemExit("--num-processes > 1 needs --coordinator host:port")

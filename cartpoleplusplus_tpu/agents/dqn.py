@@ -456,7 +456,8 @@ def train(opts) -> float:
             )
     start_segment = 0
     restored = None
-    if opts.ckpt_dir:
+    multiproc = getattr(opts, "num_processes", 1) > 1
+    if opts.ckpt_dir and not multiproc:
         st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
         if restored is not None:
             # Resume the segment counter so checkpoint numbering stays
@@ -508,6 +509,13 @@ def train(opts) -> float:
             mesh, per_chip, st, DQN_SHARDED_FIELDS, DQN_METRIC_KEYS
         )
         st = shard_state(st)
+        if opts.ckpt_dir and multiproc:
+            # Rank-sharded resume AFTER mesh placement (see agents/ddpg.py
+            # and utils/checkpoint.restore_latest_sharded).
+            st, restored = ckpt_mod.restore_latest_sharded(opts.ckpt_dir, st)
+            if restored is not None:
+                start_segment = restored
+                logger.log("restore", step=restored)
     else:
         segment = jax.jit(
             make_segment(
@@ -540,7 +548,11 @@ def train(opts) -> float:
         st, metrics = segment(st)
         if (i + 1) % max(opts.eval_freq, 1) == 0 or i + 1 == opts.num_train_batches:
             rng, k_eval = jax.random.split(rng)
-            elen, erew = eval_fn(st.params, k_eval)
+            # Multi-process: fetch the identical local replica for the
+            # process-local eval jit (see agents/ddpg.py).
+            eval_params = (common.host_fetch(st.params)
+                           if multiproc else st.params)
+            elen, erew = eval_fn(eval_params, k_eval)
             final_eval = float(elen)
             logger.log(
                 "train",
@@ -557,16 +569,17 @@ def train(opts) -> float:
     if opts.ckpt_dir:
         ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start_segment), st,
                       skip_replay=opts.ckpt_skip_replay)
+    tail_params = common.host_fetch(st.params) if multiproc else st.params
     if opts.event_log_out:
         # Reference README-GIF evidence path (SURVEY.md §6): greedy eval
         # episodes → event log; GIFs via utils.event_log --gif-out.
         lens = common.record_eval_episodes(
-            config, greedy_act(qnet), st.params,
+            config, greedy_act(qnet), tail_params,
             opts.event_log_out, seed=opts.seed,
             raster=getattr(opts, "render_raster", False),
         )
         logger.log("event_log", episodes=len(lens), lengths=lens)
-    common.maybe_export_policy(opts, config, greedy_act(qnet), st.params,
+    common.maybe_export_policy(opts, config, greedy_act(qnet), tail_params,
                                logger)
     logger.close()
     return final_eval
@@ -578,7 +591,7 @@ def main(argv=None):
     )
     add_dqn_opts(parser)
     opts = parser.parse_args(argv)
-    common.maybe_init_multihost(opts, supported=False)
+    common.maybe_init_multihost(opts, supported=True)
     print(f"OPTS {vars(opts)}", file=sys.stderr)
     train(opts)
 

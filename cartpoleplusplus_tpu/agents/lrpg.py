@@ -190,7 +190,8 @@ def train(opts) -> float:
     )
 
     restored = None
-    if opts.ckpt_dir:
+    multiproc = getattr(opts, "num_processes", 1) > 1
+    if opts.ckpt_dir and not multiproc:
         ts, restored = ckpt_mod.restore_latest(opts.ckpt_dir, ts)
         if restored is not None:
             logger.log("restore", step=restored)
@@ -219,6 +220,12 @@ def train(opts) -> float:
             mesh, per_chip, ts, LRPG_SHARDED_FIELDS, LRPG_METRIC_KEYS
         )
         ts = shard_state(ts)
+        if opts.ckpt_dir and multiproc:
+            # Rank-sharded resume AFTER mesh placement (see agents/ddpg.py
+            # and utils/checkpoint.restore_latest_sharded).
+            ts, restored = ckpt_mod.restore_latest_sharded(opts.ckpt_dir, ts)
+            if restored is not None:
+                logger.log("restore", step=restored)
     else:
         train_step = jax.jit(
             make_train_step(venv, policy, tx, opts.gamma), donate_argnums=0
@@ -235,7 +242,11 @@ def train(opts) -> float:
         ts, metrics = train_step(ts)
         if (i + 1) % max(opts.eval_freq, 1) == 0 or i + 1 == opts.num_train_batches:
             rng, k_eval = jax.random.split(rng)
-            elen, erew = eval_fn(ts.params, k_eval)
+            # Multi-process: fetch the identical local replica for the
+            # process-local eval jit (see agents/ddpg.py).
+            eval_params = (common.host_fetch(ts.params)
+                           if multiproc else ts.params)
+            elen, erew = eval_fn(eval_params, k_eval)
             final_eval = float(elen)
             logger.log(
                 "train",
@@ -252,16 +263,17 @@ def train(opts) -> float:
         # Clamp like dqn/sac: a re-run of an already-finished training must
         # not rewrite an old-step filename with newer-step state.
         ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start), ts)
+    tail_params = common.host_fetch(ts.params) if multiproc else ts.params
     if opts.event_log_out:
         # Reference README-GIF evidence path (SURVEY.md §6): greedy eval
         # episodes → event log; GIFs via utils.event_log --gif-out.
         lens = common.record_eval_episodes(
-            config, greedy_act(policy), ts.params,
+            config, greedy_act(policy), tail_params,
             opts.event_log_out, seed=opts.seed,
             raster=getattr(opts, "render_raster", False),
         )
         logger.log("event_log", episodes=len(lens), lengths=lens)
-    common.maybe_export_policy(opts, config, greedy_act(policy), ts.params,
+    common.maybe_export_policy(opts, config, greedy_act(policy), tail_params,
                                logger)
     logger.close()
     return final_eval
@@ -280,7 +292,7 @@ def main(argv=None):
     )
     add_lrpg_opts(parser)
     opts = parser.parse_args(argv)
-    common.maybe_init_multihost(opts, supported=False)
+    common.maybe_init_multihost(opts, supported=True)
     print(f"OPTS {vars(opts)}", file=sys.stderr)  # reference prints opts at startup
     train(opts)
 

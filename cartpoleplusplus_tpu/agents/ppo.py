@@ -279,7 +279,8 @@ def train(opts) -> float:
     )
 
     restored = None
-    if opts.ckpt_dir:
+    multiproc = getattr(opts, "num_processes", 1) > 1
+    if opts.ckpt_dir and not multiproc:
         ps, restored = ckpt_mod.restore_latest(opts.ckpt_dir, ps)
         if restored is not None:
             logger.log("restore", step=restored)
@@ -304,6 +305,14 @@ def train(opts) -> float:
             mesh, per_chip, ps, PPO_SHARDED_FIELDS, PPO_METRIC_KEYS
         )
         ps = shard_state(ps)
+        if opts.ckpt_dir and multiproc:
+            # Rank-sharded resume AFTER mesh placement (see agents/ddpg.py
+            # and utils/checkpoint.restore_latest_sharded).  PPO's resume
+            # point is the in-state ``update`` counter (replicated), read
+            # below as ``start``.
+            ps, restored = ckpt_mod.restore_latest_sharded(opts.ckpt_dir, ps)
+            if restored is not None:
+                logger.log("restore", step=restored)
     else:
         train_step = jax.jit(
             make_train_step(venv, actor, value, tx, opts), donate_argnums=0
@@ -319,7 +328,11 @@ def train(opts) -> float:
         ps, metrics = train_step(ps)
         if (i + 1) % max(opts.eval_freq, 1) == 0 or i + 1 == opts.num_train_batches:
             rng, k_eval = jax.random.split(rng)
-            elen, erew = eval_fn(ps.params["actor"], k_eval)
+            # Multi-process: fetch the identical local replica for the
+            # process-local eval jit (see agents/ddpg.py).
+            eval_params = (common.host_fetch(ps.params["actor"])
+                           if multiproc else ps.params["actor"])
+            elen, erew = eval_fn(eval_params, k_eval)
             final_eval = float(elen)
             logger.log(
                 "train",
@@ -335,15 +348,17 @@ def train(opts) -> float:
         # Clamp like dqn/sac: a re-run of an already-finished training must
         # not rewrite an old-step filename with newer-step state.
         ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start), ps)
+    tail_params = (common.host_fetch(ps.params["actor"])
+                   if multiproc else ps.params["actor"])
     if opts.event_log_out:
         lens = common.record_eval_episodes(
-            config, greedy_act(actor), ps.params["actor"],
+            config, greedy_act(actor), tail_params,
             opts.event_log_out, seed=opts.seed,
             raster=getattr(opts, "render_raster", False),
         )
         logger.log("event_log", episodes=len(lens), lengths=lens)
     common.maybe_export_policy(opts, config, greedy_act(actor),
-                               ps.params["actor"], logger)
+                               tail_params, logger)
     logger.close()
     return final_eval
 
@@ -354,7 +369,7 @@ def main(argv=None):
     )
     add_ppo_opts(parser)
     opts = parser.parse_args(argv)
-    common.maybe_init_multihost(opts, supported=False)
+    common.maybe_init_multihost(opts, supported=True)
     print(f"OPTS {vars(opts)}", file=sys.stderr)
     train(opts)
 

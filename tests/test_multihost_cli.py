@@ -11,8 +11,12 @@ command a user types per host on a TPU pod.  Asserts:
   work across the process boundary);
 - exactly ONE process (rank 0) writes the metrics file, with real train
   rows (the output-gating contract of common.maybe_init_multihost);
-- --ckpt-dir under multi-process is a fast, clear error (process-spanning
-  shards cannot gather to one host's file).
+- --ckpt-dir under multi-process is RANK-SHARDED (round 5): every rank
+  writes/restores its own ckpt_<step>.rank<k>of<n>.msgpack, proven by a
+  real save→kill→resume sequence plus a single-process --eval-only restore
+  from the rank-0 file;
+- every agent accepts --num-processes (ddpg/sac richly, the other four via
+  the parametrized smoke at the bottom).
 """
 
 import json
@@ -20,6 +24,8 @@ import os
 import socket
 import subprocess
 import sys
+
+import pytest
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -166,3 +172,51 @@ def test_multiprocess_rejects_eval_only(tmp_path):
     )
     assert proc.returncode != 0
     assert "--eval-only needs no mesh" in proc.stderr
+
+
+# Per-agent extra flags: the off-policy agents share the replay knobs; the
+# on-policy pair has its own rollout shape.
+_MP_EXTRA = {
+    "dqn": ("--steps-per-segment", "3", "--batch-size", "8",
+            "--replay-capacity", "128", "--warmup-steps", "1"),
+    "naf": ("--steps-per-segment", "3", "--batch-size", "8",
+            "--replay-capacity", "128", "--warmup-steps", "1"),
+    "lrpg": (),
+    "ppo": ("--rollout-steps", "8", "--ppo-epochs", "1",
+            "--ppo-minibatches", "2"),
+}
+
+
+@pytest.mark.parametrize("agent", sorted(_MP_EXTRA))
+def test_two_process_cli_all_agents(tmp_path, agent):
+    """Round 5: EVERY agent accepts --num-processes (ddpg/sac have their own
+    richer tests above; this pins the other four through the real CLI)."""
+    port = _free_port()
+    env = _cli_env()
+    metrics = tmp_path / "rank0.jsonl"
+    base = [
+        sys.executable, "-m", f"cartpoleplusplus_tpu.agents.{agent}",
+        "--coordinator", f"localhost:{port}",
+        "--num-processes", "2", "--num-devices", "4",
+        "--num-train-batches", "1", "--num-envs", "8", "--num-eval", "4",
+        "--action-repeats", "2", "--steps-per-repeat", "2",
+        "--max-episode-len", "10", "--eval-freq", "1", "--seed", "0",
+        *_MP_EXTRA[agent],
+    ]
+    procs = [
+        subprocess.Popen(
+            [*base, "--process-id", str(pid),
+             *(("--metrics-jsonl", str(metrics)) if pid == 0 else ())],
+            env=env, cwd=_REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=420)[0].decode(errors="replace")
+            for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"{agent} rank failed:\n{out[-3000:]}"
+    rows = [json.loads(l) for l in metrics.read_text().splitlines()]
+    train = [r for r in rows if r.get("event") == "train"]
+    assert len(train) == 1
+    assert 0.0 < train[0]["eval_ep_len"] <= 10.0
