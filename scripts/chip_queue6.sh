@@ -171,4 +171,10 @@ T=3700 step sac_pixels_s1 python -m cartpoleplusplus_tpu.agents.sac \
   --ckpt-dir runs/ckpt_sac_pixels_s1 --ckpt-freq 5000 --ckpt-skip-replay \
   --seed 1 --metrics-jsonl runs/sac_pixels_s1.jsonl
 
+# --- 8. final bench warm (cell 1 may have hit a tunnel flap cold) -------------
+# The driver's round-end BENCH_r05 capture needs hot compile caches; this
+# re-warm runs after the learning cells so the rows are as fresh as
+# possible.  already_done skips it only if a previous pass ran it cleanly.
+T=5400 step bench_suite_final python bench.py
+
 note "queue6 complete"
