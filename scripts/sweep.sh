@@ -33,11 +33,14 @@ for seed in 0 1 2; do
 done
 
 for seed in 0 1 2; do
-  # SAC (beyond-parity, round 4): no OU annealing needed — the learned
-  # temperature handles late-training exploration decay on its own.
+  # SAC (beyond-parity; recipe validated round 5): the learned temperature
+  # handles exploration decay, but NEEDS the --alpha-min floor — without it
+  # alpha anneals to ~8e-4 once solved and the still-hot critic churns the
+  # near-deterministic policy (round-4 chip run: 200 -> 83; with the floor:
+  # finals 198.6/200.0 on chip, runs/sac_lowdim_fix_s*.jsonl).
   python -m cartpoleplusplus_tpu.agents.sac $COMMON \
     --num-train-batches "${BATCHES:-5000}" \
-    --lr-schedule cosine \
+    --lr-schedule cosine --alpha-min 0.02 \
     --reward-scale 0.1 --grad-clip 10 \
     --seed "$seed" --metrics-jsonl "$OUT/sweep_sac_s${seed}.jsonl" &
   wait $!

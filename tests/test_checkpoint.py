@@ -275,3 +275,45 @@ def test_sac_agent_resume(tmp_path):
     assert ckpt.latest_step(str(tmp_path)) == 4
     raw2 = ckpt.load_raw(str(tmp_path), 4)
     assert int(raw2["env_steps"]) == steps_run1 + 2 * 3
+
+
+def test_restore_latest_falls_back_to_rank0_shard(tmp_path):
+    """A single-process run (--eval-only, a fine-tune) restores replicated
+    leaves from a multi-process run's rank-0 shard file; rank-local shard
+    leaves whose shapes mismatch re-initialize via the lenient merge."""
+    from flax import serialization
+
+    params = {"w": np.arange(6.0, dtype=np.float32).reshape(2, 3)}
+    # Rank files hold LOCAL env shards (here 4 of a global 8).
+    rank0 = {"params": params, "obs": np.ones((4, 7), np.float32)}
+    for step, pid in ((2, 0), (2, 1), (5, 0)):  # step 5: rank 1 missing
+        with open(tmp_path / f"ckpt_{step}.rank{pid}of2.msgpack", "wb") as f:
+            f.write(serialization.msgpack_serialize(
+                jax.tree.map(np.asarray, rank0)))
+
+    target = {"params": {"w": jnp.zeros((2, 3))}, "obs": jnp.zeros((8, 7))}
+    restored, step = ckpt.restore_latest(str(tmp_path), target)
+    # Newest rank-0 file wins even without a complete rank set (params are
+    # complete in every rank's file; that's all single-process needs).
+    assert step == 5
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), params["w"])
+    # The (4,7) local shard mismatches the (8,7) fresh target -> kept fresh.
+    np.testing.assert_array_equal(np.asarray(restored["obs"]), np.zeros((8, 7)))
+
+    # A plain global checkpoint still takes precedence over rank files.
+    ckpt.save(str(tmp_path), 1, target)
+    _, step2 = ckpt.restore_latest(str(tmp_path), target)
+    assert step2 == 1
+
+
+def test_latest_sharded_step_requires_complete_rank_set(tmp_path):
+    from flax import serialization
+
+    blob = serialization.msgpack_serialize({"x": np.zeros(2, np.float32)})
+    for name in ("ckpt_2.rank0of2.msgpack", "ckpt_2.rank1of2.msgpack",
+                 "ckpt_7.rank0of2.msgpack",  # rank 1 of step 7 missing
+                 "ckpt_9.rank0of4.msgpack"):  # wrong world size
+        (tmp_path / name).write_bytes(blob)
+    assert ckpt.latest_sharded_step(str(tmp_path), 2) == 2
+    assert ckpt.latest_sharded_step(str(tmp_path), 4) is None
+    assert ckpt.latest_sharded_step(str(tmp_path / "nope"), 2) is None
