@@ -683,8 +683,12 @@ def train(opts) -> float:
     if opts.ckpt_dir:
         ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start_segment), st,
                       skip_replay=opts.ckpt_skip_replay)
+    # Ranks > 0 have event-log/export flags cleared — only fetch the
+    # params D2H when this rank will actually use them.
+    needs_tail = bool(opts.event_log_out
+                      or getattr(opts, "export_policy", None))
     tail_params = (common.host_fetch(st.actor_params)
-                   if multiproc else st.actor_params)
+                   if multiproc and needs_tail else st.actor_params)
     if opts.event_log_out:
         # Reference README-GIF evidence path (SURVEY.md §6): greedy eval
         # episodes → event log; GIFs via utils.event_log --gif-out.

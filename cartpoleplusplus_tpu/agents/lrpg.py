@@ -263,7 +263,12 @@ def train(opts) -> float:
         # Clamp like dqn/sac: a re-run of an already-finished training must
         # not rewrite an old-step filename with newer-step state.
         ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start), ts)
-    tail_params = common.host_fetch(ts.params) if multiproc else ts.params
+    # Ranks > 0 have event-log/export flags cleared — only fetch the
+    # params D2H when this rank will actually use them.
+    needs_tail = bool(opts.event_log_out
+                      or getattr(opts, "export_policy", None))
+    tail_params = (common.host_fetch(ts.params)
+                   if multiproc and needs_tail else ts.params)
     if opts.event_log_out:
         # Reference README-GIF evidence path (SURVEY.md §6): greedy eval
         # episodes → event log; GIFs via utils.event_log --gif-out.

@@ -348,8 +348,12 @@ def train(opts) -> float:
         # Clamp like dqn/sac: a re-run of an already-finished training must
         # not rewrite an old-step filename with newer-step state.
         ckpt_mod.save(opts.ckpt_dir, max(opts.num_train_batches, start), ps)
+    # Ranks > 0 have event-log/export flags cleared — only fetch the
+    # params D2H when this rank will actually use them.
+    needs_tail = bool(opts.event_log_out
+                      or getattr(opts, "export_policy", None))
     tail_params = (common.host_fetch(ps.params["actor"])
-                   if multiproc else ps.params["actor"])
+                   if multiproc and needs_tail else ps.params["actor"])
     if opts.event_log_out:
         lens = common.record_eval_episodes(
             config, greedy_act(actor), tail_params,

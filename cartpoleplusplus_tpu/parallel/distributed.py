@@ -56,9 +56,13 @@ def state_specs(st, axis: str, sharded_fields: tuple[str, ...]):
                 # same for priority when the buffer is uniform-only.
                 s2=P(axis) if v.s2.size else P(),
                 # priority may be None on hand-built states (buffer.create
-                # always sets it); treat that like the uniform-only (0,).
-                priority=(P(axis) if v.priority is not None
-                          and v.priority.size else P()),
+                # always sets it).  The spec must then be None TOO: None is
+                # an empty pytree node, so a P() here would make the spec
+                # tree's structure diverge from the state's and every
+                # tree_map over (state, specs) — shard_state, shard_map —
+                # would raise.
+                priority=(None if v.priority is None
+                          else P(axis) if v.priority.size else P()),
                 terminal=P(axis), cursor=P(), size=P(),
             )
         return jax.tree.map(

@@ -388,6 +388,11 @@ def run(opts) -> dict:
         "vs_ceiling": round(sps / ceiling, 4),
         "_wall_s": round(dt, 3),
         "_env_steps": env_steps,
+        "_num_envs": opts.num_envs,
+        "_num_cameras": (None if opts.lowdim
+                         else getattr(opts, "num_cameras", None)),
+        "_obs_samples": (None if opts.lowdim
+                         else getattr(opts, "obs_samples", None)),
         "_backend": jax.default_backend(),
         "_render_raster": bool(getattr(opts, "render_raster", False))
         and not opts.lowdim,
@@ -602,6 +607,9 @@ def record_last_measured(summary: dict) -> None:
         "value": summary.get("value"),
         "unit": summary.get("unit"),
         "vs_baseline": summary.get("vs_baseline"),
+        "config": {k: summary.get(k) for k in
+                   ("_num_envs", "_num_cameras", "_obs_samples")
+                   if summary.get(k) is not None},
         "rows": summary.get("rows"),
     }
     try:
@@ -610,7 +618,15 @@ def record_last_measured(summary: dict) -> None:
         if os.path.exists(path):
             with open(path) as f:
                 prior = json.load(f)
-        key = "suite" if summary.get("rows") else str(summary.get("metric"))
+        if summary.get("rows"):
+            key = "suite"
+        else:
+            # Per-config keys: a cfg-5 single row must never overwrite the
+            # 1-cam headline's evidence (they share a metric name).
+            key = str(summary.get("metric")) + "".join(
+                f"|{k[1:]}={summary[k]}" for k in
+                ("_num_cameras", "_obs_samples", "_num_envs")
+                if summary.get(k) is not None)
         prior[key] = entry
         tmp = path + ".tmp"
         with open(tmp, "w") as f:

@@ -195,23 +195,25 @@ def restore_latest(ckpt_dir: str, target: Any) -> tuple[Any, Optional[int]]:
     env/obs/noise state re-initializes).
     """
     step = latest_step(ckpt_dir)
-    path = (os.path.join(ckpt_dir, f"ckpt_{step}.msgpack")
-            if step is not None else None)
-    if step is None:
-        # Fall back to a multi-process run's rank-0 shard file: replicated
-        # leaves (params, opt state, counters) are complete in every rank's
-        # file, so a single-process job (--eval-only, a fresh fine-tune)
-        # restores the policy; the rank-local env/replay shards mismatch the
-        # single-process shapes and re-initialize via the lenient merge.
-        ranks = sorted(
-            (int(m.group(1)), m.group(0))
-            for name in os.listdir(ckpt_dir)
-            if (m := _CKPT_RANK_RE.match(name)) and int(m.group(2)) == 0
-        ) if os.path.isdir(ckpt_dir) else []
-        if not ranks:
-            return target, None
+    # A multi-process run's rank-0 shard files compete on step number:
+    # replicated leaves (params, opt state, counters) are complete in every
+    # rank's file, so a single-process job (--eval-only, a fresh fine-tune)
+    # restores the policy from them; the rank-local env/replay shards
+    # mismatch the single-process shapes and re-initialize via the lenient
+    # merge.  The NEWEST step wins regardless of flavor — an old global
+    # file must not shadow a later multi-process run's checkpoints.
+    ranks = sorted(
+        (int(m.group(1)), m.group(0))
+        for name in os.listdir(ckpt_dir)
+        if (m := _CKPT_RANK_RE.match(name)) and int(m.group(2)) == 0
+    ) if os.path.isdir(ckpt_dir) else []
+    if step is None and not ranks:
+        return target, None
+    if ranks and (step is None or ranks[-1][0] > step):
         step, name = ranks[-1]
         path = os.path.join(ckpt_dir, name)
+    else:
+        path = os.path.join(ckpt_dir, f"ckpt_{step}.msgpack")
     with open(path, "rb") as f:
         data = f.read()
     # ALWAYS merge through state dicts rather than flax from_bytes: from_bytes
@@ -249,6 +251,27 @@ def latest_sharded_step(ckpt_dir: str, num_processes: int) -> Optional[int]:
     return max(complete) if complete else None
 
 
+def _slice_global_to_local(local_tsd: Any, raw: Any, pid: int, n: int):
+    """Adapt a GLOBAL (single-process) checkpoint's state dict to one rank's
+    local template: a raw leaf whose leading dim is exactly n× the local
+    leaf's (trailing dims equal) is an env/replay-sharded field — slice this
+    rank's contiguous rows (device order is process-major, mesh.py).  Leaves
+    that already match (replicated params, scalars) pass through; anything
+    else is left for the lenient merge to keep fresh."""
+    if isinstance(local_tsd, dict):
+        if not isinstance(raw, dict):
+            return raw
+        return {k: (_slice_global_to_local(local_tsd[k], v, pid, n)
+                    if k in local_tsd else v)
+                for k, v in raw.items()}
+    t, r = np.asarray(local_tsd), np.asarray(raw)
+    if (t.ndim >= 1 and r.ndim == t.ndim and r.shape[1:] == t.shape[1:]
+            and t.shape[0] > 0 and r.shape[0] == t.shape[0] * n):
+        chunk = t.shape[0]
+        return r[pid * chunk:(pid + 1) * chunk]
+    return raw
+
+
 def restore_latest_sharded(ckpt_dir: str, target: Any) -> tuple[Any, Optional[int]]:
     """Multi-process resume: restore this rank's shard file into ``target``.
 
@@ -259,19 +282,50 @@ def restore_latest_sharded(ckpt_dir: str, target: Any) -> tuple[Any, Optional[in
     state-dict merge as :func:`restore_latest` applies per-rank, so
     ``--ckpt-skip-replay`` files restore into fresh full-size replay shards.
 
-    Every rank must call this (it participates in no collective itself, but
-    the resulting global arrays must agree across ranks; the rank files of
-    one complete step were written from one consistent global state).
+    Every rank must call this.  The chosen step is allgathered and asserted
+    IDENTICAL across ranks before anything loads — with per-host ckpt dirs a
+    lagging sync could otherwise hand rank 0 step 4 and rank 1 step 2, and
+    the "replicated" params would silently diverge.
+
+    A PLAIN single-process checkpoint in the same dir participates too: if
+    it is newer than the newest complete rank set (or no rank set exists),
+    every rank reads the global file; sharded leaves whose global leading
+    dim is exactly n× the local shard slice this rank's rows out, the rest
+    merge leniently.  That upgrades the documented single-process →
+    multi-process flow from a silent fresh start to a real resume.
     """
     pid, n = jax.process_index(), jax.process_count()
     step = latest_sharded_step(ckpt_dir, n)
+    global_step = latest_step(ckpt_dir)
+    use_global = global_step is not None and (step is None
+                                              or global_step > step)
+    step = global_step if use_global else step
+    # Cross-rank agreement: every rank must see the same newest step.
+    try:
+        from jax.experimental import multihost_utils
+
+        steps = multihost_utils.process_allgather(
+            np.int32(-1 if step is None else step))
+        if len(set(int(s) for s in steps)) > 1:
+            raise SystemExit(
+                f"checkpoint resume aborted: ranks disagree on the newest "
+                f"restorable step ({[int(s) for s in steps]}) — ckpt dirs "
+                "out of sync across hosts; sync them and relaunch"
+            )
+    except ImportError:  # pragma: no cover - very old jax
+        pass
     if step is None:
         return target, None
-    path = os.path.join(ckpt_dir, f"ckpt_{step}.rank{pid}of{n}.msgpack")
+    path = os.path.join(
+        ckpt_dir,
+        f"ckpt_{step}.msgpack" if use_global
+        else f"ckpt_{step}.rank{pid}of{n}.msgpack")
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     tsd = serialization.to_state_dict(target)
     local = jax.tree.map(_process_local_data, tsd)
+    if use_global:
+        raw = _slice_global_to_local(local, raw, pid, n)
     skipped: list = []
     merged = _merge_state_dict(local, raw, skipped)
     if skipped:

@@ -51,6 +51,12 @@ ensure_up() {
   exit 1
 }
 
+# NOTE: queue.log is shared across queue versions and cell names recur
+# (dqn_rainbow, export_td3_policy ran in chip_queue5 too).  /tmp is wiped
+# between driver rounds so collisions don't arise in practice, but if you
+# ever relaunch a NEW queue definition against an old /tmp/chipq, clear the
+# dir first — already_done would otherwise skip cells based on stale runs
+# of older code.
 already_done() {
   local name=$1
   grep -q "END $name exit=0" "$LOG/queue.log" 2>/dev/null || return 1

@@ -300,10 +300,14 @@ def test_restore_latest_falls_back_to_rank0_shard(tmp_path):
     # The (4,7) local shard mismatches the (8,7) fresh target -> kept fresh.
     np.testing.assert_array_equal(np.asarray(restored["obs"]), np.zeros((8, 7)))
 
-    # A plain global checkpoint still takes precedence over rank files.
+    # The NEWEST step wins across flavors: an older global file must not
+    # shadow the rank files (and a newer one must).
     ckpt.save(str(tmp_path), 1, target)
     _, step2 = ckpt.restore_latest(str(tmp_path), target)
-    assert step2 == 1
+    assert step2 == 5
+    ckpt.save(str(tmp_path), 9, target)
+    _, step3 = ckpt.restore_latest(str(tmp_path), target)
+    assert step3 == 9
 
 
 def test_latest_sharded_step_requires_complete_rank_set(tmp_path):

@@ -153,6 +153,38 @@ def test_two_process_ckpt_save_kill_resume(tmp_path):
     assert 0.0 < evals[0]["eval_ep_len"] <= 10.0
 
 
+def test_single_to_multiprocess_resume(tmp_path):
+    """The documented upgrade path: checkpoint single-process, relaunch
+    multi-process with the same --ckpt-dir.  The global file must RESUME
+    (params restore, env/replay shards slice per rank), not silently restart
+    from scratch (round-5 review finding)."""
+    ck = tmp_path / "ck"
+    metrics = tmp_path / "single.jsonl"
+    proc = subprocess.run(
+        [sys.executable, "-m", "cartpoleplusplus_tpu.agents.ddpg",
+         "--ckpt-dir", str(ck), "--ckpt-freq", "2",
+         "--num-train-batches", "2", "--num-envs", "8", "--num-eval", "4",
+         "--action-repeats", "2", "--steps-per-repeat", "2",
+         "--max-episode-len", "10", "--steps-per-segment", "3",
+         "--batch-size", "8", "--replay-capacity", "128",
+         "--warmup-steps", "1", "--eval-freq", "1", "--seed", "0",
+         "--metrics-jsonl", str(metrics)],
+        env=_cli_env(), cwd=_REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert (ck / "ckpt_2.msgpack").exists()
+
+    common = ("--ckpt-dir", str(ck), "--ckpt-freq", "2")
+    metrics2 = tmp_path / "multi.jsonl"
+    _run_pair(_free_port(), {0: (*common, "--metrics-jsonl", str(metrics2)),
+                             1: common}, batches="4")
+    rows = [json.loads(l) for l in metrics2.read_text().splitlines()]
+    restores = [r for r in rows if r.get("event") == "restore"]
+    assert restores and restores[0]["step"] == 2
+    segs = [r["segment"] for r in rows if r.get("event") == "train"]
+    assert segs == [3, 4], f"multi-process resume retrained: {segs}"
+
+
 def test_two_process_sac_cli(tmp_path):
     """SAC is the second multi-process agent (VERDICT r4 item 5)."""
     metrics = tmp_path / "sac0.jsonl"

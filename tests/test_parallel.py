@@ -313,3 +313,32 @@ def test_distributed_env_shards_differ(nets):
     shard0 = pos[: GLOBAL_ENVS // N_DEV]
     shard1 = pos[GLOBAL_ENVS // N_DEV : 2 * GLOBAL_ENVS // N_DEV]
     assert not np.allclose(shard0, shard1), "env shards must evolve independently"
+
+
+def test_state_specs_tolerates_priority_none():
+    """A hand-built ReplayState with priority=None (the dataclass default)
+    must produce a spec tree with the SAME structure — None is an empty
+    pytree node, so a P() spec there would crash every tree_map over
+    (state, specs) including shard_state (round-5 review finding)."""
+    from flax import struct
+
+    from cartpoleplusplus_tpu.parallel.distributed import state_specs
+    from cartpoleplusplus_tpu.replay import ReplayState
+
+    @struct.dataclass
+    class S:
+        replay: ReplayState
+        params: dict
+
+    rs = ReplayState(
+        s1=jnp.zeros((8, 3)), action=jnp.zeros((8, 2)),
+        reward=jnp.zeros((8,)), s2=jnp.zeros((8, 3)),
+        terminal=jnp.zeros((8,), bool),
+        cursor=jnp.zeros((), jnp.int32), size=jnp.zeros((), jnp.int32),
+    )
+    assert rs.priority is None
+    st = S(replay=rs, params={"w": jnp.zeros((4, 4))})
+    specs = state_specs(st, "env", ("replay",))
+    # Structures must match, or this tree_map raises.
+    zipped = jax.tree.map(lambda x, s: (x.shape, s), st, specs)
+    assert jax.tree.structure(zipped) is not None
