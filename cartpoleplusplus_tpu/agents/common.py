@@ -9,6 +9,7 @@ block factored once.  Each agent keeps the reference's CLI shape:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import Callable
 
@@ -44,6 +45,14 @@ def add_agent_opts(parser: argparse.ArgumentParser) -> None:
                              "the buffer restarts empty and refills within "
                              "capacity/num-envs steps; params, optimizer, "
                              "env and RNG state restore exactly.")
+    parser.add_argument("--ckpt-best", action="store_true",
+                        help="additionally keep ckpt_best.msgpack — the "
+                             "state at the best eval episode length so far "
+                             "(+ a .json sidecar with step/eval). Guards "
+                             "long runs against late-training regressions; "
+                             "--eval-only --ckpt-best restores it instead "
+                             "of the latest numbered checkpoint. "
+                             "Single-process runs only.")
     parser.add_argument("--event-log-out", type=str, default=None,
                         help="write eval trajectories to this event log")
     parser.add_argument("--eval-only", action="store_true",
@@ -487,6 +496,53 @@ def maybe_export_policy(opts, config, act_fn, params, logger) -> None:
     nbytes = export_mod.save_policy(path, act_fn, params,
                                     config.obs_shape, obs_dtype)
     logger.log("export_policy", path=path, bytes=nbytes)
+
+
+class BestCkptKeeper:
+    """--ckpt-best policy: persist the state at the best eval seen so far.
+
+    Constructed once per train(); ``update`` is called after every eval and
+    writes ``ckpt_best.msgpack`` only on improvement.  On resume the json
+    sidecar seeds the gate so a restart cannot clobber a better historical
+    best with an early worse one.  Off (no-op) unless --ckpt-dir AND
+    --ckpt-best, and always off multi-process (rank-sharded best files
+    would need their own completeness story)."""
+
+    def __init__(self, opts, multiproc: bool):
+        self.on = bool(getattr(opts, "ckpt_dir", None)
+                       and getattr(opts, "ckpt_best", False) and not multiproc)
+        self.best = float("-inf")
+        self._opts = opts
+        if self.on:
+            try:
+                import json as _json
+
+                with open(os.path.join(opts.ckpt_dir,
+                                       "ckpt_best.msgpack.json")) as f:
+                    self.best = float(_json.load(f)["eval_ep_len"])
+            except Exception:
+                pass
+
+    def update(self, step: int, eval_len: float, st) -> None:
+        if self.on and eval_len > self.best:
+            self.best = eval_len
+            from cartpoleplusplus_tpu.utils import checkpoint as ckpt_mod
+
+            ckpt_mod.save_best(
+                self._opts.ckpt_dir, step, eval_len, st,
+                skip_replay=getattr(self._opts, "ckpt_skip_replay", False),
+            )
+
+
+def restore_for_startup(opts, st, multiproc: bool = False):
+    """The shared restore-if-present startup policy: restore_best when the
+    run is --eval-only --ckpt-best, restore_latest otherwise.  Multi-process
+    callers do NOT use this (they restore after mesh placement)."""
+    from cartpoleplusplus_tpu.utils import checkpoint as ckpt_mod
+
+    if getattr(opts, "eval_only", False) and getattr(opts, "ckpt_best", False):
+        return ckpt_mod.restore_best(opts.ckpt_dir, st)
+    return ckpt_mod.restore_latest(opts.ckpt_dir, st)
 
 
 def run_eval_only(opts, config, logger, restored_step, eval_venv,

@@ -562,7 +562,7 @@ def train(opts) -> float:
     restored = None
     multiproc = getattr(opts, "num_processes", 1) > 1
     if opts.ckpt_dir and not multiproc:
-        st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
+        st, restored = common.restore_for_startup(opts, st, multiproc)
         if restored is not None:
             # Resume the segment counter too, so checkpoint numbering stays
             # monotonic — restarting at 0 would re-save ckpt_1..N with newer
@@ -654,6 +654,7 @@ def train(opts) -> float:
 
     rng = jax.random.PRNGKey(opts.seed + 1)
     final_eval = 0.0
+    best_keeper = common.BestCkptKeeper(opts, multiproc)
     # Multi-process jobs: params are GLOBAL replicated arrays that a
     # process-local eval jit can't consume — fetch the (identical) local
     # copy to host first; every process then evaluates independently and
@@ -667,6 +668,7 @@ def train(opts) -> float:
                            if multiproc else st.actor_params)
             elen, erew = eval_fn(eval_params, k_eval)
             final_eval = float(elen)
+            best_keeper.update(i + 1, final_eval, st)
             logger.log(
                 "train",
                 segment=i + 1,

@@ -458,7 +458,7 @@ def train(opts) -> float:
     restored = None
     multiproc = getattr(opts, "num_processes", 1) > 1
     if opts.ckpt_dir and not multiproc:
-        st, restored = ckpt_mod.restore_latest(opts.ckpt_dir, st)
+        st, restored = common.restore_for_startup(opts, st, multiproc)
         if restored is not None:
             # Resume the segment counter so checkpoint numbering stays
             # monotonic across restarts (see agents/ddpg.py).
@@ -544,6 +544,7 @@ def train(opts) -> float:
 
     rng = jax.random.PRNGKey(opts.seed + 1)
     final_eval = 0.0
+    best_keeper = common.BestCkptKeeper(opts, multiproc)
     for i in range(start_segment, opts.num_train_batches):
         st, metrics = segment(st)
         if (i + 1) % max(opts.eval_freq, 1) == 0 or i + 1 == opts.num_train_batches:
@@ -554,6 +555,7 @@ def train(opts) -> float:
                            if multiproc else st.params)
             elen, erew = eval_fn(eval_params, k_eval)
             final_eval = float(elen)
+            best_keeper.update(i + 1, final_eval, st)
             logger.log(
                 "train",
                 segment=i + 1,

@@ -192,7 +192,7 @@ def train(opts) -> float:
     restored = None
     multiproc = getattr(opts, "num_processes", 1) > 1
     if opts.ckpt_dir and not multiproc:
-        ts, restored = ckpt_mod.restore_latest(opts.ckpt_dir, ts)
+        ts, restored = common.restore_for_startup(opts, ts, multiproc)
         if restored is not None:
             logger.log("restore", step=restored)
     if opts.eval_only:
@@ -237,6 +237,7 @@ def train(opts) -> float:
     # Independent eval key: ts.rng's buffer is donated into train_step.
     rng = jax.random.PRNGKey(opts.seed + 1)
     final_eval = 0.0
+    best_keeper = common.BestCkptKeeper(opts, multiproc)
     start = int(ts.update)
     for i in range(start, opts.num_train_batches):
         ts, metrics = train_step(ts)
@@ -248,6 +249,7 @@ def train(opts) -> float:
                            if multiproc else ts.params)
             elen, erew = eval_fn(eval_params, k_eval)
             final_eval = float(elen)
+            best_keeper.update(i + 1, final_eval, ts)
             logger.log(
                 "train",
                 update=i + 1,

@@ -281,7 +281,7 @@ def train(opts) -> float:
     restored = None
     multiproc = getattr(opts, "num_processes", 1) > 1
     if opts.ckpt_dir and not multiproc:
-        ps, restored = ckpt_mod.restore_latest(opts.ckpt_dir, ps)
+        ps, restored = common.restore_for_startup(opts, ps, multiproc)
         if restored is not None:
             logger.log("restore", step=restored)
     if opts.eval_only:
@@ -323,6 +323,7 @@ def train(opts) -> float:
 
     rng = jax.random.PRNGKey(opts.seed + 1)  # ts.rng's buffer is donated
     final_eval = 0.0
+    best_keeper = common.BestCkptKeeper(opts, multiproc)
     start = int(ps.update)
     for i in range(start, opts.num_train_batches):
         ps, metrics = train_step(ps)
@@ -334,6 +335,7 @@ def train(opts) -> float:
                            if multiproc else ps.params["actor"])
             elen, erew = eval_fn(eval_params, k_eval)
             final_eval = float(elen)
+            best_keeper.update(i + 1, final_eval, ps)
             logger.log(
                 "train",
                 update=i + 1,

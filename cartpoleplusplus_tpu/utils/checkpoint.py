@@ -124,6 +124,65 @@ def _save_process_shard(ckpt_dir: str, step: int, tree: Any) -> str:
     return path
 
 
+_BEST_NAME = "ckpt_best.msgpack"
+
+
+def save_best(ckpt_dir: str, step: int, eval_len: float, tree: Any,
+              skip_replay: bool = False) -> str:
+    """Keep the best-eval state as ``ckpt_best.msgpack`` (+ json sidecar).
+
+    The --ckpt-best policy (round 5): long runs can regress late (the SAC
+    α-collapse shape); this file always holds the state at the best eval
+    seen so far, independent of the numbered save cadence.  Callers gate on
+    improvement — this just writes.  Single-process only (the multi-process
+    rank-shard flavor would need its own completeness story; agents skip
+    the flag there)."""
+    if jax.process_count() > 1:  # pragma: no cover - agents gate on this
+        raise ValueError("--ckpt-best is single-process only")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    if skip_replay:
+        tree = strip_replay(tree)
+    tree = jax.device_get(tree)
+    path = os.path.join(ckpt_dir, _BEST_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(tree))
+    os.replace(tmp, path)
+    import json as _json
+
+    with open(path + ".json.tmp", "w") as f:
+        _json.dump({"step": int(step), "eval_ep_len": float(eval_len)}, f)
+    os.replace(path + ".json.tmp", path + ".json")
+    return path
+
+
+def restore_best(ckpt_dir: str, target: Any) -> tuple[Any, Optional[int]]:
+    """Restore ``ckpt_best.msgpack`` (same lenient merge as restore_latest);
+    (target, None) when absent.  The returned step is the sidecar's step."""
+    path = os.path.join(ckpt_dir, _BEST_NAME)
+    if not os.path.exists(path):
+        return target, None
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    skipped: list = []
+    merged = _merge_state_dict(serialization.to_state_dict(target), raw, skipped)
+    if skipped:
+        print(
+            f"checkpoint {path}: partial restore, kept fresh values for "
+            f"{len(skipped)} leaves (first: {skipped[:3]})",
+            file=sys.stderr,
+        )
+    step = 0
+    try:
+        import json as _json
+
+        with open(path + ".json") as f:
+            step = int(_json.load(f)["step"])
+    except Exception:
+        pass
+    return serialization.from_state_dict(target, merged), step
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None

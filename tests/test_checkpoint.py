@@ -321,3 +321,60 @@ def test_latest_sharded_step_requires_complete_rank_set(tmp_path):
     assert ckpt.latest_sharded_step(str(tmp_path), 2) == 2
     assert ckpt.latest_sharded_step(str(tmp_path), 4) is None
     assert ckpt.latest_sharded_step(str(tmp_path / "nope"), 2) is None
+
+
+def test_slice_global_to_local_per_rank():
+    """The single->multi resume path slices each rank's contiguous rows out
+    of a GLOBAL checkpoint's sharded fields (device order is process-major)
+    and passes replicated/mismatched leaves through untouched."""
+    local = {"obs": np.zeros((4, 7), np.float32),      # global 8 over 2 ranks
+             "params": {"w": np.zeros((2, 3), np.float32)},  # replicated
+             "scalar": np.zeros((), np.int32)}
+    glob = {"obs": np.arange(56, dtype=np.float32).reshape(8, 7),
+            "params": {"w": np.ones((2, 3), np.float32)},
+            "scalar": np.int32(9)}
+    for pid in (0, 1):
+        out = ckpt._slice_global_to_local(local, glob, pid, 2)
+        np.testing.assert_array_equal(out["obs"], glob["obs"][pid * 4:(pid + 1) * 4])
+        np.testing.assert_array_equal(out["params"]["w"], glob["params"]["w"])
+        assert out["scalar"] == 9
+    # A leaf whose leading dim is NOT local*n is left alone (lenient merge
+    # keeps the fresh value later).
+    odd = {"obs": np.zeros((5, 7), np.float32)}
+    out = ckpt._slice_global_to_local({"obs": np.zeros((4, 7), np.float32)},
+                                      odd, 0, 2)
+    assert out["obs"].shape == (5, 7)
+
+
+def test_ckpt_best_keeps_best_eval(tmp_path):
+    """--ckpt-best maintains ckpt_best.msgpack + sidecar at the best eval
+    seen; --eval-only --ckpt-best restores it (round-5 feature: guards long
+    runs against late-training regressions, the SAC α-collapse shape)."""
+    import json
+    import os
+
+    from cartpoleplusplus_tpu.agents import ddpg
+
+    opts = _ddpg_opts(tmp_path, 3)
+    opts.ckpt_best = True
+    ddpg.train(opts)
+    best = tmp_path / "ckpt_best.msgpack"
+    assert best.exists() and (tmp_path / "ckpt_best.msgpack.json").exists()
+    side = json.loads((tmp_path / "ckpt_best.msgpack.json").read_text())
+    assert side["step"] >= 1 and side["eval_ep_len"] > 0
+    # The sidecar seeds the improvement gate on resume: a fresh keeper
+    # starts at the recorded best, not -inf.
+    from cartpoleplusplus_tpu.agents import common
+
+    keeper = common.BestCkptKeeper(opts, multiproc=False)
+    assert keeper.best == side["eval_ep_len"]
+    mtime = os.path.getmtime(best)
+    keeper.update(99, side["eval_ep_len"] - 1.0, None)  # worse: no write
+    assert os.path.getmtime(best) == mtime
+
+    # eval-only restores the best file.
+    opts2 = _ddpg_opts(tmp_path, 3)
+    opts2.ckpt_best = True
+    opts2.eval_only = True
+    final = ddpg.train(opts2)
+    assert 0.0 < final <= 10.0
