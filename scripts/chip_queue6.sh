@@ -184,3 +184,10 @@ T=3700 step sac_pixels_s1 python -m cartpoleplusplus_tpu.agents.sac \
 T=5400 step bench_suite_final python bench.py
 
 note "queue6 complete"
+
+# --- 9. (appended mid-round) on-chip render-diff probe ------------------------
+# The ab_2cam_raster cell flatlined at the nop baseline while interpret-mode
+# math is byte-exact — this separates a Mosaic miscompile of the raster
+# kernel at samples=2 from a recipe-level failure.
+T=900 step render_diff python scripts/render_diff_probe.py
+note "queue6 complete (incl. appended probe)"
