@@ -34,6 +34,37 @@ def _random_states(e=32, seed=0):
 
 
 def main():
+    # Production shape FIRST (the A/B cells ran tile_e=32 at 512 envs —
+    # a Mosaic miscompile can be tile-size/batch dependent; the tile_e=8
+    # E=32 sweep below measured byte-identical while the tile-32 learning
+    # run flatlined).
+    cfg5 = CartpoleConfig(
+        use_raw_pixels=True, num_cameras=2, render_width=50,
+        render_height=50, obs_pool=2, obs_samples=2,
+    )
+    scene5 = cartpole_mod.scene_for(cfg5)
+    rigid5 = _random_states(e=512, seed=3)
+    interp5 = jax.default_backend() == "cpu"
+    ras5 = np.asarray(make_render_batched(
+        cfg5, tile_e=32, recip=True, raster=True,
+        interpret=interp5)(scene5, rigid5), np.int32)
+    slab5 = np.asarray(make_render_batched(
+        cfg5, tile_e=32, recip=True, raster=False,
+        interpret=interp5)(scene5, rigid5), np.int32)
+    d = np.abs(ras5 - slab5)
+    per_env = (d.reshape(512, -1) > 2).mean(axis=1)
+    print(json.dumps({
+        "shape": "production tile_e=32 E=512 cfg5",
+        "backend": jax.default_backend(),
+        "mean": round(float(d.mean()), 4),
+        "frac_gt2": round(float((d > 2).mean()), 6), "max": int(d.max()),
+        "envs_gt1pct_off": int((per_env > 0.01).sum()),
+        "ras_stats": [round(float(ras5.mean()), 2), int(ras5.min()),
+                      int(ras5.max())],
+        "slab_stats": [round(float(slab5.mean()), 2), int(slab5.min()),
+                       int(slab5.max())],
+    }), flush=True)
+
     for samples in (2, 1, 0):
         cfg = CartpoleConfig(
             use_raw_pixels=True, num_cameras=2, render_width=50,
