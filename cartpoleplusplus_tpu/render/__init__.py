@@ -11,29 +11,37 @@ from cartpoleplusplus_tpu.render.raycast import make_observe_pixels, render_rays
 
 
 def prefer_raster(num_cameras: int, obs_pool: int, obs_samples: int) -> bool:
-    """Per-config render-algorithm pick, decided by the on-chip races.
+    """Per-config render-algorithm pick, decided by the on-chip races AND
+    the round-5 learning A/B.
 
     The projective inverse-depth rasterizer (raycast._ray_obb_q, 110 census
-    ops/ray) beats the slab cascade (162 ops/ray) by moving per-ray sign
-    tests and reciprocals into per-env-PER-CAMERA scalar precompute.  The
-    round-4 morning race split by rays/camera (raster +9% at 1-cam exact,
-    −7% at config-5).  The round-4b re-race — same chip session, slab
-    cells as controls (both reproduce the morning slab numbers to ~1.5%),
-    everything at the 3-iteration solver default (BASELINE.md round 4b) —
-    has the raster winning every measured config:
+    ops/ray) beats the slab cascade (162 ops/ray) on throughput at every
+    measured config (round-4b same-session re-race: 1-cam exact +10.7%,
+    config-5 +2.0%; BASELINE.md round 4b), and round 4 promoted it
+    everywhere on that basis.
 
-    - 1-cam exact:  raster 1.504M vs slab 1.359M  (+10.7%)
-    - config-5:     raster 1.083M vs slab 1.062M  (+2.0%, same session;
-      the morning −7% did not reproduce once both kernels raced
-      back-to-back at the new physics default)
-    - 2-cam exact:  raster 815k = 90% of its 905k ceiling; the slab's
-      CENSUS ceiling there is ~616k — the raster wins by construction.
+    Round 5 DEMOTED it for SAMPLED configs (obs_samples > 0): the
+    same-seed 2-cam samples=2 learning A/B (chip_queue6 ab_2cam_*) has the
+    slab backend learning normally (final 109/200, the historical band)
+    while the raster backend flatlines at the nop baseline for all 15000
+    segments — despite the on-chip render-diff probe measuring the two
+    kernels byte-identical on randomized states at tile_e=8
+    (scripts/render_diff_probe.py; the production-shape probe is queued).
+    Until the divergence mechanism is isolated, the learning-validated
+    assignment is:
 
-    Rule: raster everywhere.  The slab cascade remains one
-    ``--no-render-raster`` away (and is the automatic fallback when the
-    backend rejects the raster kernel — agents/common.py probe).
+    - exact configs (obs_samples == 0): raster — throughput-raced AND
+      learning-validated (1-cam: TD3 4-seed bar; 2-cam exact: the
+      35000-segment push run, final 123.7).
+    - sampled configs (obs_samples > 0): slab — the round-2/3
+      learning-validated production kernel (2-cam samples=2: 100-133
+      band across runs incl. the round-5 control).
+
+    The other kernel stays one --render-raster/--no-render-raster away,
+    and slab remains the automatic fallback when the backend rejects the
+    raster kernel (agents/common.py probe).
     """
-    return True
+    return obs_samples == 0
 
 
 __all__ = [

@@ -1,11 +1,16 @@
 """Per-config render-algorithm auto-pick (render.prefer_raster).
 
-The round-4b same-session race (BASELINE.md round 4b; slab cells as
-tunnel-health controls) has the projective raster winning every measured
-config — 1-cam exact +10.7%, config-5 +2.0% — so the rule is raster
-everywhere, slab one --no-render-raster away.  The rule and its plumbing
-(agent tristate flag, probe resolution, bench child argv) are pinned here
-so a flag-default edit can't silently flip a measured winner.
+Round-4b throughput races had the projective raster winning every measured
+config, and round 4 promoted it everywhere.  Round 5 DEMOTED it for
+SAMPLED configs after the same-seed 2-cam samples=2 learning A/B
+(chip_queue6 ab_2cam_*): the slab backend learns normally (final 109/200)
+while the raster backend flatlines at the nop baseline for all 15000
+segments — so the rule is raster for exact configs (obs_samples == 0,
+learning-validated by the TD3 4-seed bar and the 35000-segment 2-cam-exact
+push run), slab for sampled ones (the round-2/3 learning-validated
+production kernel).  The rule and its plumbing (agent tristate flag, probe
+resolution, bench child argv) are pinned here so a flag-default edit can't
+silently flip a learning-validated assignment.
 """
 
 from types import SimpleNamespace
@@ -15,16 +20,19 @@ from cartpoleplusplus_tpu.env.config import CartpoleConfig
 from cartpoleplusplus_tpu.render import prefer_raster
 
 
-def test_rule_matches_measured_race():
-    # Measured winners (BASELINE.md round 4b): raster everywhere.
+def test_rule_matches_learning_ab():
+    # Exact configs: raster (throughput-raced AND learning-validated).
     assert prefer_raster(1, 2, 0) is True       # 1-cam exact: raster +10.7%
-    assert prefer_raster(2, 2, 2) is True       # config-5: raster +2.0%
-    assert prefer_raster(2, 2, 1) is True
-    assert prefer_raster(2, 2, 0) is True
-    assert prefer_raster(2, 2, 4) is True
-    assert prefer_raster(1, 2, 2) is True
-    assert prefer_raster(1, 2, 1) is True
+    assert prefer_raster(2, 2, 0) is True       # 2-cam exact: push run 123.7
     assert prefer_raster(1, 1, 0) is True
+    # Sampled configs: slab (round-5 A/B — raster flatlines at the nop
+    # baseline on 2-cam samples=2; demoted for every sampled config until
+    # the mechanism is isolated).
+    assert prefer_raster(2, 2, 2) is False      # config-5 A/B: slab 109 vs 4.7
+    assert prefer_raster(2, 2, 1) is False
+    assert prefer_raster(2, 2, 4) is False
+    assert prefer_raster(1, 2, 2) is False
+    assert prefer_raster(1, 2, 1) is False
 
 
 def _opts(**kw):
@@ -45,7 +53,7 @@ def test_probe_resolves_tristate_to_config_winner():
         CartpoleConfig(use_raw_pixels=True, num_cameras=2,
                        render_width=50, render_height=50,
                        obs_pool=2, obs_samples=2), opts)
-    assert opts.render_raster is True  # round-4b: raster wins config-5 too
+    assert opts.render_raster is False  # round-5 A/B: slab for sampled
 
     # Low-dim: no renderer, auto resolves to slab-off so downstream
     # raster consumers (record/eval) never see a truthy leftover.
