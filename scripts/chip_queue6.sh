@@ -191,3 +191,7 @@ note "queue6 complete"
 # kernel at samples=2 from a recipe-level failure.
 T=900 step render_diff python scripts/render_diff_probe.py
 note "queue6 complete (incl. appended probe)"
+
+# --- 10. (appended) in-jit venv obs diff: the REAL training render path -------
+T=1200 step venv_obs_diff python scripts/venv_obs_diff_probe.py
+note "queue6 complete (incl. venv obs probe)"
