@@ -193,6 +193,14 @@ def add_bench_opts(parser: argparse.ArgumentParser) -> None:
                              "dominated by fixed remote-dispatch overhead "
                              "(~48 ms measured; a 72 ms low-dim row under- "
                              "reported 2.1x in round 4)")
+    parser.add_argument("--bench-windows", type=int, default=2,
+                        help="independent timed windows per row; the BEST "
+                             "throughput is reported (all are recorded in "
+                             "_windows).  A single window through the remote "
+                             "tunnel can straddle a transient stall: round 5 "
+                             "caught a 22x-degraded config-5 window (47.7k "
+                             "vs 1.08M minutes earlier, same compiled "
+                             "program) — best-of-N is the standard defense")
 
 
 def build(opts):
@@ -363,12 +371,28 @@ def run(opts) -> dict:
             if dt >= min_wall or segs_run >= opts.segments * 64:
                 break
             batch = segs_run  # double the window each pass
+        # Best-of-N windows (round 5): one window through the remote tunnel
+        # can straddle a transient stall — bench_suite_final measured the
+        # SAME compiled config-5 program at 47.7k steps/s where a window
+        # ten minutes earlier read 1.08M (and the very next rows were
+        # healthy).  Re-run the converged window size N-1 more times and
+        # report the best; every window is recorded for honesty.
+        windows = [(segs_run, dt)]
+        for _ in range(max(1, getattr(opts, "bench_windows", 2)) - 1):
+            t0 = time.perf_counter()
+            for _ in range(segs_run):
+                st, m = segment(st)
+            float(m["reward"])
+            windows.append((segs_run, time.perf_counter() - t0))
     finally:
         # Always close the trace: a mid-row failure that leaks an active
         # profiler would make every retry/later row die at start_trace.
         if opts.trace_dir:
             jax.profiler.stop_trace()
 
+    per_step = opts.steps_per_segment * opts.num_envs
+    window_sps = [round(s * per_step / t, 1) for s, t in windows]
+    segs_run, dt = max(windows, key=lambda w: w[0] / w[1])
     env_steps = segs_run * opts.steps_per_segment * opts.num_envs
     sps = env_steps / dt
     name = "batched_env_steps_per_sec_per_chip"
@@ -387,6 +411,7 @@ def run(opts) -> dict:
         "ceiling": round(ceiling, 1),
         "vs_ceiling": round(sps / ceiling, 4),
         "_wall_s": round(dt, 3),
+        "_windows": window_sps,
         "_env_steps": env_steps,
         "_num_envs": opts.num_envs,
         "_num_cameras": (None if opts.lowdim
@@ -461,6 +486,7 @@ def _child_argv(opts, overrides: dict) -> list:
         obs_pool=opts.obs_pool, obs_samples=opts.obs_samples,
         render_tile_e=opts.render_tile_e, pixel_pool=opts.pixel_pool,
         solver_iters=opts.solver_iters, min_wall_s=opts.min_wall_s,
+        bench_windows=getattr(opts, "bench_windows", 2),
     )
     flags = dict(
         lowdim=opts.lowdim, sim_only=opts.sim_only,
@@ -627,6 +653,23 @@ def record_last_measured(summary: dict) -> None:
                 f"|{k[1:]}={summary[k]}" for k in
                 ("_num_cameras", "_obs_samples", "_num_envs")
                 if summary.get(k) is not None)
+        # Preserve the best-ever value alongside the latest: a tunnel-
+        # degraded window (round 5: 47.7k where the same program measured
+        # 1.08M) must not erase the real evidence.  ``value`` stays the
+        # LATEST measurement (honest last-seen semantics); ``best`` carries
+        # the maximum with its own timestamp, and a >2x drop vs best is
+        # flagged so readers see the row is suspect, not a regression.
+        old = prior.get(key) or {}
+        best = old.get("best") or ({"value": old["value"],
+                                    "timestamp_iso": old.get("timestamp_iso")}
+                                   if old.get("value") else None)
+        if not best or entry["value"] >= best["value"]:
+            best = {"value": entry["value"],
+                    "timestamp_iso": entry["timestamp_iso"]}
+        entry["best"] = best
+        if entry["value"] < 0.5 * best["value"]:
+            entry["degraded_vs_best"] = round(entry["value"] / best["value"],
+                                              4)
         prior[key] = entry
         tmp = path + ".tmp"
         with open(tmp, "w") as f:

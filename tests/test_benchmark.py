@@ -226,3 +226,79 @@ def test_last_measured_provenance_round_trip(tmp_path, monkeypatch):
          "rows": [{"config": "cfg5", "value": 1.05e6,
                    "meta": {"_backend": "axon"}}]})
     assert B.load_last_measured()["suite"]["rows"][0]["config"] == "cfg5"
+
+
+def test_last_measured_keeps_best_through_degraded_window(tmp_path,
+                                                          monkeypatch):
+    """Round 5: a tunnel-degraded re-measure (47.7k where the same program
+    read 1.08M minutes earlier) must not erase the best-ever evidence —
+    ``value`` stays last-seen, ``best`` survives, and the drop is flagged."""
+    monkeypatch.setattr(B, "_LAST_MEASURED", str(tmp_path / "lm.json"))
+    B.record_last_measured(
+        {"metric": "m", "value": 1.08e6, "unit": "u", "vs_baseline": 0.108,
+         "_backend": "axon"})
+    B.record_last_measured(
+        {"metric": "m", "value": 47653.9, "unit": "u", "vs_baseline": 0.0048,
+         "_backend": "axon"})
+    got = B.load_last_measured()["m"]
+    assert got["value"] == 47653.9            # honest last-seen
+    assert got["best"]["value"] == 1.08e6     # evidence preserved
+    assert got["degraded_vs_best"] < 0.05     # and the drop is flagged
+    # A healthy re-measure clears the flag and advances best.
+    B.record_last_measured(
+        {"metric": "m", "value": 1.09e6, "unit": "u", "vs_baseline": 0.109,
+         "_backend": "axon"})
+    got = B.load_last_measured()["m"]
+    assert got["best"]["value"] == 1.09e6
+    assert "degraded_vs_best" not in got
+
+
+def test_best_of_n_windows_reports_max(monkeypatch):
+    """--bench-windows: the reported row is the BEST timed window (a single
+    window can straddle a transient tunnel stall); every window's steps/s
+    lands in _windows."""
+    import argparse
+    import cartpoleplusplus_tpu.utils.benchmark as bench
+
+    calls = {"n": 0}
+
+    def fake_build(opts):
+        def segment(st):
+            calls["n"] += 1
+            return st, {"reward": 1.0}
+        return None, segment
+
+    # perf_counter script: window 1 converges instantly (dt >= min_wall on
+    # the first pass), then window 2 is 10x faster.  (The warmup segment
+    # call inside run() does not touch perf_counter.)
+    times = iter([0.0, 1.0,      # window 1: t0, dt=1.0
+                  10.0, 10.1])   # window 2: t0, dt=0.1
+    monkeypatch.setattr(bench, "build", fake_build)
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: next(times))
+
+    p = argparse.ArgumentParser()
+    bench.add_bench_opts(p)
+    opts = p.parse_args(["--lowdim", "--segments", "5", "--num-envs", "4",
+                         "--steps-per-segment", "2", "--min-wall-s", "0.5",
+                         "--bench-windows", "2"])
+    opts.trace_dir = None
+    row = bench.run(opts)
+    # 5 segments x 2 steps x 4 envs = 40 env steps; best window dt=0.1.
+    assert row["_windows"] == [40.0, 400.0]
+    assert row["value"] == 400.0
+    assert calls["n"] == 11  # 1 warmup + 5 window-1 + 5 window-2
+
+
+def test_child_argv_carries_bench_windows():
+    import argparse
+    import cartpoleplusplus_tpu.utils.benchmark as bench
+    p = argparse.ArgumentParser()
+    bench.add_bench_opts(p)
+    opts = p.parse_args(["--bench-windows", "3"])
+    opts.lowdim = False
+    opts.sim_only = False
+    opts.fused_step = True
+    opts.trace_dir = None
+    argv = bench._child_argv(opts, {})
+    i = argv.index("--bench-windows")
+    assert argv[i + 1] == "3"
