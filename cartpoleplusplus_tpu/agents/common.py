@@ -133,7 +133,7 @@ def make_venv(
     pallas_physics: bool = False, fused_step: bool = True,
     render_tile_e: int = 32, render_recip: bool = True,
     render_raster: bool | None = None, render_mxu: bool = False,
-    render_hoist: bool = False,
+    render_hoist: bool = False, render_interpret: bool = False,
 ) -> VectorCartpole:
     """Vector env with the right observation fn (pixels iff --use-raw-pixels).
 
@@ -172,6 +172,7 @@ def make_venv(
             observe_batched_fn = make_render_batched(
                 config, tile_e=render_tile_e, recip=render_recip,
                 raster=render_raster, mxu=render_mxu, hoist=render_hoist,
+                interpret=render_interpret,
             )
     sim_fn = None
     if fused_step and pallas_physics and pallas_render and config.use_raw_pixels:
@@ -185,6 +186,7 @@ def make_venv(
         render_rep = make_render_repeats(
             config, tile_e=render_tile_e, recip=render_recip,
             raster=render_raster, mxu=render_mxu, hoist=render_hoist,
+            interpret=render_interpret,
         )
 
         def sim_fn(scene, rigid, force):

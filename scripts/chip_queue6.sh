@@ -195,3 +195,30 @@ note "queue6 complete (incl. appended probe)"
 # --- 10. (appended) in-jit venv obs diff: the REAL training render path -------
 T=1200 step venv_obs_diff python scripts/venv_obs_diff_probe.py
 note "queue6 complete (incl. venv obs probe)"
+
+# --- 11. (appended) first-divergence probe: the REAL fused train segment ----
+T=1500 step train_segment_diff python scripts/train_segment_diff_probe.py
+
+# --- 12. (appended) raster-flatline seed sweep: is the 2-cam samples=2
+# raster flatline systematic (backend-caused) or one-seed actor-collapse
+# chaos?  Short horizon (2000 segments, eval every 100): the original A/B
+# showed the signature (double_reset pinned ~0.82, eval ~4.7) from the
+# first logged row, so 2000 segments decide per seed in ~6 min.
+for s in 1 2; do
+  for backend in raster slab; do
+    flag=--render-raster; [ $backend = slab ] && flag=--no-render-raster
+T=1500 step ab2k_${backend}_s$s python -m cartpoleplusplus_tpu.agents.ddpg \
+  --use-raw-pixels --num-cameras 2 --obs-pool 2 --obs-samples 2 \
+  --pixel-encoder conv \
+  --num-envs 512 --num-eval 64 --eval-freq 100 \
+  --steps-per-segment 25 --batch-size 256 --replay-capacity 65536 \
+  --warmup-steps 40 --num-train-batches 2000 \
+  --actor-learning-rate 1e-4 --critic-learning-rate 3e-4 --lr-schedule cosine \
+  --reward-scale 0.1 --grad-clip 10 --aug-shift 2 \
+  --ou-sigma-min 0.05 --ou-decay-steps 250000 \
+  --twin-critic --policy-delay 2 --target-noise 0.2 \
+  --pallas-render $flag \
+  --seed $s --metrics-jsonl runs/ddpg_ab2k_${backend}_s$s.jsonl
+  done
+done
+note "queue6 complete (incl. flatline seed sweep)"

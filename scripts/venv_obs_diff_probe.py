@@ -21,12 +21,14 @@ from cartpoleplusplus_tpu.env.config import CartpoleConfig
 
 def run(render_raster: bool, steps: int = 12, envs: int = 64):
     cfg = CartpoleConfig(
+        discrete_actions=False,
         use_raw_pixels=True, num_cameras=2, render_width=50,
         render_height=50, obs_pool=2, obs_samples=2,
         action_repeats=3, steps_per_repeat=5,
     )
     venv = common.make_venv(cfg, envs, pallas_render=True,
-                            render_raster=render_raster)
+                            render_raster=render_raster,
+                            render_interpret=jax.default_backend() == "cpu")
     reset = jax.jit(venv.reset)
     step = jax.jit(venv.step)
 
@@ -34,9 +36,9 @@ def run(render_raster: bool, steps: int = 12, envs: int = 64):
     traj = [np.asarray(obs)]
     k = jax.random.PRNGKey(1)
     for _ in range(steps):
-        k, ka = jax.random.split(k)
+        k, ka, ks = jax.random.split(k, 3)
         act = jax.random.uniform(ka, (envs, 2), minval=-1.0, maxval=1.0)
-        states, obs, reward, done = step(states, act)
+        states, obs, reward, done, next_obs = step(states, act, ks)
         traj.append(np.asarray(obs))
     return traj
 
