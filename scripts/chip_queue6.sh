@@ -222,3 +222,20 @@ T=1500 step ab2k_${backend}_s$s python -m cartpoleplusplus_tpu.agents.ddpg \
   done
 done
 note "queue6 complete (incl. flatline seed sweep)"
+
+# --- 13. (appended) pixel-SAC 3-seed bar: s1 hit a sustained-200 perfect
+# run; s0 (round-4 floorless, peaked 153->109) re-run with the floor, plus
+# a fresh s2 — same recipe as sac_pixels_s1.
+for s in 0 2; do
+T=3700 step sac_pixels_fix_s$s python -m cartpoleplusplus_tpu.agents.sac \
+  --use-raw-pixels --num-cameras 2 --obs-pool 2 --pixel-encoder conv \
+  --num-envs 512 --num-eval 64 --eval-freq 500 \
+  --steps-per-segment 25 --batch-size 256 --replay-capacity 65536 \
+  --warmup-steps 40 --num-train-batches 15000 \
+  --actor-learning-rate 1e-4 --critic-learning-rate 3e-4 --lr-schedule cosine \
+  --reward-scale 0.1 --grad-clip 10 --aug-shift 2 --alpha-min 0.02 \
+  --pallas-render \
+  --ckpt-dir runs/ckpt_sac_pixels_s$s --ckpt-freq 5000 --ckpt-skip-replay \
+  --seed $s --metrics-jsonl runs/sac_pixels_fix_s$s.jsonl
+done
+note "queue6 complete (incl. pixel-SAC seeds)"

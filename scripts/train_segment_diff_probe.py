@@ -107,7 +107,7 @@ def checksums(st) -> dict:
                                  for x in leaves))
     rep = st.replay
     out["replay_obs_sum"] = float(np.asarray(rep.s1, np.float64).sum())
-    out["replay_rew_sum"] = round(float(np.asarray(rep.r).sum()), 3)
+    out["replay_rew_sum"] = round(float(np.asarray(rep.reward).sum()), 3)
     out["env_pos_sum"] = round(
         float(np.abs(np.asarray(st.env_states.rigid.pos)).sum()), 3)
     out["env_steps"] = int(st.env_steps)
