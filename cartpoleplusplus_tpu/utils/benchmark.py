@@ -193,7 +193,7 @@ def add_bench_opts(parser: argparse.ArgumentParser) -> None:
                              "dominated by fixed remote-dispatch overhead "
                              "(~48 ms measured; a 72 ms low-dim row under- "
                              "reported 2.1x in round 4)")
-    parser.add_argument("--bench-windows", type=int, default=2,
+    parser.add_argument("--bench-windows", type=int, default=3,
                         help="independent timed windows per row; the BEST "
                              "throughput is reported (all are recorded in "
                              "_windows).  A single window through the remote "
@@ -378,7 +378,7 @@ def run(opts) -> dict:
         # healthy).  Re-run the converged window size N-1 more times and
         # report the best; every window is recorded for honesty.
         windows = [(segs_run, dt)]
-        for _ in range(max(1, getattr(opts, "bench_windows", 2)) - 1):
+        for _ in range(max(1, getattr(opts, "bench_windows", 3)) - 1):
             t0 = time.perf_counter()
             for _ in range(segs_run):
                 st, m = segment(st)
@@ -486,7 +486,7 @@ def _child_argv(opts, overrides: dict) -> list:
         obs_pool=opts.obs_pool, obs_samples=opts.obs_samples,
         render_tile_e=opts.render_tile_e, pixel_pool=opts.pixel_pool,
         solver_iters=opts.solver_iters, min_wall_s=opts.min_wall_s,
-        bench_windows=getattr(opts, "bench_windows", 2),
+        bench_windows=getattr(opts, "bench_windows", 3),
     )
     flags = dict(
         lowdim=opts.lowdim, sim_only=opts.sim_only,
