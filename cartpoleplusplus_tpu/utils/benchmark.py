@@ -430,22 +430,33 @@ _PROBE_CODE = (
 )
 
 
-def probe_backend(timeout_s: float = 90) -> bool:
+def probe_backend(timeout_s: float = 150, attempts: int = 2) -> bool:
     """Fail-fast backend liveness probe, in a KILLABLE subprocess.
 
     A dead remote backend doesn't error — it hangs in compile/enqueue for
     tens of minutes (BENCH_r03 burned its whole timeout on one warmup), and
     an in-process hang can't be interrupted.  One tiny matmul in a child
     answers 'is the chip there' in seconds or gets killed at ``timeout_s``.
+
+    Retries with a FRESH child (``attempts``, round-5): a cold/contended
+    tunnel was measured taking 126 s for this same op while the backend was
+    perfectly healthy — one 90 s shot misreads that as an outage (the
+    BENCH_r04 0.0).  Killing a hung child and reconnecting gets a fresh
+    connection, and the server-side warmup from attempt 1 usually makes
+    attempt 2 fast.  A truly dead backend costs attempts × timeout_s, still
+    minutes not tens of minutes.
     """
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", _PROBE_CODE],
-            timeout=timeout_s, capture_output=True,
-        )
-        return r.returncode == 0
-    except (subprocess.TimeoutExpired, OSError):
-        return False
+    for _ in range(max(1, attempts)):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_CODE],
+                timeout=timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except (subprocess.TimeoutExpired, OSError):
+            pass
+    return False
 
 
 # The default multi-row suite: config-5 production headline first (BASELINE
@@ -705,10 +716,16 @@ def main(argv=None):
              "1-camera exact, ray-count speed, and low-dim rows — each row "
              "in a watchdogged subprocess, streamed as it lands")
     parser.add_argument(
-        "--probe-timeout", type=float, default=90,
-        help="fail-fast backend liveness probe budget (seconds); a dead "
-             "remote backend hangs rather than errors, so the suite probes "
-             "in a killable child before paying any compile")
+        "--probe-timeout", type=float, default=150,
+        help="fail-fast backend liveness probe budget (seconds, PER "
+             "attempt); a dead remote backend hangs rather than errors, so "
+             "the suite probes in a killable child before paying any "
+             "compile")
+    parser.add_argument(
+        "--probe-attempts", type=int, default=2,
+        help="liveness probe attempts (fresh child each): a cold tunnel "
+             "was measured at 126s for the probe op while healthy — one "
+             "short shot misreads that as an outage")
     parser.add_argument(
         "--row-timeout", type=float, default=1500,
         help="per-attempt watchdog for one suite row (seconds)")
@@ -745,8 +762,9 @@ def main(argv=None):
         _emit({
             "metric": "batched_env_steps_per_sec_per_chip_pixel_render",
             "value": 0.0, "unit": "env_steps/sec/chip", "vs_baseline": 0.0,
-            "error": f"backend unavailable: {opts.probe_timeout:.0f}s "
-                     "liveness probe failed before any compile",
+            "error": f"backend unavailable: {opts.probe_attempts}x"
+                     f"{opts.probe_timeout:g}s liveness probe failed "
+                     "before any compile",
             "cpu_smoke": smoke,
             # The evidence chain survives the outage: most recent REAL
             # measurements (builder-recorded, ISO-stamped) — an outage
@@ -760,7 +778,8 @@ def main(argv=None):
         # probe timeout, not a hang until the caller's external timeout
         # (every chip-queue cell is a --single/--lowdim invocation).
         # --probe-timeout 0 skips the probe.
-        if opts.probe_timeout > 0 and not probe_backend(opts.probe_timeout):
+        if opts.probe_timeout > 0 and not probe_backend(
+                opts.probe_timeout, opts.probe_attempts):
             emit_backend_down()
             return
         result = run(opts)
@@ -772,7 +791,8 @@ def main(argv=None):
         record_last_measured(result)
         return
 
-    if not probe_backend(opts.probe_timeout):
+    if opts.probe_timeout > 0 and not probe_backend(
+            opts.probe_timeout, opts.probe_attempts):
         emit_backend_down()
         return
 
@@ -799,7 +819,8 @@ def main(argv=None):
                 _child_argv(opts, row_over), opts.row_timeout)
             if result is not None:
                 break
-            if not probe_backend(opts.probe_timeout):
+            if opts.probe_timeout > 0 and not probe_backend(
+                    opts.probe_timeout, opts.probe_attempts):
                 aborted = "backend died mid-suite"
                 break
         if result is None and aborted is None and want_raster:

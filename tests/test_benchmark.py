@@ -163,7 +163,7 @@ def test_child_argv_roundtrips_through_parser():
 
 
 def test_probe_backend_times_out_fast(monkeypatch):
-    """A hung backend must cost the probe timeout, not minutes."""
+    """A hung backend must cost attempts x timeout, not minutes."""
     import sys as _sys
     import time as _time
 
@@ -171,10 +171,30 @@ def test_probe_backend_times_out_fast(monkeypatch):
     monkeypatch.setattr(B.sys, "executable", real)
     monkeypatch.setattr(B, "_PROBE_CODE", "import time; time.sleep(60)")
     t0 = _time.perf_counter()
-    assert B.probe_backend(timeout_s=2) is False
+    assert B.probe_backend(timeout_s=2, attempts=2) is False
     assert _time.perf_counter() - t0 < 30
     monkeypatch.setattr(B, "_PROBE_CODE", "pass")
     assert B.probe_backend(timeout_s=30) is True
+
+
+def test_probe_backend_retries_cold_tunnel(tmp_path, monkeypatch):
+    """Attempt 2 runs in a FRESH child: a cold-but-alive tunnel (round-5
+    measurement: 126 s for the probe op while healthy) must not read as an
+    outage when the first shot is killed."""
+    import sys as _sys
+
+    marker = tmp_path / "attempt1"
+    # First child sleeps past its timeout (leaving the marker); the retry
+    # child sees the marker and succeeds immediately.
+    code = (
+        "import pathlib, time; p = pathlib.Path(%r); "
+        "exit(0) if p.exists() else (p.touch(), time.sleep(60))"
+        % str(marker)
+    )
+    monkeypatch.setattr(B.sys, "executable", _sys.executable)
+    monkeypatch.setattr(B, "_PROBE_CODE", code)
+    assert B.probe_backend(timeout_s=3, attempts=2) is True
+    assert B.probe_backend(timeout_s=3, attempts=1) is True  # marker persists
 
 
 def test_child_env_prepends_package_parent():
