@@ -504,9 +504,10 @@ class BestCkptKeeper:
     """--ckpt-best policy: persist the state at the best eval seen so far.
 
     Constructed once per train(); ``update`` is called after every eval and
-    writes ``ckpt_best.msgpack`` only on improvement.  On resume the json
-    sidecar seeds the gate so a restart cannot clobber a better historical
-    best with an early worse one.  Off (no-op) unless --ckpt-dir AND
+    writes ``ckpt_best.msgpack`` only on improvement.  On resume
+    ``checkpoint.best_meta`` (embedded-in-msgpack meta, sidecar fallback)
+    seeds the gate so a restart cannot clobber a better historical best
+    with an early worse one.  Off (no-op) unless --ckpt-dir AND
     --ckpt-best, and always off multi-process (rank-sharded best files
     would need their own completeness story)."""
 
@@ -516,14 +517,11 @@ class BestCkptKeeper:
         self.best = float("-inf")
         self._opts = opts
         if self.on:
-            try:
-                import json as _json
+            from cartpoleplusplus_tpu.utils import checkpoint as ckpt_mod
 
-                with open(os.path.join(opts.ckpt_dir,
-                                       "ckpt_best.msgpack.json")) as f:
-                    self.best = float(_json.load(f)["eval_ep_len"])
-            except Exception:
-                pass
+            meta = ckpt_mod.best_meta(opts.ckpt_dir)
+            if meta is not None:
+                self.best = float(meta["eval_ep_len"])
 
     def update(self, step: int, eval_len: float, st) -> None:
         if self.on and eval_len > self.best:
@@ -536,10 +534,11 @@ class BestCkptKeeper:
             )
 
 
-def restore_for_startup(opts, st, multiproc: bool = False):
+def restore_for_startup(opts, st):
     """The shared restore-if-present startup policy: restore_best when the
     run is --eval-only --ckpt-best, restore_latest otherwise.  Multi-process
-    callers do NOT use this (they restore after mesh placement)."""
+    callers do NOT use this (they restore after mesh placement; every agent
+    gates the call on ``not multiproc``)."""
     from cartpoleplusplus_tpu.utils import checkpoint as ckpt_mod
 
     if getattr(opts, "eval_only", False) and getattr(opts, "ckpt_best", False):

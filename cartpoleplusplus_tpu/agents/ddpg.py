@@ -562,7 +562,7 @@ def train(opts) -> float:
     restored = None
     multiproc = getattr(opts, "num_processes", 1) > 1
     if opts.ckpt_dir and not multiproc:
-        st, restored = common.restore_for_startup(opts, st, multiproc)
+        st, restored = common.restore_for_startup(opts, st)
         if restored is not None:
             # Resume the segment counter too, so checkpoint numbering stays
             # monotonic — restarting at 0 would re-save ckpt_1..N with newer

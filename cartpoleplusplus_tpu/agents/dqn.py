@@ -458,7 +458,7 @@ def train(opts) -> float:
     restored = None
     multiproc = getattr(opts, "num_processes", 1) > 1
     if opts.ckpt_dir and not multiproc:
-        st, restored = common.restore_for_startup(opts, st, multiproc)
+        st, restored = common.restore_for_startup(opts, st)
         if restored is not None:
             # Resume the segment counter so checkpoint numbering stays
             # monotonic across restarts (see agents/ddpg.py).

@@ -192,7 +192,7 @@ def train(opts) -> float:
     restored = None
     multiproc = getattr(opts, "num_processes", 1) > 1
     if opts.ckpt_dir and not multiproc:
-        ts, restored = common.restore_for_startup(opts, ts, multiproc)
+        ts, restored = common.restore_for_startup(opts, ts)
         if restored is not None:
             logger.log("restore", step=restored)
     if opts.eval_only:

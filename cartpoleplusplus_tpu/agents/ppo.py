@@ -281,7 +281,7 @@ def train(opts) -> float:
     restored = None
     multiproc = getattr(opts, "num_processes", 1) > 1
     if opts.ckpt_dir and not multiproc:
-        ps, restored = common.restore_for_startup(opts, ps, multiproc)
+        ps, restored = common.restore_for_startup(opts, ps)
         if restored is not None:
             logger.log("restore", step=restored)
     if opts.eval_only:

@@ -413,7 +413,7 @@ def train(opts) -> float:
     restored = None
     multiproc = getattr(opts, "num_processes", 1) > 1
     if opts.ckpt_dir and not multiproc:
-        st, restored = common.restore_for_startup(opts, st, multiproc)
+        st, restored = common.restore_for_startup(opts, st)
         if restored is not None:
             start_segment = restored
             logger.log("restore", step=restored)

@@ -353,37 +353,40 @@ def run(opts) -> dict:
     if opts.trace_dir:
         jax.profiler.start_trace(opts.trace_dir)
     try:
-        segs_run = 0
-        batch = opts.segments
-        t0 = time.perf_counter()
-        while True:
-            for _ in range(batch):
-                st, m = segment(st)
-            float(m["reward"])  # sync: fetch a scalar through the tunnel
-            dt = time.perf_counter() - t0
-            segs_run += batch
+        def timed_window(first_batch: int):
             # Auto-extend short windows: fixed dispatch overhead through the
             # remote tunnel (~48 ms, measured round 4) dominated the default
             # 100-step low-dim row — it read 5.7M steps/s where a 500-step
             # window of the SAME compiled program reads 12.1M.  Doubling the
             # window costs no recompiles; cap at 64x the requested segments
-            # so a stubbed/instant segment fn can't spin.
-            if dt >= min_wall or segs_run >= opts.segments * 64:
-                break
-            batch = segs_run  # double the window each pass
+            # so a stubbed/instant segment fn can't spin.  EVERY window
+            # extends (round-5 review): a stall during window 1's doubling
+            # loop converges it small, and a fixed-size re-run of that small
+            # window against a healthy tunnel lands back in the dispatch-
+            # dominated regime the extension exists to escape.
+            nonlocal st
+            segs, batch = 0, first_batch
+            t0 = time.perf_counter()
+            while True:
+                for _ in range(batch):
+                    st, m = segment(st)
+                float(m["reward"])  # sync: fetch a scalar through the tunnel
+                dt = time.perf_counter() - t0
+                segs += batch
+                if dt >= min_wall or segs >= opts.segments * 64:
+                    return segs, dt
+                batch = segs  # double the window each pass
+
         # Best-of-N windows (round 5): one window through the remote tunnel
         # can straddle a transient stall — bench_suite_final measured the
         # SAME compiled config-5 program at 47.7k steps/s where a window
         # ten minutes earlier read 1.08M (and the very next rows were
-        # healthy).  Re-run the converged window size N-1 more times and
-        # report the best; every window is recorded for honesty.
-        windows = [(segs_run, dt)]
+        # healthy).  Re-run N-1 more windows (each seeded at the previous
+        # converged size, each free to extend) and report the best; every
+        # window is recorded for honesty.
+        windows = [timed_window(opts.segments)]
         for _ in range(max(1, getattr(opts, "bench_windows", 3)) - 1):
-            t0 = time.perf_counter()
-            for _ in range(segs_run):
-                st, m = segment(st)
-            float(m["reward"])
-            windows.append((segs_run, time.perf_counter() - t0))
+            windows.append(timed_window(windows[-1][0]))
     finally:
         # Always close the trace: a mid-row failure that leaks an active
         # profiler would make every retry/later row die at start_trace.

@@ -136,7 +136,14 @@ def save_best(ckpt_dir: str, step: int, eval_len: float, tree: Any,
     seen so far, independent of the numbered save cadence.  Callers gate on
     improvement — this just writes.  Single-process only (the multi-process
     rank-shard flavor would need its own completeness story; agents skip
-    the flag there)."""
+    the flag there).
+
+    The step/eval meta is embedded IN the msgpack payload so the whole
+    best-checkpoint (weights + the improvement gate that protects them) is
+    one atomic ``os.replace`` — a crash between two replaces, or a corrupt
+    sidecar, used to reseed the gate below the stored weights and let a
+    later WORSE eval clobber the better best (round-5 review).  The json
+    sidecar is still written, but purely advisory (humans / dashboards)."""
     if jax.process_count() > 1:  # pragma: no cover - agents gate on this
         raise ValueError("--ckpt-best is single-process only")
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -144,9 +151,13 @@ def save_best(ckpt_dir: str, step: int, eval_len: float, tree: Any,
         tree = strip_replay(tree)
     tree = jax.device_get(tree)
     path = os.path.join(ckpt_dir, _BEST_NAME)
+    payload = {
+        "state": serialization.to_state_dict(tree),
+        "_best_meta": {"step": int(step), "eval_ep_len": float(eval_len)},
+    }
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        f.write(serialization.to_bytes(tree))
+        f.write(serialization.msgpack_serialize(payload))
     os.replace(tmp, path)
     import json as _json
 
@@ -156,14 +167,53 @@ def save_best(ckpt_dir: str, step: int, eval_len: float, tree: Any,
     return path
 
 
+def best_meta(ckpt_dir: str) -> Optional[dict]:
+    """``{"step", "eval_ep_len"}`` of ``ckpt_best.msgpack``, or None.
+
+    Reads the embedded msgpack meta (atomic with the weights); falls back
+    to the advisory json sidecar for pre-round-5 files that only had the
+    sidecar.  This is THE gate-seeding read: BestCkptKeeper must never see
+    a gate below the eval of the weights actually on disk."""
+    path = os.path.join(ckpt_dir or "", _BEST_NAME)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        if isinstance(raw, dict) and "_best_meta" in raw:
+            m = raw["_best_meta"]
+            return {"step": int(m["step"]),
+                    "eval_ep_len": float(m["eval_ep_len"])}
+    except Exception as e:
+        print(f"checkpoint {path}: unreadable ({type(e).__name__}); "
+              "trying the json sidecar", file=sys.stderr)
+    try:
+        import json as _json
+
+        with open(path + ".json") as f:
+            m = _json.load(f)
+        return {"step": int(m["step"]),
+                "eval_ep_len": float(m["eval_ep_len"])}
+    except Exception:
+        print(f"checkpoint {path}: no readable step/eval meta (legacy file "
+              "with a missing sidecar?)", file=sys.stderr)
+        return None
+
+
 def restore_best(ckpt_dir: str, target: Any) -> tuple[Any, Optional[int]]:
     """Restore ``ckpt_best.msgpack`` (same lenient merge as restore_latest);
-    (target, None) when absent.  The returned step is the sidecar's step."""
+    (target, None) when absent.  The returned step comes from the embedded
+    meta (sidecar fallback for legacy files; 0 + a stderr warning when
+    neither is readable — weights restored, provenance lost)."""
     path = os.path.join(ckpt_dir, _BEST_NAME)
     if not os.path.exists(path):
         return target, None
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
+    meta = None
+    if isinstance(raw, dict) and "_best_meta" in raw and "state" in raw:
+        meta = raw["_best_meta"]
+        raw = raw["state"]
     skipped: list = []
     merged = _merge_state_dict(serialization.to_state_dict(target), raw, skipped)
     if skipped:
@@ -172,14 +222,11 @@ def restore_best(ckpt_dir: str, target: Any) -> tuple[Any, Optional[int]]:
             f"{len(skipped)} leaves (first: {skipped[:3]})",
             file=sys.stderr,
         )
-    step = 0
-    try:
-        import json as _json
-
-        with open(path + ".json") as f:
-            step = int(_json.load(f)["step"])
-    except Exception:
-        pass
+    if meta is not None:
+        step = int(meta["step"])
+    else:
+        legacy = best_meta(ckpt_dir)  # sidecar fallback (warns when absent)
+        step = int(legacy["step"]) if legacy else 0
     return serialization.from_state_dict(target, merged), step
 
 

@@ -193,8 +193,11 @@ def test_probe_backend_retries_cold_tunnel(tmp_path, monkeypatch):
     )
     monkeypatch.setattr(B.sys, "executable", _sys.executable)
     monkeypatch.setattr(B, "_PROBE_CODE", code)
-    assert B.probe_backend(timeout_s=3, attempts=2) is True
-    assert B.probe_backend(timeout_s=3, attempts=1) is True  # marker persists
+    # 15 s per attempt: child *startup* alone is ~4 s under the axon
+    # sitecustomize PYTHONPATH, so a too-tight timeout would kill attempt 1
+    # before it even touches the marker.
+    assert B.probe_backend(timeout_s=15, attempts=2) is True
+    assert B.probe_backend(timeout_s=15, attempts=1) is True  # marker persists
 
 
 def test_child_env_prepends_package_parent():
@@ -289,10 +292,14 @@ def test_best_of_n_windows_reports_max(monkeypatch):
         return None, segment
 
     # perf_counter script: window 1 converges instantly (dt >= min_wall on
-    # the first pass), then window 2 is 10x faster.  (The warmup segment
-    # call inside run() does not touch perf_counter.)
-    times = iter([0.0, 1.0,      # window 1: t0, dt=1.0
-                  10.0, 10.1])   # window 2: t0, dt=0.1
+    # the first pass); window 2's first pass is fast (dt=0.1 < min_wall) so
+    # it AUTO-EXTENDS — round-5 review: fixed-size re-runs of a small
+    # stall-converged window landed back in the dispatch-dominated regime
+    # --min-wall-s exists to escape.  (The warmup segment call inside run()
+    # does not touch perf_counter.)
+    times = iter([0.0, 1.0,            # window 1: t0, dt=1.0 (5 segs)
+                  10.0, 10.1, 10.6])   # window 2: t0, dt=0.1 -> extend ->
+                                       #           dt=0.6 (10 segs total)
     monkeypatch.setattr(bench, "build", fake_build)
     monkeypatch.setattr(bench.time, "perf_counter", lambda: next(times))
 
@@ -303,10 +310,11 @@ def test_best_of_n_windows_reports_max(monkeypatch):
                          "--bench-windows", "2"])
     opts.trace_dir = None
     row = bench.run(opts)
-    # 5 segments x 2 steps x 4 envs = 40 env steps; best window dt=0.1.
-    assert row["_windows"] == [40.0, 400.0]
-    assert row["value"] == 400.0
-    assert calls["n"] == 11  # 1 warmup + 5 window-1 + 5 window-2
+    # window 1: 5 segs x 2 steps x 4 envs = 40 env steps / 1.0 s = 40.
+    # window 2: 10 segs = 80 env steps / 0.6 s = 133.3 — the best window.
+    assert row["_windows"] == [40.0, 133.3]
+    assert row["value"] == 133.3
+    assert calls["n"] == 16  # 1 warmup + 5 window-1 + (5+5) window-2
 
 
 def test_child_argv_carries_bench_windows():

@@ -378,3 +378,39 @@ def test_ckpt_best_keeps_best_eval(tmp_path):
     opts2.eval_only = True
     final = ddpg.train(opts2)
     assert 0.0 < final <= 10.0
+
+
+def test_ckpt_best_meta_is_atomic_with_weights(tmp_path):
+    """The improvement gate (step/eval meta) lives INSIDE ckpt_best.msgpack
+    (round-5 review): losing/corrupting the json sidecar must not reseed the
+    gate to -inf — that let a later WORSE eval clobber better weights via a
+    crash between the two os.replace calls."""
+    import os
+
+    tree = {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "step": np.int32(7)}
+    d = str(tmp_path)
+    ckpt.save_best(d, step=42, eval_len=180.5, tree=tree)
+
+    # Sidecar gone (the crash-between-replaces / corruption stand-in).
+    os.remove(os.path.join(d, "ckpt_best.msgpack.json"))
+
+    meta = ckpt.best_meta(d)
+    assert meta == {"step": 42, "eval_ep_len": 180.5}
+
+    target = {"w": np.zeros((2, 3), np.float32), "step": np.int32(0)}
+    restored, step = ckpt.restore_best(d, target)
+    assert step == 42
+    np.testing.assert_array_equal(restored["w"], tree["w"])
+
+    # The keeper seeds its gate from the embedded meta too.
+    from types import SimpleNamespace
+
+    from cartpoleplusplus_tpu.agents import common
+
+    opts = SimpleNamespace(ckpt_dir=d, ckpt_best=True)
+    keeper = common.BestCkptKeeper(opts, multiproc=False)
+    assert keeper.best == 180.5
+
+    # Missing file entirely: no meta, keeper starts at -inf.
+    assert ckpt.best_meta(str(tmp_path / "nope")) is None
