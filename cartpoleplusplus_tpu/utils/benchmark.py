@@ -86,8 +86,11 @@ def census_ceiling(opts) -> float:
     return VPU_MIX_TOPS / ops
 
 
+DEFAULT_NUM_ENVS = 4096
+
+
 def add_bench_opts(parser: argparse.ArgumentParser) -> None:
-    parser.add_argument("--num-envs", type=int, default=4096)
+    parser.add_argument("--num-envs", type=int, default=DEFAULT_NUM_ENVS)
     parser.add_argument("--num-cameras", type=int, default=1)
     parser.add_argument("--action-repeats", type=int, default=3)
     parser.add_argument("--steps-per-repeat", type=int, default=5)
@@ -473,8 +476,12 @@ ROW_SPECS = [
      {"num_cameras": 1, "obs_samples": 0}),
     ("1cam_samples1 (ray-count speed config)", "_1cam_s1",
      {"num_cameras": 1, "obs_samples": 1}),
-    ("lowdim (sim+learn, no renderer)", "_lowdim",
-     {"lowdim": True}),
+    # 8192 envs: physics is dependency-depth-bound, so VPU lanes are only
+    # 1/4 full at 4096 — per-chip low-dim throughput peaks at 8192 (18.4M
+    # vs 16.1M, BASELINE r4 "north star crossed" + r5 re-measure).  An
+    # explicit --num-envs from the user still wins (see the suite loop).
+    ("lowdim (sim+learn, no renderer, 8192 envs)", "_lowdim",
+     {"lowdim": True, "num_envs": 8192}),
 ]
 
 # The honest north-star statement, machine-readable in every BENCH artifact
@@ -814,6 +821,10 @@ def main(argv=None):
         want_raster = (row_raster and not raster_rejected
                        and not overrides.get("lowdim", False))
         row_over = dict(overrides)
+        # A row's num_envs override is a per-row BEST-shape default (the
+        # lowdim lane-fill peak); an explicit user --num-envs still wins.
+        if "num_envs" in row_over and opts.num_envs != DEFAULT_NUM_ENVS:
+            row_over["num_envs"] = opts.num_envs
         if raster_rejected:
             row_over["render_raster"] = False
         result = None
